@@ -1,0 +1,104 @@
+"""Qwen2.5-VL combined model: vision tower + multimodal merge + text decoder.
+
+The merge scatters vision embeddings into image-token slots with a cumulative
+index gather — static shapes, no boolean masked_scatter (the TPU-safe
+equivalent of HF's masked_scatter in Qwen2_5_VLModel.forward)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import Qwen25VLConfig
+from .text import KVCache, forward_hidden, init_text_params, logits_from_hidden
+from .vision import init_vision_params, vision_forward
+
+Params = Dict[str, Any]
+
+
+class VisionInputs(NamedTuple):
+    """Static-shape packed vision inputs (host-prepared, see vision.prepare_vision_aux)."""
+
+    patches: jnp.ndarray        # (N, C*T*P*P)
+    pos_ids: jnp.ndarray        # (N, 2)
+    seg_full: jnp.ndarray       # (N,)
+    seg_window: jnp.ndarray     # (N,)
+    reverse_index: jnp.ndarray  # (N/unit,)
+
+
+def merge_multimodal_embeds(
+    text_embeds: jnp.ndarray,   # (B, S, E)
+    vision_embeds: jnp.ndarray,  # (Nv, E) packed across the whole batch, natural order
+    image_token_mask: jnp.ndarray,  # (B, S) bool
+) -> jnp.ndarray:
+    b, s, e = text_embeds.shape
+    flat_mask = image_token_mask.reshape(-1)
+    idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    idx = jnp.clip(idx, 0, vision_embeds.shape[0] - 1)
+    gathered = jnp.take(vision_embeds, idx, axis=0).reshape(b, s, e)
+    return jnp.where(flat_mask.reshape(b, s, 1), gathered.astype(text_embeds.dtype), text_embeds)
+
+
+def forward(
+    params: Params,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,          # (B, S)
+    position_ids: jnp.ndarray,       # (3, B, S)
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S); 0 = pad
+    vision: Optional[VisionInputs] = None,
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Returns (hidden_states (B,S,E), updated cache)."""
+    embeds = jnp.take(params["text"]["embed_tokens"], input_ids, axis=0)
+    if vision is not None:
+        vision_embeds = vision_forward(
+            params["vision"],
+            cfg.vision,
+            vision.patches,
+            vision.pos_ids,
+            vision.seg_full,
+            vision.seg_window,
+            vision.reverse_index,
+            remat=remat,
+        )
+        image_mask = input_ids == cfg.image_token_id
+        embeds = merge_multimodal_embeds(embeds, vision_embeds, image_mask)
+    return forward_hidden(
+        params["text"],
+        cfg.text,
+        inputs_embeds=embeds,
+        position_ids=position_ids,
+        segment_ids=segment_ids,
+        cache=cache,
+        remat=remat,
+    )
+
+
+def forward_logits(
+    params: Params,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,
+    vision: Optional[VisionInputs] = None,
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    hidden, cache = forward(
+        params, cfg, input_ids, position_ids,
+        segment_ids=segment_ids, vision=vision, cache=cache, remat=remat,
+    )
+    return logits_from_hidden(params["text"], hidden, cfg.text), cache
+
+
+def init_params(cfg: Qwen25VLConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "text": init_text_params(cfg.text, k1, dtype),
+        "vision": init_vision_params(cfg.vision, k2, dtype),
+    }

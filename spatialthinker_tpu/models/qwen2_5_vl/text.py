@@ -1,0 +1,190 @@
+"""Qwen2.5-VL text decoder in functional JAX.
+
+Pure functions over a param pytree (nested dicts of jnp arrays); no module
+framework in the hot path, so sharding is a tree_map of PartitionSpecs and HF
+weight loading is a key mapping. Architecture contract: GQA attention with
+QKV biases, mRoPE, RMSNorm (fp32 accumulation), SwiGLU MLP, optional tied
+embeddings — the same computation HF's Qwen2_5_VLTextModel performs for the
+reference's actor/ref/critic forwards
+(/root/reference/verl/workers/fsdp_workers.py:149-236).
+
+Layout decisions (TPU-first):
+- linear weights stored (in, out): forward is x @ W, feeding the MXU directly.
+- decoder layers are STACKED: every leaf in params["layers"] carries a leading
+  (num_layers,) dim and the stack runs under lax.scan — one layer is traced &
+  compiled once regardless of depth, and sharding rules apply uniformly.
+- attention layout B S H D; mRoPE cos/sin computed once per forward.
+- KV cache is a scan carry (pure function in/out), shaped (L, B, Smax, Hkv, D).
+- remat: jax.checkpoint on the scanned layer body when requested.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import attention
+from .config import TextConfig
+from .rope import apply_rotary, compute_cos_sin, make_inv_freq
+
+Params = Dict[str, Any]
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    gate = jnp.dot(x, p["gate_proj"])
+    up = jnp.dot(x, p["up_proj"])
+    return jnp.dot(jax.nn.silu(gate) * up, p["down_proj"])
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, Smax, Hkv, D)
+    v: jnp.ndarray  # (L, B, Smax, Hkv, D)
+    length: jnp.ndarray  # () int32 — filled prefix length (uniform across batch)
+
+    @classmethod
+    def init(cls, num_layers, batch, max_len, num_kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+
+def _layer(
+    p: Params,
+    cfg: TextConfig,
+    x: jnp.ndarray,  # (B, S, E)
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # per-layer (B, Smax, Hkv, D)
+    cache_length: Optional[jnp.ndarray],
+):
+    """One decoder layer. Returns (x, updated per-layer kv or None)."""
+    attn_p = p["self_attn"]
+    b, s, _ = x.shape
+    h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    normed = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+    q = (jnp.dot(normed, attn_p["q_proj"]) + attn_p["q_bias"]).reshape(b, s, h, d)
+    k = (jnp.dot(normed, attn_p["k_proj"]) + attn_p["k_bias"]).reshape(b, s, hkv, d)
+    v = (jnp.dot(normed, attn_p["v_proj"]) + attn_p["v_bias"]).reshape(b, s, hkv, d)
+    q, k = apply_rotary(q, k, cos, sin)
+
+    if cache_kv is None:
+        out = attention(q, k, v, segment_ids=segment_ids, causal=True)
+        new_kv = None
+    else:
+        k_all = jax.lax.dynamic_update_slice(cache_kv[0], k, (0, cache_length, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache_kv[1], v, (0, cache_length, 0, 0))
+        kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
+        kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+        q_seg = jnp.ones((b, s), dtype=jnp.int32)
+        q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
+        out = attention(
+            q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg, causal=True, q_offset=q_offset
+        )
+        new_kv = (k_all, v_all)
+
+    x = x + jnp.dot(out.reshape(b, s, h * d), attn_p["o_proj"])
+    x = x + swiglu_mlp(p["mlp"], rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps))
+    return x, new_kv
+
+
+def forward_hidden(
+    params: Params,
+    cfg: TextConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,  # (B, S)
+    inputs_embeds: Optional[jnp.ndarray] = None,  # (B, S, E)
+    position_ids: jnp.ndarray = None,  # (3, B, S)
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S); 0 = padding
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack; returns (hidden_states (B,S,E), updated cache)."""
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = inputs_embeds
+
+    inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta), dtype=jnp.float32)
+    cos, sin = compute_cos_sin(position_ids, inv_freq, cfg.mrope_section, dtype=x.dtype)
+
+    if cache is None:
+
+        def body(x, layer_p):
+            x, _ = _layer(layer_p, cfg, x, cos, sin, segment_ids, None, None)
+            return x, None
+
+        if remat:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+
+        def body(x, xs):
+            layer_p, k_layer, v_layer = xs
+            x, new_kv = _layer(layer_p, cfg, x, cos, sin, segment_ids, (k_layer, v_layer), cache.length)
+            return x, new_kv
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v, cache.length + inputs_embeds.shape[1])
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def logits_from_hidden(params: Params, hidden: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
+    head = params["embed_tokens"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.dot(hidden, head.astype(hidden.dtype), preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random init with leaves stacked over layers (leading num_layers dim)."""
+    e, h, hkv, d = cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    inter, L = cfg.intermediate_size, cfg.num_hidden_layers
+    keys = jax.random.split(key, 9)
+
+    def dense(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "self_attn": {
+            "q_proj": dense(keys[0], (L, e, h * d)),
+            "k_proj": dense(keys[1], (L, e, hkv * d)),
+            "v_proj": dense(keys[2], (L, e, hkv * d)),
+            "o_proj": dense(keys[3], (L, h * d, e)),
+            "q_bias": jnp.zeros((L, h * d), dtype),
+            "k_bias": jnp.zeros((L, hkv * d), dtype),
+            "v_bias": jnp.zeros((L, hkv * d), dtype),
+        },
+        "mlp": {
+            "gate_proj": dense(keys[4], (L, e, inter)),
+            "up_proj": dense(keys[5], (L, e, inter)),
+            "down_proj": dense(keys[6], (L, inter, e)),
+        },
+        "input_layernorm": jnp.ones((L, e), dtype),
+        "post_attention_layernorm": jnp.ones((L, e), dtype),
+    }
+    params: Params = {
+        "embed_tokens": dense(keys[7], (cfg.vocab_size, e)),
+        "layers": layers,
+        "norm": jnp.ones((e,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(keys[8], (e, cfg.vocab_size))
+    return params

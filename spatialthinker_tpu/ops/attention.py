@@ -1,0 +1,137 @@
+"""Attention dispatcher: one entry point, multiple backends.
+
+The reference gets attention from flash-attn CUDA kernels
+(/root/reference/verl/models/transformers/flash_attention_utils.py:34-37);
+here the contract is jnp-native:
+
+- ``xla`` backend: grouped-query scaled-dot-product attention as einsums with
+  fp32 softmax — XLA fuses and tiles this onto the MXU; correct for any mask.
+- ``flash`` backend: the Pallas TPU kernel (ops/flash_attention.py) for the
+  long-sequence hot path, selected automatically when shapes/dtypes allow.
+
+Layout is B S H D everywhere (batch, sequence, heads, head_dim) — the natural
+layout for TPU (contraction dims last) and for sequence-sharded meshes.
+
+Masking model (replaces CUDA varlen/cu_seqlens): ``segment_ids`` (B, S) int32
+marks packed sub-sequences; tokens attend only within their segment. Segment
+id 0 is reserved for padding (attends to nothing). ``causal`` adds the
+autoregressive constraint. This gives static shapes for packed batches — the
+TPU-native equivalent of the reference's rmpad/flash_attn_varlen path
+(/root/reference/verl/workers/actor/dp_actor.py:85-139).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def make_attention_mask(
+    q_segment_ids: jnp.ndarray,
+    kv_segment_ids: jnp.ndarray,
+    causal: bool = True,
+    q_offset: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Build a boolean (B, 1, Sq, Skv) mask from segment ids.
+
+    Padding convention: segment id 0 never attends / is never attended.
+    ``q_offset`` (B,) shifts query positions for decode (q at absolute
+    position offset+i attends kv positions <= offset+i).
+    """
+    same = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
+        q_segment_ids[:, :, None] != 0
+    )
+    if causal:
+        sq, skv = q_segment_ids.shape[1], kv_segment_ids.shape[1]
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        if q_offset is not None:
+            q_pos = q_pos[None] + q_offset[:, None, None]
+            kv_pos = kv_pos[None]
+            same = same & (kv_pos <= q_pos)
+        else:
+            same = same & (kv_pos <= q_pos)[None]
+    return same[:, None, :, :]
+
+
+def xla_attention(
+    q: jnp.ndarray,  # (B, Sq, Hq, D)
+    k: jnp.ndarray,  # (B, Skv, Hkv, D)
+    v: jnp.ndarray,  # (B, Skv, Hkv, D)
+    mask: Optional[jnp.ndarray] = None,  # (B, 1, Sq, Skv) bool
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Grouped-query SDPA with fp32 softmax. KV heads are broadcast to query
+    groups inside the einsum (no materialized repeat_kv)."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    groups = hq // hkv
+    scale = scale if scale is not None else d**-0.5
+
+    qg = q.reshape(b, sq, hkv, groups, d)
+    # scores: (B, Hkv, G, Sq, Skv)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, sq, hq, d)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    q_offset: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Unified attention entry point. q:(B,Sq,Hq,D), k/v:(B,Skv,Hkv,D)."""
+    b, sq, hq, d = q.shape
+    kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+
+    if backend in ("auto", "flash") and _flash_eligible(q, k, causal, segment_ids, q_offset):
+        from .flash_attention import flash_attention
+
+        try:
+            return flash_attention(
+                q, k, v, segment_ids=segment_ids, kv_segment_ids=kv_seg, causal=causal, scale=scale
+            )
+        except Exception:
+            if backend == "flash":
+                raise
+            # fall through to XLA path
+
+    mask = None
+    if segment_ids is not None:
+        mask = make_attention_mask(segment_ids, kv_seg, causal=causal, q_offset=q_offset)
+    elif causal:
+        ones = jnp.ones((b, sq), dtype=jnp.int32)
+        kv_ones = jnp.ones((b, k.shape[1]), dtype=jnp.int32)
+        mask = make_attention_mask(ones, kv_ones, causal=True, q_offset=q_offset)
+    return xla_attention(q, k, v, mask=mask, scale=scale)
+
+
+def _flash_eligible(q, k, causal, segment_ids, q_offset) -> bool:
+    """Flash kernel supports long self-attention on TPU: seq multiple of block,
+    same q/kv length, no decode offset."""
+    if q_offset is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    b, sq, hq, d = q.shape
+    if sq != k.shape[1]:
+        return False
+    if sq < 512 or sq % 512 != 0:
+        return False
+    return d in (64, 128, 256)

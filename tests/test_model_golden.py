@@ -1,0 +1,230 @@
+"""Golden-value tests: our functional JAX Qwen2.5-VL vs HF transformers (torch
+CPU) on a tiny random-weight model — text path, vision tower, multimodal merge,
+and mRoPE position ids. This is the numerics contract that makes loaded 3B/7B
+checkpoints reproduce eval accuracy."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from transformers.models.qwen2_5_vl import (
+    Qwen2_5_VLConfig as HFConfig,
+    Qwen2_5_VLForConditionalGeneration,
+)
+
+from spatialthinker_tpu.models.qwen2_5_vl import (
+    VisionInputs,
+    forward_logits,
+    get_mrope_position_ids,
+    pad_vision_inputs,
+    params_from_hf_state_dict,
+    prepare_vision_aux,
+    qwen25_vl_tiny,
+)
+
+VOCAB = 1024
+CFG = qwen25_vl_tiny(VOCAB)
+
+
+def make_hf_model():
+    hf_cfg = HFConfig(
+        text_config=dict(
+            vocab_size=VOCAB,
+            hidden_size=CFG.text.hidden_size,
+            intermediate_size=CFG.text.intermediate_size,
+            num_hidden_layers=CFG.text.num_hidden_layers,
+            num_attention_heads=CFG.text.num_attention_heads,
+            num_key_value_heads=CFG.text.num_key_value_heads,
+            rms_norm_eps=CFG.text.rms_norm_eps,
+            rope_theta=CFG.text.rope_theta,
+            rope_scaling={"type": "mrope", "mrope_section": list(CFG.text.mrope_section)},
+            tie_word_embeddings=True,
+            max_position_embeddings=4096,
+        ),
+        vision_config=dict(
+            depth=CFG.vision.depth,
+            hidden_size=CFG.vision.hidden_size,
+            intermediate_size=CFG.vision.intermediate_size,
+            num_heads=CFG.vision.num_heads,
+            in_channels=3,
+            patch_size=CFG.vision.patch_size,
+            spatial_merge_size=CFG.vision.spatial_merge_size,
+            temporal_patch_size=CFG.vision.temporal_patch_size,
+            tokens_per_second=CFG.vision.tokens_per_second,
+            window_size=CFG.vision.window_size,
+            out_hidden_size=CFG.vision.out_hidden_size,
+            fullatt_block_indexes=list(CFG.vision.fullatt_block_indexes),
+        ),
+        image_token_id=CFG.image_token_id,
+        video_token_id=CFG.video_token_id,
+        vision_start_token_id=CFG.vision_start_token_id,
+        vision_end_token_id=CFG.vision_end_token_id,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    model = Qwen2_5_VLForConditionalGeneration(hf_cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    return make_hf_model()
+
+
+@pytest.fixture(scope="module")
+def jax_params(hf_model):
+    state = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    return params_from_hf_state_dict(state, CFG, dtype=jnp.float32)
+
+
+def test_text_only_logits_match(hf_model, jax_params):
+    rng = np.random.default_rng(0)
+    input_ids = rng.integers(0, 900, size=(2, 12), dtype=np.int64)
+    attention_mask = np.ones((2, 12), dtype=np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attention_mask),
+        ).logits.numpy()
+
+    pos = np.tile(np.arange(12)[None, None], (3, 2, 1))
+    logits, _ = forward_logits(
+        jax_params,
+        CFG,
+        jnp.asarray(input_ids),
+        jnp.asarray(pos),
+        segment_ids=jnp.asarray(attention_mask, dtype=jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(logits), hf_out, rtol=2e-3, atol=2e-3)
+
+
+def test_mrope_position_ids_match_hf(hf_model):
+    # sequence: text(3) <vis_start> <img x 4> <vis_end> text(2)
+    grid = np.array([[1, 4, 4]])  # 16 patches -> 4 merged image tokens
+    ids = (
+        [5, 6, 7, CFG.vision_start_token_id]
+        + [CFG.image_token_id] * 4
+        + [CFG.vision_end_token_id, 9, 10]
+    )
+    input_ids = np.array(ids, dtype=np.int64)
+
+    hf_pos, hf_delta = hf_model.model.get_rope_index(
+        input_ids=torch.tensor(input_ids[None]),
+        image_grid_thw=torch.tensor(grid),
+        attention_mask=torch.ones((1, len(ids)), dtype=torch.long),
+    )
+    ours, delta = get_mrope_position_ids(
+        input_ids,
+        grid,
+        spatial_merge_size=CFG.vision.spatial_merge_size,
+        image_token_id=CFG.image_token_id,
+        video_token_id=CFG.video_token_id,
+        vision_start_token_id=CFG.vision_start_token_id,
+        tokens_per_second=CFG.vision.tokens_per_second,
+    )
+    np.testing.assert_array_equal(ours, hf_pos[:, 0, :].numpy())
+    assert delta == int(hf_delta[0])
+
+
+def test_mrope_text_only():
+    ids = np.arange(10)
+    pos, delta = get_mrope_position_ids(
+        ids, None,
+        spatial_merge_size=2, image_token_id=1, video_token_id=2, vision_start_token_id=3,
+    )
+    np.testing.assert_array_equal(pos, np.tile(np.arange(10), (3, 1)))
+    assert delta == 0
+
+
+def _make_image_inputs(rng, grid):
+    """Random pixel patches in HF processor layout: (num_patches, C*T*P*P)."""
+    t, h, w = grid
+    n = t * h * w
+    din = 3 * CFG.vision.temporal_patch_size * CFG.vision.patch_size**2
+    return rng.normal(size=(n, din)).astype(np.float32)
+
+
+def test_multimodal_logits_match(hf_model, jax_params):
+    rng = np.random.default_rng(1)
+    grid = np.array([[1, 4, 4]])
+    pixels = _make_image_inputs(rng, (1, 4, 4))
+    ids = (
+        [5, 6, 7, CFG.vision_start_token_id]
+        + [CFG.image_token_id] * 4
+        + [CFG.vision_end_token_id, 9, 10]
+    )
+    input_ids = np.array([ids], dtype=np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.ones_like(torch.tensor(input_ids)),
+            pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor(grid),
+        ).logits.numpy()
+
+    pos, _ = get_mrope_position_ids(
+        input_ids[0], grid,
+        spatial_merge_size=CFG.vision.spatial_merge_size,
+        image_token_id=CFG.image_token_id,
+        video_token_id=CFG.video_token_id,
+        vision_start_token_id=CFG.vision_start_token_id,
+    )
+    aux = prepare_vision_aux([tuple(g) for g in grid], CFG.vision)
+    patches = pixels[aux.patch_perm]
+    p, pid, sf, sw, rev = pad_vision_inputs(patches, aux, pad_to=aux.num_patches)
+    vision = VisionInputs(
+        jnp.asarray(p), jnp.asarray(pid), jnp.asarray(sf), jnp.asarray(sw), jnp.asarray(rev)
+    )
+    logits, _ = forward_logits(
+        jax_params, CFG, jnp.asarray(input_ids), jnp.asarray(pos[:, None, :]),
+        segment_ids=jnp.ones_like(jnp.asarray(input_ids), dtype=jnp.int32),
+        vision=vision,
+    )
+    np.testing.assert_allclose(np.asarray(logits), hf_out, rtol=5e-3, atol=5e-3)
+
+
+def test_multimodal_window_attention_larger_grid(hf_model, jax_params):
+    """Grid big enough (1, 16, 16) that window partition is non-trivial: 256
+    patches -> 64 merged tokens, window size 4x4 merged = 4 windows."""
+    rng = np.random.default_rng(2)
+    grid = np.array([[1, 16, 16]])
+    pixels = _make_image_inputs(rng, (1, 16, 16))
+    n_merged = 256 // 4
+    ids = [5, CFG.vision_start_token_id] + [CFG.image_token_id] * n_merged + [CFG.vision_end_token_id, 9]
+    input_ids = np.array([ids], dtype=np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.ones_like(torch.tensor(input_ids)),
+            pixel_values=torch.tensor(pixels),
+            image_grid_thw=torch.tensor(grid),
+        ).logits.numpy()
+
+    pos, _ = get_mrope_position_ids(
+        input_ids[0], grid,
+        spatial_merge_size=CFG.vision.spatial_merge_size,
+        image_token_id=CFG.image_token_id,
+        video_token_id=CFG.video_token_id,
+        vision_start_token_id=CFG.vision_start_token_id,
+    )
+    aux = prepare_vision_aux([tuple(g) for g in grid], CFG.vision)
+    patches = pixels[aux.patch_perm]
+    # pad to a bigger bucket to exercise padding correctness
+    p, pid, sf, sw, rev = pad_vision_inputs(patches, aux, pad_to=aux.num_patches + 32)
+    vision = VisionInputs(
+        jnp.asarray(p), jnp.asarray(pid), jnp.asarray(sf), jnp.asarray(sw), jnp.asarray(rev)
+    )
+    logits, _ = forward_logits(
+        jax_params, CFG, jnp.asarray(input_ids), jnp.asarray(pos[:, None, :]),
+        segment_ids=jnp.ones_like(jnp.asarray(input_ids), dtype=jnp.int32),
+        vision=vision,
+    )
+    np.testing.assert_allclose(np.asarray(logits), hf_out, rtol=5e-3, atol=5e-3)
