@@ -1,0 +1,228 @@
+"""Jitted training-step functions: actor log-prob forward and GRPO/PPO update.
+
+TPU-native counterpart of the reference's DataParallelPPOActor
+(/root/reference/verl/workers/actor/dp_actor.py:64-292): one SPMD program over
+the (data, fsdp, model) mesh replaces the dispatch/worker machinery. Grad
+accumulation over micro-batches is a lax.scan inside the jitted update (same
+memory behavior as the reference's micro-batch loop, one compilation).
+
+Sequence layout: [prompt (left-padded to P) | response (right-padded to R)].
+hidden[:, P-1+i] predicts response token i, so the log-prob slice is
+hidden[:, P-1 : P+R-1].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..algos.losses import compute_kl, compute_policy_loss
+from ..algos.masked import masked_mean
+from ..models.qwen2_5_vl import Qwen25VLConfig, forward
+from ..models.qwen2_5_vl.model import VisionInputs
+from ..models.qwen2_5_vl.text import logits_from_hidden
+from ..ops.logprobs import log_probs_from_hidden
+
+
+class TrainBatch(NamedTuple):
+    """Device-side micro/mini-batch for the actor. All (B, ...) arrays."""
+
+    input_ids: jnp.ndarray       # (B, S) prompt+response, S = P + R
+    segment_ids: jnp.ndarray     # (B, S) 1 where valid, 0 padding
+    position_ids: jnp.ndarray    # (3, B, S) mRoPE
+    responses: jnp.ndarray       # (B, R)
+    response_mask: jnp.ndarray   # (B, R) float/int
+    old_log_probs: jnp.ndarray   # (B, R)
+    ref_log_probs: jnp.ndarray   # (B, R)
+    advantages: jnp.ndarray      # (B, R)
+
+
+def _response_hidden(params, cfg: Qwen25VLConfig, batch: TrainBatch,
+                     vision: Optional[VisionInputs], remat: bool):
+    hidden, _ = forward(
+        params, cfg, batch.input_ids, batch.position_ids,
+        segment_ids=batch.segment_ids, vision=vision, remat=remat,
+    )
+    r = batch.responses.shape[1]
+    p = batch.input_ids.shape[1] - r
+    return jax.lax.dynamic_slice_in_dim(hidden, p - 1, r, axis=1)  # (B, R, E)
+
+
+def _lm_head(params, cfg: Qwen25VLConfig):
+    text = params["text"]
+    return text["embed_tokens"].T if cfg.text.tie_word_embeddings else text["lm_head"]
+
+
+def compute_log_probs(
+    params, cfg: Qwen25VLConfig, batch: TrainBatch,
+    vision: Optional[VisionInputs] = None,
+    *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, R) log-probs of the sampled responses under `params` (+ entropy)."""
+    hidden = _response_hidden(params, cfg, batch, vision, remat)
+    head = _lm_head(params, cfg).astype(hidden.dtype)
+    logp, entropy = log_probs_from_hidden(
+        hidden, batch.responses, head, chunk_size=chunk_size, compute_entropy=compute_entropy
+    )
+    return logp, entropy
+
+
+def actor_loss_fn(
+    params,
+    cfg: Qwen25VLConfig,
+    batch: TrainBatch,
+    vision: Optional[VisionInputs],
+    *,
+    clip_ratio_low: float,
+    clip_ratio_high: float,
+    clip_ratio_dual: float,
+    use_kl_loss: bool,
+    kl_loss_coef: float,
+    kl_penalty: str,
+    entropy_coeff: float = 0.0,
+    remat: bool = True,
+    chunk_size: int = 1024,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    logp, entropy = compute_log_probs(
+        params, cfg, batch, vision, remat=remat, chunk_size=chunk_size,
+        compute_entropy=entropy_coeff != 0.0,
+    )
+    mask = batch.response_mask.astype(jnp.float32)
+    pg_loss, clip_hi, clip_lo, ppo_kl = compute_policy_loss(
+        batch.old_log_probs, logp, batch.advantages, mask,
+        clip_ratio_low, clip_ratio_high, clip_ratio_dual,
+    )
+    loss = pg_loss
+    metrics = {
+        "actor/pg_loss": pg_loss,
+        "actor/pg_clipfrac_higher": clip_hi,
+        "actor/pg_clipfrac_lower": clip_lo,
+        "actor/ppo_kl": ppo_kl,
+    }
+    if use_kl_loss:
+        kld = compute_kl(logp, batch.ref_log_probs, kl_penalty)
+        kl_loss = masked_mean(kld, mask)
+        loss = loss + kl_loss * kl_loss_coef
+        metrics["actor/kl_loss"] = kl_loss
+    if entropy_coeff != 0.0:
+        entropy_loss = masked_mean(entropy, mask)
+        loss = loss - entropy_coeff * entropy_loss
+        metrics["actor/entropy_loss"] = entropy_loss
+    return loss, metrics
+
+
+def make_update_fn(
+    cfg: Qwen25VLConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    clip_ratio_low: float,
+    clip_ratio_high: float,
+    clip_ratio_dual: float,
+    use_kl_loss: bool,
+    kl_loss_coef: float,
+    kl_penalty: str,
+    entropy_coeff: float = 0.0,
+    max_grad_norm: float = 1.0,
+    remat: bool = True,
+    chunk_size: int = 1024,
+):
+    """Build the jittable mini-batch update: scan over micro-batches
+    accumulating grads, one optimizer step, NaN-grad skip
+    (parity: reference dp_actor.py:155-166 + micro-batch loop :212-292)."""
+
+    loss_kwargs = dict(
+        clip_ratio_low=clip_ratio_low,
+        clip_ratio_high=clip_ratio_high,
+        clip_ratio_dual=clip_ratio_dual,
+        use_kl_loss=use_kl_loss,
+        kl_loss_coef=kl_loss_coef,
+        kl_penalty=kl_penalty,
+        entropy_coeff=entropy_coeff,
+        remat=remat,
+        chunk_size=chunk_size,
+    )
+
+    def update(params, opt_state, micro_batches: TrainBatch, vision: Optional[VisionInputs] = None):
+        """micro_batches: TrainBatch with a leading (n_micro,) dim on each array.
+        Vision inputs are not micro-batched yet (used for text-only update or
+        single shared vision pack)."""
+
+        grad_fn = jax.value_and_grad(
+            lambda p, mb: actor_loss_fn(p, cfg, mb, vision, **loss_kwargs), has_aux=True
+        )
+
+        def micro_step(carry, mb):
+            grad_acc, metric_acc = carry
+            (loss, metrics), grads = grad_fn(params, mb)
+            metrics["actor/loss"] = loss
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            metric_acc = {k: metric_acc[k] + metrics[k] for k in metric_acc}
+            return (grad_acc, metric_acc), None
+
+        n_micro = micro_batches.input_ids.shape[0]
+        zero_grads = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
+        # scan carries must have fixed structure: pre-declare every metric key
+        metric_keys = [
+            "actor/loss",
+            "actor/pg_loss",
+            "actor/pg_clipfrac_higher",
+            "actor/pg_clipfrac_lower",
+            "actor/ppo_kl",
+        ]
+        if use_kl_loss:
+            metric_keys.append("actor/kl_loss")
+        if entropy_coeff != 0.0:
+            metric_keys.append("actor/entropy_loss")
+        init_metrics = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
+        (grads, metric_sums), _ = jax.lax.scan(micro_step, (zero_grads, init_metrics), micro_batches)
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        metrics = {k: v / n_micro for k, v in metric_sums.items()}
+
+        grad_norm = optax.global_norm(grads)
+        metrics["actor/grad_norm"] = grad_norm
+        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+
+        finite = jnp.isfinite(grad_norm)
+        updates, new_opt_state = optimizer.update(
+            jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads), opt_state, params
+        )
+        new_params = optax.apply_updates(params, updates)
+        # NaN-grad skip: keep old params/opt state when the grad norm is not finite
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params
+        )
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+        )
+        return new_params, new_opt_state, metrics
+
+    return update
+
+
+def make_optimizer(
+    lr: float,
+    *,
+    weight_decay: float = 1e-2,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    warmup_steps: int = 0,
+    strategy: str = "adamw",
+) -> optax.GradientTransformation:
+    """AdamW with constant-after-warmup LR (reference torch_functional.py
+    get_constant_schedule_with_warmup); strategy adamw_bf16 keeps first/second
+    moments in bf16 (AnyPrecisionAdamW parity)."""
+    if warmup_steps > 0:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps), optax.constant_schedule(lr)],
+            [warmup_steps],
+        )
+    else:
+        schedule = optax.constant_schedule(lr)
+    mu_dtype = jnp.bfloat16 if strategy == "adamw_bf16" else None
+    return optax.adamw(
+        schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay, mu_dtype=mu_dtype
+    )

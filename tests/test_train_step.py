@@ -1,0 +1,164 @@
+"""Tests for the fused log-prob op, the GRPO update step, and mesh sharding
+(8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from spatialthinker_tpu.models.qwen2_5_vl import init_params, qwen25_vl_tiny
+from spatialthinker_tpu.ops.logprobs import log_probs_from_hidden, log_probs_from_logits
+from spatialthinker_tpu.parallel.mesh import batch_sharding, create_mesh
+from spatialthinker_tpu.parallel.sharding import param_shardings, shard_params
+from spatialthinker_tpu.trainer.train_step import (
+    TrainBatch,
+    compute_log_probs,
+    make_optimizer,
+    make_update_fn,
+)
+
+CFG = qwen25_vl_tiny(256)
+
+
+def test_chunked_logprobs_match_direct():
+    rng = np.random.default_rng(0)
+    b, s, e, v = 2, 12, 16, 64
+    hidden = rng.normal(size=(b, s, e)).astype(np.float32)
+    head = rng.normal(size=(e, v)).astype(np.float32)
+    labels = rng.integers(0, v, size=(b, s))
+
+    logits = hidden @ head
+    direct = np.asarray(log_probs_from_logits(jnp.asarray(logits), jnp.asarray(labels)))
+    chunked, entropy = log_probs_from_hidden(
+        jnp.asarray(hidden), jnp.asarray(labels), jnp.asarray(head),
+        chunk_size=4, compute_entropy=True,
+    )
+    np.testing.assert_allclose(np.asarray(chunked), direct, rtol=1e-5, atol=1e-5)
+    # entropy positive, bounded by log V
+    ent = np.asarray(entropy)
+    assert (ent > 0).all() and (ent <= np.log(v) + 1e-3).all()
+
+
+def test_chunked_logprobs_uneven_seq():
+    rng = np.random.default_rng(1)
+    hidden = rng.normal(size=(1, 10, 8)).astype(np.float32)
+    head = rng.normal(size=(8, 32)).astype(np.float32)
+    labels = rng.integers(0, 32, size=(1, 10))
+    direct = np.asarray(
+        log_probs_from_logits(jnp.asarray(hidden @ head), jnp.asarray(labels))
+    )
+    chunked, _ = log_probs_from_hidden(
+        jnp.asarray(hidden), jnp.asarray(labels), jnp.asarray(head), chunk_size=4
+    )
+    np.testing.assert_allclose(np.asarray(chunked), direct, rtol=1e-5, atol=1e-5)
+
+
+def _toy_batch(rng, bs=4, p=8, r=8):
+    s = p + r
+    input_ids = rng.integers(1, 200, size=(bs, s), dtype=np.int32)
+    responses = input_ids[:, p:].copy()
+    segment_ids = np.ones((bs, s), dtype=np.int32)
+    position_ids = np.tile(np.arange(s)[None, None], (3, bs, 1))
+    response_mask = np.ones((bs, r), dtype=np.float32)
+    old_lp = rng.normal(size=(bs, r)).astype(np.float32) - 3
+    ref_lp = old_lp + rng.normal(size=(bs, r)).astype(np.float32) * 0.01
+    adv = rng.normal(size=(bs, r)).astype(np.float32)
+    batch = TrainBatch(
+        input_ids=jnp.asarray(input_ids),
+        segment_ids=jnp.asarray(segment_ids),
+        position_ids=jnp.asarray(position_ids),
+        responses=jnp.asarray(responses),
+        response_mask=jnp.asarray(response_mask),
+        old_log_probs=jnp.asarray(old_lp),
+        ref_log_probs=jnp.asarray(ref_lp),
+        advantages=jnp.asarray(adv),
+    )
+    return batch
+
+
+def _micro_batches(batch: TrainBatch, n_micro: int) -> TrainBatch:
+    def split(x):
+        if x.ndim >= 1 and x.shape[0] == 3:  # position_ids (3, B, S)
+            b = x.shape[1]
+            return x.reshape(3, n_micro, b // n_micro, *x.shape[2:]).transpose(1, 0, 2, 3)
+        b = x.shape[0]
+        return x.reshape(n_micro, b // n_micro, *x.shape[1:])
+
+    return TrainBatch(*[split(x) for x in batch])
+
+
+def test_compute_log_probs_shapes_and_masking():
+    rng = np.random.default_rng(2)
+    params = init_params(CFG, jax.random.key(0))
+    batch = _toy_batch(rng)
+    logp, entropy = compute_log_probs(params, CFG, batch, chunk_size=4)
+    assert logp.shape == (4, 8)
+    assert np.isfinite(np.asarray(logp)).all()
+    # log-probs are valid (<= 0)
+    assert (np.asarray(logp) <= 1e-5).all()
+
+
+def test_update_step_changes_params_and_reports_metrics():
+    rng = np.random.default_rng(3)
+    params = init_params(CFG, jax.random.key(1))
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    update = make_update_fn(
+        CFG, opt,
+        clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
+        use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
+        max_grad_norm=1.0, remat=True, chunk_size=4,
+    )
+    batch = _micro_batches(_toy_batch(rng), n_micro=2)
+    new_params, new_opt_state, metrics = jax.jit(update)(params, opt_state, batch)
+
+    for key in ("actor/loss", "actor/pg_loss", "actor/ppo_kl", "actor/kl_loss", "actor/grad_norm"):
+        assert key in metrics and np.isfinite(float(metrics[key])), key
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, new_params)
+    assert max(jax.tree.leaves(diff)) > 0.0
+
+
+def test_update_step_sharded_2x2x2():
+    """Full tp+fsdp+dp sharded update on the virtual 8-device mesh."""
+    mesh = create_mesh(data_size=2, fsdp_size=2, model_size=2)
+    params = init_params(CFG, jax.random.key(2))
+    params = shard_params(mesh, params)
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    update = make_update_fn(
+        CFG, opt,
+        clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
+        use_kl_loss=False, kl_loss_coef=0.0, kl_penalty="low_var_kl",
+        max_grad_norm=1.0, remat=True, chunk_size=4,
+    )
+    rng = np.random.default_rng(4)
+    batch = _micro_batches(_toy_batch(rng, bs=8), n_micro=2)
+    bspec = NamedSharding(mesh, P(None, ("data", "fsdp")))
+
+    def shard_batch(x):
+        if x.ndim >= 2 and x.shape[0] == 2 and x.shape[1] == 3:  # (n_micro, 3, B, S)
+            return jax.device_put(x, NamedSharding(mesh, P(None, None, ("data", "fsdp"))))
+        return jax.device_put(x, bspec)
+
+    batch = TrainBatch(*[shard_batch(x) for x in batch])
+    new_params, _, metrics = jax.jit(update)(params, opt_state, batch)
+    assert np.isfinite(float(metrics["actor/loss"]))
+    # params keep their shardings
+    leaf = new_params["text"]["layers"]["self_attn"]["q_proj"]
+    assert leaf.sharding.spec == params["text"]["layers"]["self_attn"]["q_proj"].sharding.spec
+
+
+def test_param_sharding_rules_cover_big_leaves():
+    params = init_params(CFG, jax.random.key(3))
+    mesh = create_mesh(data_size=1, fsdp_size=4, model_size=2)
+    shardings = param_shardings(mesh, params)
+    q = shardings["text"]["layers"]["self_attn"]["q_proj"]
+    assert q.spec == P(None, "fsdp", "model")
+    emb = shardings["text"]["embed_tokens"]
+    assert emb.spec == P("model", "fsdp")
+    norm = shardings["text"]["norm"]
+    assert norm.spec == P()
+    vqkv = shardings["vision"]["blocks"]["qkv"]
+    assert vqkv.spec == P(None, "fsdp", "model")
