@@ -50,6 +50,7 @@ def forward(
     segment_ids: Optional[jnp.ndarray] = None,  # (B, S); 0 = pad
     vision: Optional[VisionInputs] = None,
     cache: Optional[KVCache] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (hidden_states (B,S,E), updated cache)."""
@@ -74,6 +75,7 @@ def forward(
         position_ids=position_ids,
         segment_ids=segment_ids,
         cache=cache,
+        kv_segment_ids=kv_segment_ids,
         remat=remat,
     )
 
@@ -87,11 +89,13 @@ def forward_logits(
     segment_ids: Optional[jnp.ndarray] = None,
     vision: Optional[VisionInputs] = None,
     cache: Optional[KVCache] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     hidden, cache = forward(
         params, cfg, input_ids, position_ids,
-        segment_ids=segment_ids, vision=vision, cache=cache, remat=remat,
+        segment_ids=segment_ids, vision=vision, cache=cache,
+        kv_segment_ids=kv_segment_ids, remat=remat,
     )
     return logits_from_hidden(params["text"], hidden, cfg.text), cache
 

@@ -66,6 +66,7 @@ def _layer(
     segment_ids: Optional[jnp.ndarray],
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # per-layer (B, Smax, Hkv, D)
     cache_length: Optional[jnp.ndarray],
+    kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) incl. cached prefix
 ):
     """One decoder layer. Returns (x, updated per-layer kv or None)."""
     attn_p = p["self_attn"]
@@ -82,11 +83,19 @@ def _layer(
         out = attention(q, k, v, segment_ids=segment_ids, causal=True)
         new_kv = None
     else:
-        k_all = jax.lax.dynamic_update_slice(cache_kv[0], k, (0, cache_length, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(cache_kv[1], v, (0, cache_length, 0, 0))
-        kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
-        kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
-        q_seg = jnp.ones((b, s), dtype=jnp.int32)
+        cache_dtype = cache_kv[0].dtype
+        k_all = jax.lax.dynamic_update_slice(
+            cache_kv[0], k.astype(cache_dtype), (0, cache_length, 0, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            cache_kv[1], v.astype(cache_dtype), (0, cache_length, 0, 0)
+        )
+        if kv_segment_ids is None:
+            kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
+            kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+        else:
+            kv_seg = kv_segment_ids
+        q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), dtype=jnp.int32)
         q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
         out = attention(
             q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg, causal=True, q_offset=q_offset
@@ -107,6 +116,7 @@ def forward_hidden(
     position_ids: jnp.ndarray = None,  # (3, B, S)
     segment_ids: Optional[jnp.ndarray] = None,  # (B, S); 0 = padding
     cache: Optional[KVCache] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) validity of cache slots
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns (hidden_states (B,S,E), updated cache)."""
@@ -133,7 +143,10 @@ def forward_hidden(
 
         def body(x, xs):
             layer_p, k_layer, v_layer = xs
-            x, new_kv = _layer(layer_p, cfg, x, cos, sin, segment_ids, (k_layer, v_layer), cache.length)
+            x, new_kv = _layer(
+                layer_p, cfg, x, cos, sin, segment_ids, (k_layer, v_layer),
+                cache.length, kv_segment_ids,
+            )
             return x, new_kv
 
         x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))

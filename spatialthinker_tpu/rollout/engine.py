@@ -1,0 +1,155 @@
+"""On-device rollout engine: batched prefill + autoregressive decode under jit.
+
+This replaces vLLM (/root/reference/verl/workers/rollout/vllm_rollout_spmd.py)
+in the TPU design. Because training and decoding share one pjit-sharded param
+pytree, the entire hybrid-engine machinery of the reference — FSDP state_dict
+gather, vLLM load_weights, sleep/wake memory dance
+(/root/reference/verl/workers/sharding_manager/fsdp_vllm.py:76-116) — does not
+exist here: generate_sequences reads the same arrays the optimizer just wrote.
+
+v0 architecture (dense KV):
+- prefill: one jitted forward over the left-padded prompt block (B, P),
+  writing KV for all positions; prompt padding handled by kv segment ids.
+- decode: jitted lax.scan over R steps; each step embeds one token per
+  sequence, attends to the cache, samples (temperature/top-k/top-p), tracks
+  EOS. Early-exit when every sequence finished via jax.lax.while_loop
+  wrapping fixed-size chunks (compilation-stable).
+- mRoPE: generated tokens continue at (max prompt position + 1 + step) on all
+  three channels; the per-sample start comes in precomputed from the host.
+
+Memory: KV cache (L, B, P+R, Hkv, D) bf16, sharded (fsdp on batch, model on
+heads). The paged upgrade slots in behind the same interface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen2_5_vl import Qwen25VLConfig, forward
+from ..models.qwen2_5_vl.model import VisionInputs
+from ..models.qwen2_5_vl.text import KVCache, logits_from_hidden
+from .sampling import SamplingParams, get_response_mask, sample_tokens
+
+
+class RolloutResult(NamedTuple):
+    responses: jnp.ndarray       # (B, R) int32, pad after EOS
+    response_mask: jnp.ndarray   # (B, R) int32, 1 up to & incl. EOS
+    rollout_log_probs: jnp.ndarray  # (B, R) fp32 — sampled-token log-probs
+
+
+class DecodeState(NamedTuple):
+    cache: KVCache
+    kv_seg: jnp.ndarray       # (B, P+R) validity of each cache slot
+    cur_tokens: jnp.ndarray   # (B,) last emitted token
+    finished: jnp.ndarray     # (B,) bool
+    key: jax.Array
+    step: jnp.ndarray         # () int32
+
+
+def _decode_step(
+    params, cfg: Qwen25VLConfig, state: DecodeState, gen_pos_start: jnp.ndarray,
+    prompt_len: int, sampling: SamplingParams, eos_id: int, pad_id: int,
+):
+    b = state.cur_tokens.shape[0]
+    pos = (gen_pos_start[None, :] + state.step).astype(jnp.int32)  # (1, B)
+    position_ids = jnp.broadcast_to(pos[:, :, None], (3, b, 1))
+
+    kv_seg = jax.lax.dynamic_update_slice(
+        state.kv_seg, jnp.ones((b, 1), jnp.int32), (0, prompt_len + state.step)
+    )
+    cache = state.cache._replace(length=prompt_len + state.step)
+    hidden, new_cache = forward(
+        params, cfg, state.cur_tokens[:, None], position_ids,
+        segment_ids=jnp.ones((b, 1), jnp.int32), cache=cache, kv_segment_ids=kv_seg,
+    )
+    logits = logits_from_hidden(params["text"], hidden, cfg.text)[:, 0, :]  # (B, V) fp32
+
+    key, subkey = jax.random.split(state.key)
+    sampled = sample_tokens(logits, subkey, sampling)
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    token_logp = jnp.take_along_axis(logp_all, sampled[:, None], axis=-1)[:, 0]
+
+    next_tokens = jnp.where(state.finished, pad_id, sampled)
+    token_logp = jnp.where(state.finished, 0.0, token_logp)
+    finished = state.finished | (next_tokens == eos_id)
+
+    new_state = DecodeState(
+        cache=new_cache, kv_seg=kv_seg, cur_tokens=next_tokens,
+        finished=finished, key=key, step=state.step + 1,
+    )
+    return new_state, (next_tokens, token_logp)
+
+
+def generate(
+    params,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,       # (B, P) left-padded prompts
+    prompt_segment_ids: jnp.ndarray,  # (B, P) 1 = valid
+    position_ids: jnp.ndarray,    # (3, B, P) mRoPE for the prompt
+    gen_pos_start: jnp.ndarray,   # (B,) first generated position (max prompt pos + 1)
+    *,
+    max_new_tokens: int,
+    sampling: SamplingParams,
+    key: jax.Array,
+    vision: Optional[VisionInputs] = None,
+    kv_cache_dtype=jnp.bfloat16,
+) -> RolloutResult:
+    """Jittable generation: prefill + scan-decode. Callers jit this with
+    static (cfg, max_new_tokens, sampling) for each bucket shape."""
+    b, p = input_ids.shape
+    cfgt = cfg.text
+    total = p + max_new_tokens
+
+    cache = KVCache.init(
+        cfgt.num_hidden_layers, b, total, cfgt.num_key_value_heads, cfgt.head_dim,
+        dtype=kv_cache_dtype,
+    )
+    kv_seg0 = jnp.concatenate(
+        [prompt_segment_ids.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+    )
+
+    # ---- prefill ----
+    hidden, cache = forward(
+        params, cfg, input_ids, position_ids,
+        segment_ids=prompt_segment_ids.astype(jnp.int32),
+        vision=vision, cache=cache, kv_segment_ids=kv_seg0,
+    )
+    last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
+
+    key, subkey = jax.random.split(key)
+    first_token = sample_tokens(last_logits, subkey, sampling)
+    first_logp = jnp.take_along_axis(
+        jax.nn.log_softmax(last_logits, axis=-1), first_token[:, None], axis=-1
+    )[:, 0]
+    finished0 = first_token == cfg.eos_token_id
+
+    # ---- decode remaining R-1 tokens ----
+    state = DecodeState(
+        cache=cache, kv_seg=kv_seg0, cur_tokens=first_token,
+        finished=finished0, key=key, step=jnp.zeros((), jnp.int32),
+    )
+
+    # token fed at decode step j sits at rope position gen_pos_start + j
+    step_fn = partial(
+        _decode_step, params, cfg,
+        gen_pos_start=gen_pos_start.astype(jnp.int32),
+        prompt_len=p, sampling=sampling, eos_id=cfg.eos_token_id, pad_id=cfg.pad_token_id,
+    )
+
+    def scan_body(state, _):
+        return step_fn(state)
+
+    state, (tokens_rest, logps_rest) = jax.lax.scan(
+        scan_body, state, None, length=max_new_tokens - 1
+    )
+
+    responses = jnp.concatenate([first_token[:, None], tokens_rest.T], axis=1)
+    logps = jnp.concatenate([first_logp[:, None], logps_rest.T], axis=1)
+    mask = get_response_mask(responses, cfg.eos_token_id)
+    responses = jnp.where(mask == 1, responses, cfg.pad_token_id)
+    return RolloutResult(responses=responses, response_mask=mask, rollout_log_probs=logps * mask)

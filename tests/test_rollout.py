@@ -1,0 +1,173 @@
+"""Rollout engine tests: sampling ops, KV-cache consistency (decode == teacher
+forcing), and greedy-generation parity with HF transformers on shared tiny
+weights."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialthinker_tpu.rollout.sampling import (
+    SamplingParams,
+    apply_top_k,
+    apply_top_p,
+    get_response_mask,
+    sample_tokens,
+)
+
+
+def test_top_k_masks_tail():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
+    out = np.asarray(apply_top_k(logits, 2))
+    assert out[0, 1] == 5.0 and out[0, 2] == 3.0
+    assert out[0, 0] < -1e29 and out[0, 3] < -1e29
+
+
+def test_top_p_keeps_argmax_and_nucleus():
+    # probs ~ [0.64, 0.24, 0.09, 0.03]
+    logits = jnp.log(jnp.asarray([[0.64, 0.24, 0.09, 0.03]]))
+    out = np.asarray(apply_top_p(logits, 0.7))
+    assert out[0, 0] > -1e29
+    assert out[0, 1] > -1e29  # cumulative-exclusive 0.64 < 0.7 keeps second
+    assert out[0, 2] < -1e29 and out[0, 3] < -1e29
+    # p=1 is a no-op
+    np.testing.assert_array_equal(np.asarray(apply_top_p(logits, 1.0)), np.asarray(logits))
+
+
+def test_greedy_sampling():
+    logits = jnp.asarray([[0.0, 9.0, 1.0], [4.0, 0.0, 0.1]])
+    toks = sample_tokens(logits, jax.random.key(0), SamplingParams(temperature=0.0))
+    np.testing.assert_array_equal(np.asarray(toks), [1, 0])
+
+
+def test_temperature_sampling_distribution():
+    logits = jnp.asarray([[2.0, 0.0]])
+    keys = jax.random.split(jax.random.key(0), 300)
+    samples = np.asarray(
+        jax.vmap(lambda k: sample_tokens(logits, k, SamplingParams(temperature=1.0)))(keys)
+    ).ravel()
+    frac0 = (samples == 0).mean()
+    expected = np.exp(2) / (np.exp(2) + 1)
+    assert abs(frac0 - expected) < 0.1
+
+
+def test_response_mask_first_eos():
+    eos = 99
+    responses = jnp.asarray([[5, 99, 7, 99], [1, 2, 3, 4]])
+    mask = np.asarray(get_response_mask(responses, eos))
+    np.testing.assert_array_equal(mask, [[1, 1, 0, 0], [1, 1, 1, 1]])
+
+
+# ---------------------------------------------------------------- engine
+
+torch = pytest.importorskip("torch")
+
+from spatialthinker_tpu.models.qwen2_5_vl import qwen25_vl_tiny
+from spatialthinker_tpu.models.qwen2_5_vl.params import params_from_hf_state_dict
+from spatialthinker_tpu.rollout.engine import generate
+from tests.test_model_golden import make_hf_model, CFG as GOLD_CFG
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    return make_hf_model()
+
+
+@pytest.fixture(scope="module")
+def jax_params(hf_model):
+    state = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    return params_from_hf_state_dict(state, GOLD_CFG, dtype=jnp.float32)
+
+
+def test_greedy_generate_matches_hf(hf_model, jax_params):
+    rng = np.random.default_rng(0)
+    b, p, r = 2, 8, 6
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            input_ids=torch.tensor(prompts),
+            attention_mask=torch.ones((b, p), dtype=torch.long),
+            max_new_tokens=r,
+            do_sample=False,
+            use_cache=True,
+        )
+    hf_resp = hf_out[:, p:].numpy()
+
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+    result = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(prompts), jnp.ones((b, p), jnp.int32), jnp.asarray(pos),
+        gen_pos_start=jnp.full((b,), p, jnp.int32),
+        max_new_tokens=r,
+        sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0),
+    )
+    ours = np.asarray(result.responses)
+    # compare up to EOS cut (HF keeps generating garbage for finished rows too
+    # unless it hits its own criteria; mask-align both)
+    mask = np.asarray(result.response_mask).astype(bool)
+    np.testing.assert_array_equal(ours[mask], hf_resp[mask])
+
+
+def test_generate_with_left_padding_matches_unpadded(jax_params):
+    """A left-padded prompt must decode the same tokens as the unpadded one."""
+    rng = np.random.default_rng(1)
+    p_short, pad, r = 6, 4, 5
+    prompt = rng.integers(5, 900, size=(1, p_short), dtype=np.int64)
+
+    pos_short = np.tile(np.arange(p_short)[None, None], (3, 1, 1))
+    res_unpadded = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(prompt), jnp.ones((1, p_short), jnp.int32), jnp.asarray(pos_short),
+        gen_pos_start=jnp.full((1,), p_short, jnp.int32),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+
+    padded = np.concatenate([np.zeros((1, pad), dtype=np.int64), prompt], axis=1)
+    seg = np.concatenate([np.zeros((1, pad), np.int32), np.ones((1, p_short), np.int32)], axis=1)
+    # padded positions: HF convention pads get position 1; valid tokens 0..p_short-1
+    pos_padded = np.concatenate(
+        [np.ones((3, 1, pad), dtype=np.int64), pos_short], axis=2
+    )
+    res_padded = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(padded), jnp.asarray(seg), jnp.asarray(pos_padded),
+        gen_pos_start=jnp.full((1,), p_short, jnp.int32),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_unpadded.responses), np.asarray(res_padded.responses)
+    )
+
+
+def test_decode_logprobs_match_teacher_forcing(jax_params):
+    """Stepwise decode log-probs == teacher-forced forward on the same tokens."""
+    from spatialthinker_tpu.models.qwen2_5_vl import forward_logits
+
+    rng = np.random.default_rng(2)
+    b, p, r = 1, 6, 5
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+
+    result = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(prompts), jnp.ones((b, p), jnp.int32), jnp.asarray(pos),
+        gen_pos_start=jnp.full((b,), p, jnp.int32),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    responses = np.asarray(result.responses)
+
+    full_ids = np.concatenate([prompts, responses], axis=1)
+    full_pos = np.tile(np.arange(p + r)[None, None], (3, b, 1))
+    logits, _ = forward_logits(
+        jax_params, GOLD_CFG, jnp.asarray(full_ids), jnp.asarray(full_pos),
+        segment_ids=jnp.ones((b, p + r), jnp.int32),
+    )
+    logp_tf = np.asarray(jax.nn.log_softmax(logits[:, p - 1 : p + r - 1, :], axis=-1))
+    expected = np.take_along_axis(logp_tf, responses[..., None], axis=-1)[..., 0]
+    mask = np.asarray(result.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(result.rollout_log_probs)[mask], expected[mask], rtol=1e-3, atol=1e-3
+    )
