@@ -1,0 +1,90 @@
+"""Benchmark: rollout decode throughput on the flagship model (Qwen2.5-VL-3B
+shapes, random weights) on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": "rollout_tokens_per_sec_per_chip", "value": N, "unit": "tok/s/chip",
+   "vs_baseline": N / H100_VLLM_3B_TOKS}
+
+Baseline anchor: the reference rolls out with vLLM on H100-class GPUs
+(BASELINE.md: "rollout tokens/sec/chip >= H100-class on a v5p-8" is the
+north-star). The repo publishes no number, so we anchor against a nominal
+2800 tok/s/GPU for Qwen2.5-VL-3B bf16 decode at batch 8 on one H100 —
+vs_baseline > 1.0 means faster than that anchor per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+H100_VLLM_3B_TOKS = 2800.0  # nominal anchor, see module docstring
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+PROMPT_LEN = int(os.environ.get("BENCH_PROMPT", "128"))
+GEN_LEN = int(os.environ.get("BENCH_GEN", "128"))
+PRESET = os.environ.get("BENCH_PRESET", "3b")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatialthinker_tpu.models.qwen2_5_vl import get_config
+    from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
+    from spatialthinker_tpu.rollout.engine import generate
+    from spatialthinker_tpu.rollout.sampling import SamplingParams
+
+    cfg = get_config(PRESET)
+    n_chips = len(jax.devices())
+
+    key = jax.random.key(0)
+    # random bf16 init directly on device (values irrelevant for throughput)
+    params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(key)
+    jax.block_until_ready(params)
+
+    b, p, r = BATCH, PROMPT_LEN, GEN_LEN
+    rng = np.random.default_rng(0)
+    input_ids = jnp.asarray(rng.integers(1, 1000, size=(b, p), dtype=np.int32))
+    segment_ids = jnp.ones((b, p), jnp.int32)
+    position_ids = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None, None], (3, b, p))
+    gen_pos_start = jnp.full((b,), p, jnp.int32)
+    sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
+
+    gen = jax.jit(
+        generate, static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype")
+    )
+
+    def run(k):
+        out = gen(
+            params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
+            max_new_tokens=r, sampling=sampling, key=k,
+        )
+        jax.block_until_ready(out.responses)
+        return out
+
+    run(jax.random.key(1))  # compile + warm
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    start = time.perf_counter()
+    for i in range(iters):
+        run(jax.random.key(2 + i))
+    elapsed = time.perf_counter() - start
+
+    total_generated = b * r * iters
+    toks_per_sec_per_chip = total_generated / elapsed / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "rollout_tokens_per_sec_per_chip",
+                "value": round(toks_per_sec_per_chip, 2),
+                "unit": "tok/s/chip",
+                "vs_baseline": round(toks_per_sec_per_chip / H100_VLLM_3B_TOKS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,494 @@
+"""The GRPO/PPO driver: one SPMD program runs rollout -> reward -> log-probs ->
+advantages -> policy update on a single set of sharded weights.
+
+Call-structure parity with the reference's RayPPOTrainer.fit
+(/root/reference/verl/trainer/ray_trainer.py:543-721), with the entire
+single-controller / Ray / sharding-manager stack deleted: every `*_wg.method`
+dispatch boundary in the reference is a jitted function call here, and the
+hybrid-engine weight sync (fsdp_vllm.py) does not exist because generation
+reads the same param pytree the optimizer writes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algos import (
+    compute_gae_advantage_return,
+    compute_grpo_outcome_advantage,
+    compute_kl,
+    compute_reinforce_plus_plus_outcome_advantage,
+    compute_remax_outcome_advantage,
+    compute_rloo_outcome_advantage,
+    get_kl_controller,
+)
+from ..core.batch import RolloutBatch, pad_to_divisor, unpad
+from ..core.config import PPOConfig
+from ..data.packing import pack_vision_batch
+from ..models.qwen2_5_vl import Qwen25VLConfig
+from ..parallel.mesh import create_mesh
+from ..parallel.sharding import shard_params
+from ..rewards.manager import RewardManager
+from ..rollout.engine import generate
+from ..rollout.sampling import SamplingParams
+from .checkpoint import CheckpointManager
+from .metrics import (
+    Timer,
+    compute_data_metrics,
+    compute_throughput_metrics,
+    compute_timing_metrics,
+    reduce_metrics,
+)
+from .tracker import Tracker
+from .train_step import TrainBatch, compute_log_probs, make_optimizer, make_update_fn
+
+
+class GRPOTrainer:
+    def __init__(
+        self,
+        config: PPOConfig,
+        tokenizer,
+        model_cfg: Qwen25VLConfig,
+        params,
+        train_dataloader,
+        val_dataloader=None,
+        reward_fn: Optional[RewardManager] = None,
+        val_reward_fn: Optional[RewardManager] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.model_cfg = model_cfg
+        self.train_dataloader = train_dataloader
+        self.val_dataloader = val_dataloader
+        self.reward_fn = reward_fn
+        self.val_reward_fn = val_reward_fn or reward_fn
+
+        algo = config.algorithm
+        self.adv_estimator = algo.adv_estimator
+        self.use_kl_in_reward = not algo.disable_kl and not algo.use_kl_loss
+        self.use_kl_loss = not algo.disable_kl and algo.use_kl_loss
+        self.use_ref = not algo.disable_kl
+        self.kl_ctrl = get_kl_controller(algo.kl_type, algo.kl_coef, algo.kl_target, algo.kl_horizon)
+
+        sh = config.worker.actor.sharding
+        self.mesh = mesh if mesh is not None else create_mesh(sh.data_size, sh.fsdp_size, sh.model_size)
+        self.params = shard_params(self.mesh, params)
+        # reference policy = frozen copy of the initial weights
+        self.ref_params = jax.tree.map(lambda x: x, self.params) if self.use_ref else None
+
+        actor = config.worker.actor
+        opt_cfg = actor.optim
+        self.optimizer = make_optimizer(
+            opt_cfg.lr,
+            weight_decay=opt_cfg.weight_decay,
+            betas=tuple(opt_cfg.betas),
+            warmup_steps=int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0)),
+            strategy=opt_cfg.strategy,
+        )
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.update_fn = jax.jit(
+            make_update_fn(
+                model_cfg,
+                self.optimizer,
+                clip_ratio_low=actor.clip_ratio_low,
+                clip_ratio_high=actor.clip_ratio_high,
+                clip_ratio_dual=actor.clip_ratio_dual,
+                use_kl_loss=self.use_kl_loss,
+                kl_loss_coef=actor.kl_loss_coef,
+                kl_penalty=actor.kl_penalty,
+                entropy_coeff=actor.entropy_coeff,
+                max_grad_norm=actor.max_grad_norm,
+                remat=actor.sharding.remat,
+            )
+        )
+        self.logprob_fn = jax.jit(
+            lambda p, b, v: compute_log_probs(p, model_cfg, b, v, remat=False)[0],
+        )
+        self.generate_fn = jax.jit(
+            generate,
+            static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype"),
+        )
+
+        self.sampling = SamplingParams(
+            temperature=config.worker.rollout.temperature,
+            top_p=config.worker.rollout.top_p,
+            top_k=config.worker.rollout.top_k,
+            n=config.worker.rollout.n,
+        )
+        vo = config.worker.rollout.val_override_config
+        self.val_sampling = self.sampling.override(
+            temperature=vo.temperature, top_p=vo.top_p, top_k=vo.top_k, n=vo.n
+        )
+
+        self.tracker = Tracker(
+            config.trainer.logger, config.trainer.project_name, config.trainer.experiment_name,
+            base_dir=config.trainer.save_checkpoint_path or ".",
+        )
+        self.ckpt = CheckpointManager(
+            config.trainer.save_checkpoint_path, save_limit=config.trainer.save_limit
+        )
+        self.global_step = 0
+        self.rng_key = jax.random.key(config.trainer.seed)
+
+    # ------------------------------------------------------------------ utils
+
+    def _next_key(self):
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        return sub
+
+    def _pack_vision(self, batch: RolloutBatch):
+        return pack_vision_batch(
+            list(batch.non_tensors["patches"]),
+            list(batch.non_tensors["image_grid_thw"]),
+            self.model_cfg.vision,
+        )
+
+    # ------------------------------------------------------------- generation
+
+    def generate_sequences(self, batch: RolloutBatch, sampling: SamplingParams) -> RolloutBatch:
+        """Repeat prompts n times, decode, attach responses + masks + full seqs."""
+        n = sampling.n
+        repeated = batch.repeat(n, interleave=True) if n > 1 else batch
+        vision = self._pack_vision(repeated)
+
+        input_ids = repeated.tensors["input_ids"]
+        segment_ids = repeated.tensors["segment_ids"]
+        position_ids = np.transpose(repeated.tensors["position_ids"], (1, 0, 2))  # (3,B,P)
+        gen_pos_start = repeated.tensors["gen_pos_start"]
+
+        result = self.generate_fn(
+            self.params,
+            self.model_cfg,
+            jnp.asarray(input_ids),
+            jnp.asarray(segment_ids),
+            jnp.asarray(position_ids),
+            jnp.asarray(gen_pos_start),
+            max_new_tokens=self.config.data.max_response_length,
+            sampling=sampling.override(n=1),
+            key=self._next_key(),
+            vision=vision,
+        )
+        responses = np.asarray(result.responses)
+        response_mask = np.asarray(result.response_mask)
+
+        out = RolloutBatch(
+            tensors={
+                **{k: v for k, v in repeated.tensors.items()},
+                "responses": responses,
+                "response_mask": response_mask,
+                "full_input_ids": np.concatenate([input_ids, responses], axis=1),
+                "full_segment_ids": np.concatenate([segment_ids, response_mask], axis=1),
+            },
+            non_tensors=repeated.non_tensors,
+            meta=repeated.meta,
+        )
+        return out
+
+    # -------------------------------------------------------------- log probs
+
+    def _train_batch_views(self, batch: RolloutBatch) -> TrainBatch:
+        """Assemble the device TrainBatch (full positions incl. generated part)."""
+        b, p = batch.tensors["input_ids"].shape
+        r = batch.tensors["responses"].shape[1]
+        pos_prompt = np.transpose(batch.tensors["position_ids"], (1, 0, 2))  # (3, B, P)
+        steps = np.arange(r, dtype=np.int64)[None, :]
+        gen_pos = batch.tensors["gen_pos_start"][:, None] + steps  # (B, R)
+        pos_resp = np.broadcast_to(gen_pos[None], (3, b, r))
+        full_pos = np.concatenate([pos_prompt, pos_resp], axis=2)
+
+        zeros = np.zeros_like(batch.tensors["responses"], dtype=np.float32)
+        return TrainBatch(
+            input_ids=jnp.asarray(batch.tensors["full_input_ids"]),
+            segment_ids=jnp.asarray(batch.tensors["full_segment_ids"]),
+            position_ids=jnp.asarray(full_pos),
+            responses=jnp.asarray(batch.tensors["responses"]),
+            response_mask=jnp.asarray(batch.tensors["response_mask"].astype(np.float32)),
+            old_log_probs=jnp.asarray(batch.tensors.get("old_log_probs", zeros)),
+            ref_log_probs=jnp.asarray(batch.tensors.get("ref_log_probs", zeros)),
+            advantages=jnp.asarray(batch.tensors.get("advantages", zeros)),
+        )
+
+    def compute_log_probs_batched(self, batch: RolloutBatch, params) -> np.ndarray:
+        """Micro-batched old/ref log-prob recompute (no grad)."""
+        micro = self.config.worker.actor.micro_batch_size_per_device_for_experience
+        n_dev = self.mesh.devices.size
+        chunk = max(micro * max(n_dev // self.config.worker.actor.sharding.model_size, 1), 1)
+        outs = []
+        for piece in batch.split(chunk):
+            tb = self._train_batch_views(piece)
+            vision = self._pack_vision(piece)
+            outs.append(np.asarray(self.logprob_fn(params, tb, vision)))
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------- advantages
+
+    def compute_advantages(self, batch: RolloutBatch) -> Tuple[np.ndarray, np.ndarray]:
+        rewards = jnp.asarray(batch.tensors["token_level_rewards"])
+        mask = jnp.asarray(batch.tensors["response_mask"].astype(np.float32))
+        algo = self.config.algorithm
+        if self.adv_estimator == "grpo":
+            uids = batch.non_tensors["uid"]
+            _, gid = np.unique(uids, return_inverse=True)
+            adv, ret = compute_grpo_outcome_advantage(
+                rewards, mask, jnp.asarray(gid.astype(np.int32)), int(gid.max()) + 1
+            )
+        elif self.adv_estimator == "rloo":
+            uids = batch.non_tensors["uid"]
+            _, gid = np.unique(uids, return_inverse=True)
+            adv, ret = compute_rloo_outcome_advantage(
+                rewards, mask, jnp.asarray(gid.astype(np.int32)), int(gid.max()) + 1
+            )
+        elif self.adv_estimator == "reinforce_plus_plus":
+            adv, ret = compute_reinforce_plus_plus_outcome_advantage(rewards, mask, algo.gamma)
+        elif self.adv_estimator == "remax":
+            baselines = jnp.asarray(batch.tensors["reward_baselines"])
+            adv, ret = compute_remax_outcome_advantage(rewards, baselines, mask)
+        elif self.adv_estimator == "gae":
+            values = jnp.asarray(batch.tensors["values"])
+            adv, ret = compute_gae_advantage_return(rewards, values, mask, algo.gamma, algo.lam)
+        else:
+            raise NotImplementedError(f"unknown adv estimator {self.adv_estimator}")
+        return np.asarray(adv), np.asarray(ret)
+
+    # ----------------------------------------------------------------- update
+
+    def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
+        actor_cfg = self.config.worker.actor
+        metrics_acc: Dict[str, List[float]] = defaultdict(list)
+        bs = len(batch)
+        mini_bs = min(actor_cfg.global_batch_size, bs)
+        micro = actor_cfg.micro_batch_size_per_device_for_update
+        n_dev = self.mesh.devices.size
+        micro_global = max(
+            micro * max(n_dev // actor_cfg.sharding.model_size, 1), 1
+        )
+
+        for epoch in range(actor_cfg.ppo_epochs):
+            order = np.random.default_rng(self.global_step * 131 + epoch).permutation(bs)
+            for start in range(0, bs - mini_bs + 1, mini_bs):
+                idx = order[start : start + mini_bs]
+                mini = RolloutBatch(
+                    tensors={k: v[idx] for k, v in batch.tensors.items()},
+                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
+                    meta=dict(batch.meta),
+                )
+                n_micro = max(mini_bs // micro_global, 1)
+                tb = self._train_batch_views(mini)
+
+                def reshape_micro(x):
+                    if x.ndim >= 2 and x.shape[0] == 3:  # (3, B, S)
+                        return (
+                            x.reshape(3, n_micro, x.shape[1] // n_micro, *x.shape[2:])
+                            .transpose(1, 0, 2, 3)
+                        )
+                    return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+
+                micro_batches = TrainBatch(*[reshape_micro(np.asarray(x)) for x in tb])
+                micro_batches = jax.tree.map(jnp.asarray, micro_batches)
+                # one vision pack per micro-batch, common bucket, scanned together
+                from ..data.packing import pack_vision_batch, stack_vision_packs
+
+                pieces = mini.split(mini_bs // n_micro)
+                packs = [
+                    pack_vision_batch(
+                        list(p.non_tensors["patches"]),
+                        list(p.non_tensors["image_grid_thw"]),
+                        self.model_cfg.vision,
+                    )
+                    for p in pieces
+                ]
+                vision = stack_vision_packs(packs, self.model_cfg.vision)
+                if vision is not None:
+                    vision = jax.tree.map(jnp.asarray, vision)
+                self.params, self.opt_state, metrics = self.update_fn(
+                    self.params, self.opt_state, micro_batches, vision
+                )
+                for k, v in metrics.items():
+                    metrics_acc[k].append(float(v))
+        return reduce_metrics(metrics_acc)
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self):
+        cfg = self.config
+        total_steps = cfg.trainer.max_steps if cfg.trainer.max_steps > 0 else (
+            len(self.train_dataloader) * cfg.trainer.total_episodes
+        )
+        self.load_checkpoint()
+
+        if cfg.trainer.val_before_train and self.val_dataloader is not None:
+            val_metrics = self._validate()
+            self.tracker.log(val_metrics, self.global_step)
+            if cfg.trainer.val_only:
+                return
+
+        for episode in range(cfg.trainer.total_episodes):
+            for batch in self.train_dataloader:
+                if self.global_step >= total_steps:
+                    break
+                self.global_step += 1
+                metrics = self.train_step(batch)
+                self.tracker.log(metrics, self.global_step)
+
+                if cfg.trainer.val_freq > 0 and self.global_step % cfg.trainer.val_freq == 0 \
+                        and self.val_dataloader is not None:
+                    self.tracker.log(self._validate(), self.global_step)
+                if cfg.trainer.save_freq > 0 and self.global_step % cfg.trainer.save_freq == 0:
+                    self.save_checkpoint()
+            if self.global_step >= total_steps:
+                break
+
+        # final validation + save (parity with reference end-of-training block)
+        if cfg.trainer.val_freq > 0 and self.val_dataloader is not None:
+            self.tracker.log(self._validate(), self.global_step)
+        if cfg.trainer.save_freq > 0:
+            self.save_checkpoint()
+        self.tracker.finish()
+
+    # ------------------------------------------------------------- train step
+
+    def train_step(self, batch: RolloutBatch) -> Dict[str, float]:
+        timer = Timer()
+        with timer("step"):
+            # uid per prompt BEFORE repeat: grouping survives any reordering
+            batch.non_tensors["uid"] = _obj([str(uuid.uuid4()) for _ in range(len(batch))])
+
+            with timer("gen"):
+                rolled = self.generate_sequences(batch, self.sampling)
+
+            if self.adv_estimator == "remax":
+                with timer("gen_baseline"):
+                    greedy = self.generate_sequences(batch, self.sampling.override(temperature=0.0, n=1))
+                    base_rewards, _ = self.reward_fn(greedy)
+                    baselines = base_rewards.sum(-1)
+                    rolled.tensors["reward_baselines"] = np.repeat(baselines, self.sampling.n, axis=0)
+
+            with timer("reward"):
+                reward_tensor, reward_metrics = self.reward_fn(rolled)
+                rolled.tensors["token_level_scores"] = reward_tensor
+
+            with timer("old"):
+                rolled.tensors["old_log_probs"] = self.compute_log_probs_batched(rolled, self.params)
+
+            if self.use_ref:
+                with timer("ref"):
+                    rolled.tensors["ref_log_probs"] = self.compute_log_probs_batched(
+                        rolled, self.ref_params
+                    )
+
+            with timer("adv"):
+                if self.use_kl_in_reward and self.use_ref:
+                    kld = np.asarray(
+                        compute_kl(
+                            jnp.asarray(rolled.tensors["old_log_probs"]),
+                            jnp.asarray(rolled.tensors["ref_log_probs"]),
+                            self.config.algorithm.kl_penalty,
+                        )
+                    ) * rolled.tensors["response_mask"]
+                    rolled.tensors["token_level_rewards"] = (
+                        rolled.tensors["token_level_scores"] - self.kl_ctrl.kl_coef * kld
+                    )
+                    mean_kl = float(
+                        (kld.sum(-1) / np.maximum(rolled.tensors["response_mask"].sum(-1), 1)).mean()
+                    )
+                    self.kl_ctrl.update(mean_kl, len(rolled))
+                else:
+                    rolled.tensors["token_level_rewards"] = rolled.tensors["token_level_scores"]
+                adv, ret = self.compute_advantages(rolled)
+                rolled.tensors["advantages"] = adv
+                rolled.tensors["returns"] = ret
+
+            with timer("update_actor"):
+                actor_metrics = self.update_actor(rolled)
+
+        num_tokens = int(
+            rolled.tensors["response_mask"].sum() + rolled.tensors["segment_ids"].sum()
+        )
+        metrics = {
+            **{f"reward/{k}": float(np.mean(v)) for k, v in reward_metrics.items()},
+            **compute_data_metrics(
+                token_level_scores=rolled.tensors["token_level_scores"],
+                token_level_rewards=rolled.tensors["token_level_rewards"],
+                advantages=rolled.tensors["advantages"],
+                returns=rolled.tensors["returns"],
+                response_mask=rolled.tensors["response_mask"],
+                prompt_mask=rolled.tensors["segment_ids"],
+                max_response_length=self.config.data.max_response_length,
+                max_prompt_length=self.config.data.max_prompt_length,
+            ),
+            **actor_metrics,
+            **compute_timing_metrics(timer.timing, num_tokens),
+            **compute_throughput_metrics(
+                num_tokens, timer.timing["step"], self.mesh.devices.size
+            ),
+        }
+        return metrics
+
+    # ------------------------------------------------------------- validation
+
+    def _validate(self) -> Dict[str, float]:
+        all_scores: Dict[str, List[float]] = defaultdict(list)
+        samples = []
+        for batch in self.val_dataloader:
+            rolled = self.generate_sequences(batch, self.val_sampling)
+            reward_tensor, metrics = self.val_reward_fn(rolled)
+            for k, v in metrics.items():
+                all_scores[k].extend(v)
+            if len(samples) < self.config.trainer.val_generations_to_log:
+                lengths = rolled.tensors["response_mask"].sum(-1)
+                texts = self.tokenizer.batch_decode(
+                    [rolled.tensors["responses"][i, : lengths[i]] for i in range(min(3, len(rolled)))],
+                    skip_special_tokens=True,
+                )
+                for i, text in enumerate(texts):
+                    samples.append(
+                        (str(rolled.non_tensors["problem"][i]), text,
+                         str(rolled.non_tensors["ground_truth"][i]), float(reward_tensor[i].sum()))
+                    )
+        self.tracker.log_generations(samples, self.global_step)
+        out = {f"val/{k}_reward" if k != "overall" else "val/reward_score": float(np.mean(v))
+               for k, v in all_scores.items()}
+        return out
+
+    # ------------------------------------------------------------ checkpoints
+
+    def save_checkpoint(self):
+        self.ckpt.save(
+            self.global_step,
+            params=self.params,
+            opt_state=self.opt_state,
+            dataloader_state=getattr(self.train_dataloader, "state_dict", lambda: {})(),
+            rng_key=np.asarray(jax.random.key_data(self.rng_key)),
+        )
+
+    def load_checkpoint(self):
+        path = self.config.trainer.load_checkpoint_path
+        if not path:
+            return
+        state = self.ckpt.load(path, params_like=self.params, opt_state_like=self.opt_state)
+        if state is None:
+            return
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.global_step = state["step"]
+        if state.get("dataloader_state") and hasattr(self.train_dataloader, "load_state_dict"):
+            self.train_dataloader.load_state_dict(state["dataloader_state"])
+        if state.get("rng_key") is not None:
+            self.rng_key = jax.random.wrap_key_data(jnp.asarray(state["rng_key"]))
+
+
+def _obj(values):
+    arr = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        arr[i] = v
+    return arr

@@ -148,16 +148,17 @@ def make_update_fn(
 
     def update(params, opt_state, micro_batches: TrainBatch, vision: Optional[VisionInputs] = None):
         """micro_batches: TrainBatch with a leading (n_micro,) dim on each array.
-        Vision inputs are not micro-batched yet (used for text-only update or
-        single shared vision pack)."""
+        `vision`, when present, is a VisionInputs stacked the same way (one
+        pack per micro-batch, common bucket size)."""
 
         grad_fn = jax.value_and_grad(
-            lambda p, mb: actor_loss_fn(p, cfg, mb, vision, **loss_kwargs), has_aux=True
+            lambda p, mb, vis: actor_loss_fn(p, cfg, mb, vis, **loss_kwargs), has_aux=True
         )
 
-        def micro_step(carry, mb):
+        def micro_step(carry, xs):
+            mb, vis = (xs, None) if vision is None else xs
             grad_acc, metric_acc = carry
-            (loss, metrics), grads = grad_fn(params, mb)
+            (loss, metrics), grads = grad_fn(params, mb, vis)
             metrics["actor/loss"] = loss
             grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
             metric_acc = {k: metric_acc[k] + metrics[k] for k in metric_acc}
@@ -178,7 +179,8 @@ def make_update_fn(
         if entropy_coeff != 0.0:
             metric_keys.append("actor/entropy_loss")
         init_metrics = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
-        (grads, metric_sums), _ = jax.lax.scan(micro_step, (zero_grads, init_metrics), micro_batches)
+        xs = micro_batches if vision is None else (micro_batches, vision)
+        (grads, metric_sums), _ = jax.lax.scan(micro_step, (zero_grads, init_metrics), xs)
         grads = jax.tree.map(lambda g: g / n_micro, grads)
         metrics = {k: v / n_micro for k, v in metric_sums.items()}
 
