@@ -62,7 +62,9 @@ def main() -> None:
             params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
             max_new_tokens=r, sampling=sampling, key=k,
         )
-        jax.block_until_ready(out.responses)
+        # NOTE: through the axon relay, block_until_ready returns before the
+        # device finishes; a scalar fetch is the only reliable sync.
+        float(np.asarray(jnp.sum(out.responses.astype(jnp.int32))))
         return out
 
     run(jax.random.key(1))  # compile + warm

@@ -1,0 +1,73 @@
+"""Flash attention kernel semantics vs the XLA reference path (interpret mode
+on CPU; the same kernel compiles for TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialthinker_tpu.ops.attention import make_attention_mask, xla_attention
+from spatialthinker_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(rng, b, s, hq, hkv, d, dtype=np.float32):
+    q = rng.normal(size=(b, s, hq, d)).astype(dtype)
+    k = rng.normal(size=(b, s, hkv, d)).astype(dtype)
+    v = rng.normal(size=(b, s, hkv, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_xla_full_segments(causal):
+    rng = np.random.default_rng(0)
+    b, s, hq, hkv, d = 2, 256, 4, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, hq, hkv, d)
+    seg = jnp.ones((b, s), jnp.int32)
+
+    out_flash = flash_attention(
+        q, k, v, segment_ids=seg, causal=causal, block_q=128, block_k=128
+    )
+    mask = make_attention_mask(seg, seg, causal=causal)
+    out_ref = xla_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_packed_segments_and_padding():
+    rng = np.random.default_rng(1)
+    b, s, hq, hkv, d = 1, 256, 2, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, hq, hkv, d)
+    # two packed sequences + padding tail (segment 0)
+    seg = np.zeros((b, s), dtype=np.int32)
+    seg[0, :100] = 1
+    seg[0, 100:200] = 2
+    seg = jnp.asarray(seg)
+
+    out_flash = flash_attention(q, k, v, segment_ids=seg, causal=True, block_q=128, block_k=128)
+    mask = make_attention_mask(seg, seg, causal=True)
+    out_ref = xla_attention(q, k, v, mask=mask)
+    valid = np.asarray(seg)[0] != 0
+    np.testing.assert_allclose(
+        np.asarray(out_flash)[0, valid], np.asarray(out_ref)[0, valid], rtol=2e-3, atol=2e-3
+    )
+    # padding rows emit zeros (fully masked)
+    np.testing.assert_allclose(np.asarray(out_flash)[0, ~valid], 0.0, atol=1e-6)
+
+
+def test_flash_gradients_flow():
+    rng = np.random.default_rng(2)
+    b, s, hq, hkv, d = 1, 128, 2, 1, 64
+    q, k, v = _rand_qkv(rng, b, s, hq, hkv, d)
+    seg = jnp.ones((b, s), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, segment_ids=seg, causal=True, block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        mask = make_attention_mask(seg, seg, causal=True)
+        return jnp.sum(xla_attention(q, k, v, mask=mask) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
