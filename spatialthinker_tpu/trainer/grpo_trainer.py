@@ -39,6 +39,8 @@ from ..parallel.sharding import shard_params
 from ..rewards.manager import RewardManager
 from ..rollout.engine import generate
 from ..rollout.sampling import SamplingParams
+from ..utils.flops_counter import FlopsCounter, compute_mfu
+from ..utils.seqlen_balancing import balance_order
 from .checkpoint import CheckpointManager
 from .metrics import (
     Timer,
@@ -139,6 +141,7 @@ class GRPOTrainer:
         )
         self.global_step = 0
         self.rng_key = jax.random.key(config.trainer.seed)
+        self.flops_counter = FlopsCounter(model_cfg)
 
     # ------------------------------------------------------------------ utils
 
@@ -377,6 +380,18 @@ class GRPOTrainer:
                 reward_tensor, reward_metrics = self.reward_fn(rolled)
                 rolled.tensors["token_level_scores"] = reward_tensor
 
+            with timer("balance"):
+                # Karmarkar-Karp token-load balance across micro-batch slots
+                # (grouping correctness survives reorder via uid keys)
+                seqlens = (
+                    rolled.tensors["full_segment_ids"].sum(-1).astype(np.int64).tolist()
+                )
+                micro = self.config.worker.actor.micro_batch_size_per_device_for_update
+                n_slots = max(len(rolled) // max(micro, 1), 1)
+                if n_slots > 1 and len(rolled) % n_slots == 0:
+                    order = np.asarray(balance_order(seqlens, n_slots))
+                    rolled.reorder(order)
+
             with timer("old"):
                 rolled.tensors["old_log_probs"] = self.compute_log_probs_batched(rolled, self.params)
 
@@ -414,7 +429,13 @@ class GRPOTrainer:
         num_tokens = int(
             rolled.tensors["response_mask"].sum() + rolled.tensors["segment_ids"].sum()
         )
+        seqlens_all = rolled.tensors["full_segment_ids"].sum(-1).astype(np.int64).tolist()
+        mfu = compute_mfu(
+            self.flops_counter, seqlens_all, timer.timing["update_actor"],
+            self.mesh.devices.size, self.config.worker.actor.ppo_epochs,
+        )
         metrics = {
+            "perf/mfu_actor": mfu,
             **{f"reward/{k}": float(np.mean(v)) for k, v in reward_metrics.items()},
             **compute_data_metrics(
                 token_level_scores=rolled.tensors["token_level_scores"],
