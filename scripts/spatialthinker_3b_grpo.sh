@@ -1,0 +1,28 @@
+#!/bin/bash
+# SpatialThinker-3B GRPO with the dense multi-objective spatial reward.
+# Public-surface parity with the reference's scripts/spatialthinker_3b_grpo.sh.
+set -x
+
+MODEL_PATH=${MODEL_PATH:-Qwen/Qwen2.5-VL-3B-Instruct}
+
+python3 -m spatialthinker_tpu.trainer.main \
+    config=scripts/config.yaml \
+    data.train_files=hunarbatra/STVQA-7K@train \
+    data.val_files=hunarbatra/STVQA-7K@val \
+    data.rollout_batch_size=512 \
+    worker.actor.model.model_path=${MODEL_PATH} \
+    worker.reward.score_function=spatial_sgg \
+    worker.rollout.n=8 \
+    worker.actor.global_batch_size=128 \
+    worker.actor.micro_batch_size_per_device_for_update=4 \
+    worker.actor.micro_batch_size_per_device_for_experience=16 \
+    algorithm.use_kl_loss=true \
+    algorithm.kl_penalty=low_var_kl \
+    algorithm.kl_coef=1.0e-2 \
+    trainer.total_episodes=75 \
+    trainer.experiment_name=spatialthinker_3b_grpo \
+    trainer.n_chips=4 \
+    data.max_prompt_length=6144 \
+    data.max_response_length=2048 \
+    worker.rollout.max_num_batched_tokens=8192 \
+    "$@"

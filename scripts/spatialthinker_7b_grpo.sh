@@ -1,0 +1,23 @@
+#!/bin/bash
+# SpatialThinker-7B GRPO (dense spatial reward), FSDP-sharded over the mesh.
+set -x
+
+MODEL_PATH=${MODEL_PATH:-Qwen/Qwen2.5-VL-7B-Instruct}
+
+python3 -m spatialthinker_tpu.trainer.main \
+    config=scripts/config.yaml \
+    data.train_files=hunarbatra/STVQA-7K@train \
+    data.val_files=hunarbatra/STVQA-7K@val \
+    worker.actor.model.model_path=${MODEL_PATH} \
+    worker.reward.score_function=spatial_sgg \
+    worker.rollout.n=8 \
+    worker.actor.sharding.fsdp_size=-1 \
+    worker.actor.sharding.model_size=1 \
+    algorithm.use_kl_loss=true \
+    algorithm.kl_penalty=low_var_kl \
+    algorithm.kl_coef=1.0e-2 \
+    trainer.total_episodes=75 \
+    trainer.experiment_name=spatialthinker_7b_grpo \
+    data.max_prompt_length=6144 \
+    data.max_response_length=2048 \
+    "$@"

@@ -1,0 +1,142 @@
+"""Eval harness tests: registry coverage, templates, answer extraction/judging,
+metrics, and a full harness run against a fake provider + in-memory dataset."""
+
+import json
+
+import numpy as np
+import pytest
+
+from spatialthinker_tpu.eval.extraction import (
+    judge_answer,
+    repair_answer_tags,
+    strip_option_prefix,
+    to_option_letter,
+)
+from spatialthinker_tpu.eval.metrics import (
+    accuracy_with_stderr,
+    per_task_accuracy,
+    summarize,
+    view_consistency,
+)
+from spatialthinker_tpu.eval.registry import REGISTRY, get_dataset_spec
+from spatialthinker_tpu.eval.templates import SPATIAL_THINKER_TEMPLATE, format_instruction
+
+
+def test_registry_has_all_reference_benchmarks():
+    expected = {
+        "mathvista", "mathverse", "mathvision", "sftseed", "hallusionbench",
+        "emma-math", "emma-chem", "emma-code", "emma-physics", "mmmu-pro-vision",
+        "cv-bench", "cv-bench-2D", "cv-bench-3D", "3dsrbench", "3dsrbench_full",
+        "blink-spatial", "blink-depth", "blink-object", "blink-counting",
+        "blink-multi-view", "blink-jigsaw", "realworld_qa", "spatialbench",
+        "mmvp", "lego", "mathvista_mcq", "mathverse_vision_mcq", "mmmu_pro",
+        "mmmu_pro_vision_only", "spatialreasoner", "robospatial",
+        "robospatial_rgb", "stvqa",
+    }
+    assert expected.issubset(set(REGISTRY))
+    spec = get_dataset_spec("cv-bench")
+    assert spec.tasks == {"Count": 788, "Relation": 650, "Distance": 600, "Depth": 600}
+    assert get_dataset_spec("blink-jigsaw").image_field == ["image_1", "image_2", "image_3"]
+    with pytest.raises(KeyError):
+        get_dataset_spec("nope")
+
+
+def test_templates():
+    out = format_instruction("Where is the cat?", template="reasoning")
+    assert out.startswith("You FIRST think") and "Where is the cat?" in out
+    out = format_instruction(
+        "Which is closer?", options=["table", "chair"], template="default"
+    )
+    assert "(A) table" in out and "(B) chair" in out
+    out = format_instruction("Q?", image_size=(640, 480), template="spatial_thinker")
+    assert "<observe>" in out and "(640 x 480)" in out
+    assert "Image size" in SPATIAL_THINKER_TEMPLATE
+
+
+def test_repair_answer_tags():
+    assert repair_answer_tags("<think>x</think><answer> (A) cat </answer>") == "(A) cat"
+    assert repair_answer_tags("blah Answer: 42") == "42"
+    assert repair_answer_tags("no tags at all") == "no tags at all"
+    assert repair_answer_tags("partial (B) dog</answer>") == "partial (B) dog"
+    assert repair_answer_tags("<answer>unclosed tail") == "unclosed tail"
+
+
+def test_option_letter_mapping():
+    choices = ["red apple", "green pear", "blue berry"]
+    assert to_option_letter("(B) green pear", choices) == "B"
+    assert to_option_letter("green pear", choices) == "B"
+    assert to_option_letter("The answer is (C).", choices) == "C"
+    assert strip_option_prefix("(A) cat") == "cat"
+    assert strip_option_prefix("B) dog") == "dog"
+
+
+def test_judge_answer_mcq():
+    ok, pred, gt = judge_answer(
+        "<answer>(A) 3 objects</answer>", "(A)", choices=["3 objects", "4 objects"]
+    )
+    assert ok and pred == "A" and gt == "A"
+    ok, _, _ = judge_answer("<answer>4 objects</answer>", "(A)", choices=["3 objects", "4 objects"])
+    assert not ok
+
+
+def test_judge_answer_hallusion_yes_no():
+    ok, pred, gt = judge_answer("<answer>Yes</answer>", "1", yes_no_numeric=True)
+    assert ok and pred == "A" and gt == "A"
+    ok, _, _ = judge_answer("<answer>No</answer>", "1", yes_no_numeric=True)
+    assert not ok
+
+
+def test_judge_answer_freeform_math():
+    ok, _, _ = judge_answer("<answer>0.5</answer>", "1/2", strip_gt_braces=False)
+    assert ok
+
+
+def test_metrics():
+    acc, err = accuracy_with_stderr(75, 100)
+    assert acc == 0.75 and err == pytest.approx(np.sqrt(0.75 * 0.25 / 100))
+    records = [
+        {"correct": 1, "task": "Count"},
+        {"correct": 0, "task": "Count"},
+        {"correct": 1, "task": "Depth"},
+    ]
+    per = per_task_accuracy(records)
+    assert per["Count"][0] == 0.5 and per["Depth"][0] == 1.0
+
+
+def test_view_consistency_pairs():
+    records = [{"correct": 1}, {"correct": 1}, {"correct": 1}, {"correct": 0}]
+    vc, _ = view_consistency(records)
+    assert vc == 0.5  # first pair consistent, second not
+
+
+def test_harness_end_to_end(tmp_path, monkeypatch):
+    from spatialthinker_tpu.eval import harness
+    from spatialthinker_tpu.eval.harness import EvalConfig, run_evaluation
+
+    rows = [
+        {"instruction": f"q{i}", "images": [], "response": "(A)",
+         "choices": ["yes", "no"], "options": None, "task": "Count" if i % 2 else "Depth"}
+        for i in range(6)
+    ]
+    monkeypatch.setattr(harness, "load_benchmark", lambda spec, n=-1: rows)
+
+    class FakeProvider:
+        def generate(self, prompts, images):
+            # answer correctly for even-indexed calls
+            return [f"<think>t</think><answer>{'yes' if 'q0' in p or 'q2' in p or 'q4' in p else 'no'}</answer>" for p in prompts]
+
+    out_file = str(tmp_path / "out.json")
+    summary = run_evaluation(
+        FakeProvider(), EvalConfig(dataset="cv-bench", template="reasoning",
+                                   batch_size=3, output_file=out_file),
+    )
+    assert summary["n"] == 6
+    assert summary["accuracy"] == pytest.approx(0.5)
+    data = json.load(open(out_file))
+    assert len(data["records"]) == 6
+    # resume: running again with everything done adds nothing
+    summary2 = run_evaluation(
+        FakeProvider(), EvalConfig(dataset="cv-bench", template="reasoning",
+                                   batch_size=3, output_file=out_file),
+    )
+    assert summary2["n"] == 6
