@@ -116,6 +116,34 @@ class GRPOTrainer:
         self.logprob_fn = jax.jit(
             lambda p, b, v: compute_log_probs(p, model_cfg, b, v, remat=False)[0],
         )
+
+        # ---- critic (GAE only) -------------------------------------------
+        self.use_critic = self.adv_estimator == "gae"
+        if self.use_critic:
+            from .critic import compute_values, init_critic_params, make_critic_update_fn
+
+            critic_cfg = config.worker.critic
+            self.critic_params = shard_params(
+                self.mesh,
+                init_critic_params(model_cfg, jax.random.key(config.trainer.seed + 1)),
+            )
+            self.critic_optimizer = make_optimizer(
+                critic_cfg.optim.lr,
+                weight_decay=critic_cfg.optim.weight_decay,
+                strategy=critic_cfg.optim.strategy,
+            )
+            self.critic_opt_state = self.critic_optimizer.init(self.critic_params)
+            self.critic_update_fn = jax.jit(
+                make_critic_update_fn(
+                    model_cfg, self.critic_optimizer,
+                    cliprange_value=critic_cfg.cliprange_value,
+                    max_grad_norm=critic_cfg.max_grad_norm,
+                    remat=critic_cfg.sharding.remat,
+                )
+            )
+            self.values_fn = jax.jit(
+                lambda p, b, v: compute_values(p, model_cfg, b, v, remat=False)
+            )
         self.generate_fn = jax.jit(
             generate,
             static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype"),
@@ -320,6 +348,64 @@ class GRPOTrainer:
                     metrics_acc[k].append(float(v))
         return reduce_metrics(metrics_acc)
 
+    def update_critic(self, batch: RolloutBatch) -> Dict[str, float]:
+        from .critic import CriticBatch
+
+        critic_cfg = self.config.worker.critic
+        metrics_acc: Dict[str, List[float]] = defaultdict(list)
+        bs = len(batch)
+        mini_bs = min(critic_cfg.global_batch_size, bs)
+        micro = critic_cfg.micro_batch_size_per_device_for_update
+        n_dev = self.mesh.devices.size
+        micro_global = max(micro * max(n_dev // critic_cfg.sharding.model_size, 1), 1)
+
+        from ..data.packing import pack_vision_batch, stack_vision_packs
+
+        for epoch in range(critic_cfg.ppo_epochs):
+            order = np.random.default_rng(self.global_step * 173 + epoch).permutation(bs)
+            for start in range(0, bs - mini_bs + 1, mini_bs):
+                idx = order[start : start + mini_bs]
+                mini = RolloutBatch(
+                    tensors={k: v[idx] for k, v in batch.tensors.items()},
+                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
+                    meta=dict(batch.meta),
+                )
+                n_micro = max(mini_bs // micro_global, 1)
+                tb = self._train_batch_views(mini)
+
+                def reshape_micro(x):
+                    if x.ndim >= 2 and x.shape[0] == 3:
+                        return (
+                            x.reshape(3, n_micro, x.shape[1] // n_micro, *x.shape[2:])
+                            .transpose(1, 0, 2, 3)
+                        )
+                    return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+
+                micro_tb = TrainBatch(*[reshape_micro(np.asarray(x)) for x in tb])
+                cb = CriticBatch(
+                    train=jax.tree.map(jnp.asarray, micro_tb),
+                    values=jnp.asarray(reshape_micro(mini.tensors["values"])),
+                    returns=jnp.asarray(reshape_micro(mini.tensors["returns"])),
+                )
+                pieces = mini.split(mini_bs // n_micro)
+                packs = [
+                    pack_vision_batch(
+                        list(p.non_tensors["patches"]),
+                        list(p.non_tensors["image_grid_thw"]),
+                        self.model_cfg.vision,
+                    )
+                    for p in pieces
+                ]
+                vision = stack_vision_packs(packs, self.model_cfg.vision)
+                if vision is not None:
+                    vision = jax.tree.map(jnp.asarray, vision)
+                self.critic_params, self.critic_opt_state, metrics = self.critic_update_fn(
+                    self.critic_params, self.critic_opt_state, cb, vision
+                )
+                for k, v in metrics.items():
+                    metrics_acc[k].append(float(v))
+        return reduce_metrics(metrics_acc)
+
     # ------------------------------------------------------------------- fit
 
     def fit(self):
@@ -401,6 +487,15 @@ class GRPOTrainer:
                         rolled, self.ref_params
                     )
 
+            if self.use_critic:
+                with timer("values"):
+                    vals = []
+                    micro = self.config.worker.critic.micro_batch_size_per_device_for_experience
+                    for piece in rolled.split(max(micro, 1)):
+                        tb = self._train_batch_views(piece)
+                        vals.append(np.asarray(self.values_fn(self.critic_params, tb, self._pack_vision(piece))))
+                    rolled.tensors["values"] = np.concatenate(vals, axis=0)
+
             with timer("adv"):
                 if self.use_kl_in_reward and self.use_ref:
                     kld = np.asarray(
@@ -423,8 +518,18 @@ class GRPOTrainer:
                 rolled.tensors["advantages"] = adv
                 rolled.tensors["returns"] = ret
 
-            with timer("update_actor"):
-                actor_metrics = self.update_actor(rolled)
+            critic_metrics = {}
+            if self.use_critic:
+                with timer("update_critic"):
+                    critic_metrics = self.update_critic(rolled)
+
+            critic_warmup = self.config.trainer.critic_warmup
+            if self.use_critic and critic_warmup > 0 and self.global_step <= critic_warmup:
+                actor_metrics = {}  # critic warmup: skip policy updates
+                timer.timing["update_actor"] = 1e-9
+            else:
+                with timer("update_actor"):
+                    actor_metrics = self.update_actor(rolled)
 
         num_tokens = int(
             rolled.tensors["response_mask"].sum() + rolled.tensors["segment_ids"].sum()
@@ -446,8 +551,10 @@ class GRPOTrainer:
                 prompt_mask=rolled.tensors["segment_ids"],
                 max_response_length=self.config.data.max_response_length,
                 max_prompt_length=self.config.data.max_prompt_length,
+                values=rolled.tensors.get("values"),
             ),
             **actor_metrics,
+            **critic_metrics,
             **compute_timing_metrics(timer.timing, num_tokens),
             **compute_throughput_metrics(
                 num_tokens, timer.timing["step"], self.mesh.devices.size

@@ -112,3 +112,13 @@ def test_grpo_with_kl_disabled_and_rloo(tmp_path):
     metrics = trainer.train_step(batch)
     assert np.isfinite(metrics["actor/pg_loss"])
     assert "actor/kl_loss" not in metrics
+
+
+def test_gae_with_critic(tmp_path):
+    trainer, _ = build_trainer(tmp_path, adv="gae")
+    assert trainer.use_critic
+    batch = next(iter(trainer.train_dataloader))
+    metrics = trainer.train_step(batch)
+    assert np.isfinite(metrics["critic/vf_loss"])
+    assert np.isfinite(metrics["critic/values/mean"])
+    assert np.isfinite(metrics["actor/pg_loss"])
