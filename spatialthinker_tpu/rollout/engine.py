@@ -141,15 +141,30 @@ def generate(
         prompt_len=p, sampling=sampling, eos_id=cfg.eos_token_id, pad_id=cfg.pad_token_id,
     )
 
-    def scan_body(state, _):
-        return step_fn(state)
+    # while_loop (not scan) so generation stops as soon as every sequence hit
+    # EOS — rollouts usually finish well before max_new_tokens, and the saved
+    # steps are pure profit (vLLM gets this from continuous batching).
+    tokens_buf = jnp.full((b, max_new_tokens - 1), cfg.pad_token_id, jnp.int32)
+    logps_buf = jnp.zeros((b, max_new_tokens - 1), jnp.float32)
 
-    state, (tokens_rest, logps_rest) = jax.lax.scan(
-        scan_body, state, None, length=max_new_tokens - 1
-    )
+    def cond(carry):
+        state, _, _ = carry
+        return (state.step < max_new_tokens - 1) & ~jnp.all(state.finished)
 
-    responses = jnp.concatenate([first_token[:, None], tokens_rest.T], axis=1)
-    logps = jnp.concatenate([first_logp[:, None], logps_rest.T], axis=1)
+    def body(carry):
+        state, tokens_buf, logps_buf = carry
+        new_state, (next_tokens, token_logp) = step_fn(state)
+        tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, next_tokens[:, None], (0, state.step))
+        logps_buf = jax.lax.dynamic_update_slice(logps_buf, token_logp[:, None], (0, state.step))
+        return new_state, tokens_buf, logps_buf
+
+    if max_new_tokens > 1:
+        state, tokens_buf, logps_buf = jax.lax.while_loop(
+            cond, body, (state, tokens_buf, logps_buf)
+        )
+
+    responses = jnp.concatenate([first_token[:, None], tokens_buf], axis=1)
+    logps = jnp.concatenate([first_logp[:, None], logps_buf], axis=1)
     mask = get_response_mask(responses, cfg.eos_token_id)
     responses = jnp.where(mask == 1, responses, cfg.pad_token_id)
     return RolloutResult(responses=responses, response_mask=mask, rollout_log_probs=logps * mask)

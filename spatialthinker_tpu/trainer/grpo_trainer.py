@@ -539,8 +539,11 @@ class GRPOTrainer:
             self.flops_counter, seqlens_all, timer.timing["update_actor"],
             self.mesh.devices.size, self.config.worker.actor.ppo_epochs,
         )
+        from ..utils.profiling import device_memory_metrics
+
         metrics = {
             "perf/mfu_actor": mfu,
+            **device_memory_metrics(),
             **{f"reward/{k}": float(np.mean(v)) for k, v in reward_metrics.items()},
             **compute_data_metrics(
                 token_level_scores=rolled.tensors["token_level_scores"],
