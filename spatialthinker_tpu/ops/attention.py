@@ -77,9 +77,17 @@ def xla_attention(
     # scores: (B, Hkv, G, Sq, Skv)
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
     scores = scores * scale
+    probs_mask = None
     if mask is not None:
-        scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        m = mask[:, :, None, :, :]
+        scores = jnp.where(m, scores, NEG_INF)
+        probs_mask = m
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if probs_mask is not None:
+        # fully-masked (padding) rows would softmax to uniform; zero them so
+        # they emit zeros and contribute no gradient (flash-kernel semantics)
+        probs = probs * probs_mask
+    probs = probs.astype(q.dtype)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
     return out.reshape(b, sq, hq, d)
 

@@ -1,21 +1,21 @@
-"""Pallas TPU flash attention (forward): online-softmax tiled attention with
-causal + segment-id masking and GQA, replacing the reference's flash-attn CUDA
-kernels (/root/reference/verl/models/transformers/flash_attention_utils.py).
+"""Pallas TPU flash attention (forward + backward): online-softmax tiled
+attention with causal + segment-id masking and GQA, replacing the reference's
+flash-attn CUDA kernels (/root/reference/verl/models/transformers/flash_attention_utils.py).
 
 Design (TPU-first):
-- grid (batch, q_heads, num_q_blocks); each program streams kv blocks with a
-  fori_loop, keeping the running max/denominator/accumulator in VMEM scratch.
+- forward: grid (batch, q_heads, num_q_blocks); each program streams kv blocks
+  with a fori_loop, keeping the running max/denominator/accumulator in VMEM
+  scratch, and writes the per-row logsumexp L for the backward pass.
+- backward: the standard two-kernel split —
+    * dQ kernel: grid (batch, q_heads, num_q_blocks), streams kv blocks;
+    * dKV kernel: grid (batch, q_heads, num_kv_blocks), streams q blocks
+      (causal programs skip q blocks strictly below the diagonal);
+  GQA gradients are produced per query head and reduced to kv heads outside
+  the kernel (one reshape-sum, no atomics).
 - segment ids give packed-sequence (varlen) semantics with static shapes —
   the TPU-native replacement for cu_seqlens.
-- causal programs skip kv blocks strictly above the diagonal by bounding the
-  fori_loop trip count (no wasted MXU work on masked tiles).
-- GQA: kv blocks are indexed by query_head // group, no repeat_kv copy.
-
-Gradients: the op defines a custom VJP whose backward recomputes attention
-with the XLA path (exact same math) — flash speeds up all no-grad forwards
-(rollout prefill, old/ref log-probs) today; a Pallas backward kernel is the
-planned upgrade for the update pass (which currently picks the XLA path under
-remat anyway).
+- rows that are fully masked (padding, segment id 0) produce exact zeros in
+  the output and in every gradient.
 """
 
 from __future__ import annotations
@@ -33,13 +33,23 @@ DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
-def _flash_fwd_kernel(
-    q_seg_ref,    # (1, block_q) int32
-    kv_seg_ref,   # (1, Skv) int32
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_seg_ref,    # (1, block_q) SMEM
+    kv_seg_ref,   # (1, Skv) SMEM
     q_ref,        # (block_q, D)
     k_ref,        # (Skv, D)
     v_ref,        # (Skv, D)
     o_ref,        # (block_q, D)
+    lse_ref,      # (1, block_q) — logsumexp per query row
     m_scratch,    # (block_q, 128) fp32
     l_scratch,    # (block_q, 128) fp32
     acc_scratch,  # (block_q, D) fp32
@@ -54,8 +64,6 @@ def _flash_fwd_kernel(
     num_kv_blocks = skv // block_k
 
     if causal:
-        # highest kv position any query in this block can see:
-        # q_pos_max = (q_blk+1)*block_q - 1
         last_kv_block = jnp.minimum(
             num_kv_blocks, ((q_blk + 1) * block_q + block_k - 1) // block_k
         )
@@ -67,18 +75,17 @@ def _flash_fwd_kernel(
     acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     q = q_ref[...].astype(jnp.float32) * scale
-    q_seg = q_seg_ref[0, :]  # (block_q,)
+    q_seg = q_seg_ref[0, :]
     q_pos = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     def body(kv_blk, _):
         k = k_ref[pl.ds(kv_blk * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[pl.ds(kv_blk * block_k, block_k), :]
-        kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]  # (block_k,)
+        kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
-
+        )
         mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
         if causal:
             kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(
@@ -87,14 +94,13 @@ def _flash_fwd_kernel(
             mask = mask & (kv_pos <= q_pos)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scratch[:, 0:1]  # (block_q, 1)
+        m_prev = m_scratch[:, 0:1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-
-        # mask p explicitly: a fully-masked row has m_new == NEG_INF and would
-        # otherwise produce exp(0) == 1 for every entry
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # (block_q, block_k)
-        correction = jnp.exp(m_prev - m_new)  # (block_q, 1)
+        # fully-masked rows keep m == NEG_INF; exp(s - m) would be exp(0)=1,
+        # so mask p explicitly
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        correction = jnp.exp(m_prev - m_new)
 
         l_prev = l_scratch[:, 0:1]
         l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
@@ -109,34 +115,29 @@ def _flash_fwd_kernel(
 
     jax.lax.fori_loop(0, last_kv_block, body, ())
 
+    m = m_scratch[:, 0:1]
     l = l_scratch[:, 0:1]
-    # fully-masked rows (padding) produce l == 0; emit zeros for them
     safe_l = jnp.where(l == 0.0, 1.0, l)
     o_ref[...] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
-)
-def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
-    return _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
+    # rows with l == 0 are fully masked; park their lse at NEG_INF so the
+    # backward p = exp(s - lse) underflows to 0 there as well
+    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(safe_l))
+    lse_ref[0, :] = lse[:, 0]
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     groups = hq // hkv
-
     grid = (b, hq, sq // block_q)
 
     kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
+        _fwd_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
     )
-
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        interpret=jax.default_backend() != "tpu",  # CPU tests validate semantics
+        interpret=_interpret(),
         in_specs=[
             pl.BlockSpec((1, block_q), lambda b_, h, iq: (b_, iq), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, skv), lambda b_, h, iq: (b_, 0), memory_space=pltpu.SMEM),
@@ -144,35 +145,227 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
             pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
             pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, hq, 1, sq), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q_seg, kv_seg, q, k, v)
+    return out, lse.reshape(b, hq, sq)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_seg_ref, kv_seg_ref,           # SMEM
+    q_ref, k_ref, v_ref,             # (block_q, D), (Skv, D), (Skv, D)
+    do_ref,                          # (block_q, D)
+    lse_ref,                         # (1, block_q)
+    delta_ref,                       # (1, block_q) — rowsum(dO * O)
+    dq_ref,                          # (block_q, D)
+    dq_scratch,                      # (block_q, D) fp32
+    *,
+    scale: float,
+    block_k: int,
+    causal: bool,
+    block_q: int,
+):
+    q_blk = pl.program_id(2)
+    skv = k_ref.shape[0]
+    num_kv_blocks = skv // block_k
+    last_kv_block = (
+        jnp.minimum(num_kv_blocks, ((q_blk + 1) * block_q + block_k - 1) // block_k)
+        if causal
+        else num_kv_blocks
+    )
+
+    dq_scratch[...] = jnp.zeros_like(dq_scratch)
+    q = q_ref[...].astype(jnp.float32) * scale
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[0, :][:, None]
+    delta = delta_ref[0, :][:, None]
+    q_seg = q_seg_ref[0, :]
+    q_pos = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(kv_blk, _):
+        k = k_ref[pl.ds(kv_blk * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(kv_blk * block_k, block_k), :].astype(jnp.float32)
+        kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
+        if causal:
+            kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = mask & (kv_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_scratch[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return ()
+
+    jax.lax.fori_loop(0, last_kv_block, body, ())
+    dq_ref[...] = (dq_scratch[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_seg_ref, kv_seg_ref,
+    q_ref,                           # (Sq, D) — full q for this head
+    k_ref, v_ref,                    # (block_k, D)
+    do_ref,                          # (Sq, D)
+    lse_ref,                         # (1, Sq)
+    delta_ref,                       # (1, Sq)
+    dk_ref, dv_ref,                  # (block_k, D)
+    dk_scratch, dv_scratch,          # fp32
+    *,
+    scale: float,
+    block_q: int,
+    causal: bool,
+    block_k: int,
+):
+    kv_blk = pl.program_id(2)
+    sq = q_ref.shape[0]
+    num_q_blocks = sq // block_q
+    first_q_block = (kv_blk * block_k) // block_q if causal else 0
+
+    dk_scratch[...] = jnp.zeros_like(dk_scratch)
+    dv_scratch[...] = jnp.zeros_like(dv_scratch)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
+    kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def body(q_blk, _):
+        q = q_ref[pl.ds(q_blk * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[pl.ds(q_blk * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(q_blk * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(q_blk * block_q, block_q)][:, None]
+        q_seg = q_seg_ref[0, pl.ds(q_blk * block_q, block_q)]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
+        if causal:
+            q_pos = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = mask & (kv_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_scratch[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return ()
+
+    jax.lax.fori_loop(first_q_block, num_q_blocks, body, ())
+    # dk gets the scale folded back (q was pre-scaled)
+    dk_ref[...] = dk_scratch[...].astype(dk_ref.dtype)
+    dv_ref[...] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, block_k):
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    groups = hq // hkv
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, Sq, Hq)
+    delta = delta.transpose(0, 2, 1).reshape(b, hq, 1, sq)
+    lse_in = lse.reshape(b, hq, 1, sq)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, hq, sq // block_q),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b_, h, iq: (b_, iq), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, skv), lambda b_, h, iq: (b_, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
+            pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
+            pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
+            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(q_seg, kv_seg, q, k, v, g, lse_in, delta)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, block_q=block_q, causal=causal, block_k=block_k
+    )
+    dk_per_head, dv_per_head = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, hq, skv // block_k),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, sq), lambda b_, h, ik: (b_, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, skv), lambda b_, h, ik: (b_, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, sq, None, d), lambda b_, h, ik: (b_, 0, h, 0)),
+            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h // groups, 0)),
+            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h // groups, 0)),
+            pl.BlockSpec((None, sq, None, d), lambda b_, h, ik: (b_, 0, h, 0)),
+            pl.BlockSpec((None, None, 1, sq), lambda b_, h, ik: (b_, h, 0, 0)),
+            pl.BlockSpec((None, None, 1, sq), lambda b_, h, ik: (b_, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h, 0)),
+            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, skv, hq, d), k.dtype),
+            jax.ShapeDtypeStruct((b, skv, hq, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(q_seg, kv_seg, q, k, v, g, lse_in, delta)
+
+    # reduce query-head gradients onto kv heads (GQA)
+    dk = dk_per_head.reshape(b, skv, hkv, groups, d).sum(axis=3).astype(k.dtype)
+    dv = dv_per_head.reshape(b, skv, hkv, groups, d).sum(axis=3).astype(v.dtype)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing + public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
     return out
 
 
-def _xla_reference(q, k, v, q_seg, kv_seg, causal, scale):
-    from .attention import make_attention_mask, xla_attention
-
-    mask = make_attention_mask(q_seg, kv_seg, causal=causal)
-    return xla_attention(q, k, v, mask=mask, scale=scale)
-
-
 def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
-    out = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
-    return out, (q, k, v, q_seg, kv_seg)
+    out, lse = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
+    return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
 def _core_bwd(causal, scale, block_q, block_k, residuals, g):
-    q, k, v, q_seg, kv_seg = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(q_, k_, v_, q_seg, kv_seg, causal, scale), q, k, v
+    q, k, v, q_seg, kv_seg, out, lse = residuals
+    dq, dk, dv = _flash_bwd(
+        q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, block_k
     )
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
 
 

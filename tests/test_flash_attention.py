@@ -71,3 +71,59 @@ def test_flash_gradients_flow():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_backward_gqa_multiblock():
+    """GQA (4 q-heads, 2 kv-heads) across multiple q/kv blocks; grads must
+    match the XLA reference including the head-group reduction."""
+    rng = np.random.default_rng(3)
+    b, s, hq, hkv, d = 2, 256, 4, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, s, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)).astype(np.float32))
+    seg = jnp.ones((b, s), jnp.int32)
+    tangent = jnp.asarray(rng.normal(size=(b, s, hq, d)).astype(np.float32))
+
+    def f_flash(q, k, v):
+        return flash_attention(q, k, v, segment_ids=seg, causal=True, block_q=128, block_k=128)
+
+    def f_ref(q, k, v):
+        mask = make_attention_mask(seg, seg, causal=True)
+        return xla_attention(q, k, v, mask=mask)
+
+    _, vjp_flash = jax.vjp(f_flash, q, k, v)
+    _, vjp_ref = jax.vjp(f_ref, q, k, v)
+    for a, b_ in zip(vjp_flash(tangent), vjp_ref(tangent)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3)
+
+
+def test_flash_backward_packed_segments():
+    rng = np.random.default_rng(4)
+    b, s, h, d = 1, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    seg_np = np.zeros((b, s), dtype=np.int32)
+    seg_np[0, :96] = 1
+    seg_np[0, 96:192] = 2
+    seg = jnp.asarray(seg_np)
+    tangent = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+
+    def f_flash(q, k, v):
+        return flash_attention(q, k, v, segment_ids=seg, causal=True, block_q=128, block_k=128)
+
+    def f_ref(q, k, v):
+        mask = make_attention_mask(seg, seg, causal=True)
+        return xla_attention(q, k, v, mask=mask)
+
+    _, vjp_flash = jax.vjp(f_flash, q, k, v)
+    _, vjp_ref = jax.vjp(f_ref, q, k, v)
+    grads_flash = vjp_flash(tangent)
+    grads_ref = vjp_ref(tangent)
+    valid = seg_np[0] != 0
+    for a, b_ in zip(grads_flash, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a)[0, valid], np.asarray(b_)[0, valid], rtol=5e-3, atol=5e-3
+        )
+        # padding rows get zero gradients
+        np.testing.assert_allclose(np.asarray(a)[0, ~valid], 0.0, atol=1e-5)
