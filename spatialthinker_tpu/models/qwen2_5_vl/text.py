@@ -90,16 +90,24 @@ def _layer(
         v_all = jax.lax.dynamic_update_slice(
             cache_kv[1], v.astype(cache_dtype), (0, cache_length, 0, 0)
         )
-        if kv_segment_ids is None:
-            kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
-            kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+        if s > 1:
+            # prefill (cache starts empty): queries only see the prompt's own
+            # k/v — attend locally instead of over the full (P+R) cache buffer
+            # (saves the masked decode-region columns and keeps the flash
+            # kernel eligible)
+            out = attention(q, k, v, segment_ids=segment_ids, causal=True)
         else:
-            kv_seg = kv_segment_ids
-        q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), dtype=jnp.int32)
-        q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
-        out = attention(
-            q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg, causal=True, q_offset=q_offset
-        )
+            if kv_segment_ids is None:
+                kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
+                kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+            else:
+                kv_seg = kv_segment_ids
+            q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), dtype=jnp.int32)
+            q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
+            out = attention(
+                q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg,
+                causal=True, q_offset=q_offset,
+            )
         new_kv = (k_all, v_all)
 
     x = x + jnp.dot(out.reshape(b, s, h * d), attn_p["o_proj"])

@@ -177,6 +177,26 @@ class GRPOTrainer:
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
 
+    @staticmethod
+    def trim_prompt_padding(batch: RolloutBatch, bucket: int = 512) -> RolloutBatch:
+        """Left-padded prompts are padded to the config max; trim to the batch's
+        longest prompt rounded up to `bucket` (TPU padding-free equivalent:
+        static shapes per bucket, far less wasted compute than always-max).
+        Safe because position ids / segment ids travel with the tokens."""
+        seg = batch.tensors["segment_ids"]
+        max_len = int(seg.sum(-1).max())
+        p = seg.shape[1]
+        keep = min(p, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
+        if keep >= p:
+            return batch
+        out = RolloutBatch(
+            tensors=dict(batch.tensors), non_tensors=batch.non_tensors, meta=batch.meta
+        )
+        out.tensors["input_ids"] = batch.tensors["input_ids"][:, p - keep :]
+        out.tensors["segment_ids"] = seg[:, p - keep :]
+        out.tensors["position_ids"] = batch.tensors["position_ids"][:, :, p - keep :]
+        return out
+
     def _pack_vision(self, batch: RolloutBatch):
         return pack_vision_batch(
             list(batch.non_tensors["patches"]),
@@ -190,6 +210,7 @@ class GRPOTrainer:
         """Repeat prompts n times, decode, attach responses + masks + full seqs."""
         n = sampling.n
         repeated = batch.repeat(n, interleave=True) if n > 1 else batch
+        repeated = self.trim_prompt_padding(repeated)
         vision = self._pack_vision(repeated)
 
         input_ids = repeated.tensors["input_ids"]

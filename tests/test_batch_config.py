@@ -111,3 +111,32 @@ def test_config_scalar_parsing():
     assert cfg.algorithm.kl_coef == 0.01
     assert cfg.data.shuffle is False
     assert cfg.trainer.logger == ["console", "wandb"]
+
+
+def test_trim_prompt_padding():
+    from spatialthinker_tpu.trainer.grpo_trainer import GRPOTrainer
+
+    p = 64
+    seg = np.zeros((2, p), dtype=np.int32)
+    seg[0, -10:] = 1
+    seg[1, -20:] = 1
+    batch = RolloutBatch.from_dict(
+        tensors={
+            "input_ids": np.arange(2 * p).reshape(2, p),
+            "segment_ids": seg,
+            "position_ids": np.ones((2, 3, p), dtype=np.int32),
+            "gen_pos_start": np.array([10, 20], dtype=np.int32),
+        },
+    )
+    trimmed = GRPOTrainer.trim_prompt_padding(batch, bucket=16)
+    # longest prompt 20 -> bucket 32
+    assert trimmed.tensors["input_ids"].shape == (2, 32)
+    assert trimmed.tensors["segment_ids"][1].sum() == 20
+    assert trimmed.tensors["position_ids"].shape == (2, 3, 32)
+    # tokens preserved (right-aligned)
+    np.testing.assert_array_equal(
+        trimmed.tensors["input_ids"][0], np.arange(2 * p).reshape(2, p)[0, -32:]
+    )
+    # no trim when bucket exceeds current length
+    untouched = GRPOTrainer.trim_prompt_padding(batch, bucket=128)
+    assert untouched.tensors["input_ids"].shape == (2, 64)
