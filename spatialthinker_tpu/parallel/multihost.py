@@ -1,0 +1,62 @@
+"""Multi-host (multi-slice) support: one python process per host, one global
+SPMD program (the TPU-native replacement for the reference's Ray actor
+launch + NCCL rendezvous, /root/reference/verl/single_controller/ray/base.py).
+
+Pattern: every host loads its slice of the global batch, assembles global
+jax.Arrays with make_array_from_process_local_data, and runs the same jitted
+step; host-side stages (reward scoring, decoding) run on each host's slice and
+are allgathered where the driver needs global views.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_if_needed(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with env/auto-detection (no-op single host)."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception:
+        pass  # single-process / already initialized
+
+
+def process_local_slice(global_size: int) -> Tuple[int, int]:
+    """[start, end) of this host's rows in a globally sharded batch."""
+    n = jax.process_count()
+    if global_size % n:
+        raise ValueError(f"global batch {global_size} not divisible by {n} hosts")
+    per = global_size // n
+    i = jax.process_index()
+    return i * per, (i + 1) * per
+
+
+def global_batch_array(local: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
+    """Assemble a global array from each host's local shard (single-host:
+    plain device_put with the sharding)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def allgather_host_data(local: np.ndarray) -> np.ndarray:
+    """Gather per-host numpy rows to every host (reward metrics, decode text
+    bookkeeping). Single-host: identity."""
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
