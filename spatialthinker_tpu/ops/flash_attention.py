@@ -134,23 +134,28 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
     )
+    # BHSD layout inside the kernel: mosaic tiling wants (seq, head_dim) as
+    # the trailing block dims
+    q_t = q.transpose(0, 2, 1, 3)
+    k_t = k.transpose(0, 2, 1, 3)
+    v_t = v.transpose(0, 2, 1, 3)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda b_, h, iq: (b_, iq), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, skv), lambda b_, h, iq: (b_, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
-            pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
-            pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda b_, h, iq: (b_, 0, iq)),
+            pl.BlockSpec((None, 1, skv), lambda b_, h, iq: (b_, 0, 0)),
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
             pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(q_t.shape, q.dtype),
             jax.ShapeDtypeStruct((b, hq, 1, sq), jnp.float32),
         ],
         scratch_shapes=[
@@ -158,8 +163,8 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-    )(q_seg, kv_seg, q, k, v)
-    return out, lse.reshape(b, hq, sq)
+    )(q_seg.reshape(b, 1, sq), kv_seg.reshape(b, 1, skv), q_t, k_t, v_t)
+    return out.transpose(0, 2, 1, 3), lse.reshape(b, hq, sq)
 
 
 # ---------------------------------------------------------------------------
@@ -289,24 +294,29 @@ def _flash_bwd(q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, bloc
     dq_kernel = functools.partial(
         _bwd_dq_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
     )
+    q_t = q.transpose(0, 2, 1, 3)
+    k_t = k.transpose(0, 2, 1, 3)
+    v_t = v.transpose(0, 2, 1, 3)
+    g_t = g.transpose(0, 2, 1, 3)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, hq, sq // block_q),
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda b_, h, iq: (b_, iq), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, skv), lambda b_, h, iq: (b_, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
-            pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
-            pl.BlockSpec((None, skv, None, d), lambda b_, h, iq: (b_, 0, h // groups, 0)),
-            pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
+            pl.BlockSpec((None, 1, block_q), lambda b_, h, iq: (b_, 0, iq)),
+            pl.BlockSpec((None, 1, skv), lambda b_, h, iq: (b_, 0, 0)),
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
             pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
             pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, None, d), lambda b_, h, iq: (b_, iq, h, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q_t.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-    )(q_seg, kv_seg, q, k, v, g, lse_in, delta)
+    )(q_seg.reshape(b, 1, sq), kv_seg.reshape(b, 1, skv), q_t, k_t, v_t, g_t, lse_in, delta)
+    dq = dq.transpose(0, 2, 1, 3)
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, block_q=block_q, causal=causal, block_k=block_k
@@ -316,32 +326,32 @@ def _flash_bwd(q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, bloc
         grid=(b, hq, skv // block_k),
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((1, sq), lambda b_, h, ik: (b_, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, skv), lambda b_, h, ik: (b_, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, sq, None, d), lambda b_, h, ik: (b_, 0, h, 0)),
-            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h // groups, 0)),
-            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h // groups, 0)),
-            pl.BlockSpec((None, sq, None, d), lambda b_, h, ik: (b_, 0, h, 0)),
+            pl.BlockSpec((None, 1, sq), lambda b_, h, ik: (b_, 0, 0)),
+            pl.BlockSpec((None, 1, skv), lambda b_, h, ik: (b_, 0, 0)),
+            pl.BlockSpec((None, None, sq, d), lambda b_, h, ik: (b_, h, 0, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h // groups, ik, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h // groups, ik, 0)),
+            pl.BlockSpec((None, None, sq, d), lambda b_, h, ik: (b_, h, 0, 0)),
             pl.BlockSpec((None, None, 1, sq), lambda b_, h, ik: (b_, h, 0, 0)),
             pl.BlockSpec((None, None, 1, sq), lambda b_, h, ik: (b_, h, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h, 0)),
-            pl.BlockSpec((None, block_k, None, d), lambda b_, h, ik: (b_, ik, h, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h, ik, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h, ik, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, skv, hq, d), k.dtype),
-            jax.ShapeDtypeStruct((b, skv, hq, d), v.dtype),
+            jax.ShapeDtypeStruct((b, hq, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hq, skv, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
-    )(q_seg, kv_seg, q, k, v, g, lse_in, delta)
+    )(q_seg.reshape(b, 1, sq), kv_seg.reshape(b, 1, skv), q_t, k_t, v_t, g_t, lse_in, delta)
 
-    # reduce query-head gradients onto kv heads (GQA)
-    dk = dk_per_head.reshape(b, skv, hkv, groups, d).sum(axis=3).astype(k.dtype)
-    dv = dv_per_head.reshape(b, skv, hkv, groups, d).sum(axis=3).astype(v.dtype)
+    # reduce query-head gradients onto kv heads (GQA); back to B S H D
+    dk = dk_per_head.reshape(b, hkv, groups, skv, d).sum(axis=2).transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv_per_head.reshape(b, hkv, groups, skv, d).sum(axis=2).transpose(0, 2, 1, 3).astype(v.dtype)
     return dq, dk, dv
 
 

@@ -20,9 +20,13 @@ from .grpo_trainer import GRPOTrainer
 
 
 def load_tokenizer(path: str):
-    from transformers import AutoTokenizer
+    if path == "synthetic":
+        from ..utils.synthetic_tokenizer import SyntheticTokenizer
 
-    return AutoTokenizer.from_pretrained(path, trust_remote_code=True)
+        return SyntheticTokenizer()
+    from ..utils.tokenizer import get_tokenizer
+
+    return get_tokenizer(path, trust_remote_code=True)
 
 
 def build_model(config: PPOConfig):
@@ -40,6 +44,11 @@ def build_model(config: PPOConfig):
 
 
 def run(config: PPOConfig) -> None:
+    # operational escape hatch: hosts whose sitecustomize pins a remote TPU
+    # backend can force a platform (e.g. SPATIALTHINKER_PLATFORM=cpu smoke runs)
+    platform = os.environ.get("SPATIALTHINKER_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     print(config_summary(config))
     if config.trainer.nnodes > 1:
         jax.distributed.initialize()
