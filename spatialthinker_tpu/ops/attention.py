@@ -131,8 +131,10 @@ def attention(
 
 
 def _flash_eligible(q, k, causal, segment_ids, q_offset) -> bool:
-    """Flash kernel supports long self-attention on TPU: seq multiple of block,
-    same q/kv length, no decode offset."""
+    """Flash kernel handles long self-attention on TPU: seq multiple of block,
+    same q/kv length, no decode offset. Measured on v5e (b=2, 16 q-heads,
+    d=128): ~parity at 1024, 1.5x at 2048, 2.5x at 4096; XLA fails outright
+    at 8192 where flash runs — so the threshold is 1024."""
     if q_offset is not None:
         return False
     if jax.default_backend() != "tpu":
@@ -140,6 +142,6 @@ def _flash_eligible(q, k, causal, segment_ids, q_offset) -> bool:
     b, sq, hq, d = q.shape
     if sq != k.shape[1]:
         return False
-    if sq < 512 or sq % 512 != 0:
+    if sq < 1024 or sq % 512 != 0:
         return False
-    return d in (64, 128, 256)
+    return d % 8 == 0

@@ -127,3 +127,16 @@ def test_flash_backward_packed_segments():
         )
         # padding rows get zero gradients
         np.testing.assert_allclose(np.asarray(a)[0, ~valid], 0.0, atol=1e-5)
+
+
+def test_flash_vision_head_dim_80_noncausal():
+    """Vision-tower shape: head_dim 80, non-causal, window segments."""
+    rng = np.random.default_rng(5)
+    b, s, h, d = 1, 256, 2, 80
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    seg = jnp.asarray((np.arange(s) // 64 + 1).astype(np.int32)[None])
+    out_flash = flash_attention(q, k, v, segment_ids=seg, causal=False, block_q=128, block_k=128)
+    out_ref = xla_attention(q, k, v, mask=make_attention_mask(seg, seg, causal=False))
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref), rtol=2e-3, atol=2e-3)
