@@ -10,6 +10,9 @@ Baseline anchor: the reference rolls out with vLLM on H100-class GPUs
 north-star). The repo publishes no number, so we anchor against a nominal
 2800 tok/s/GPU for Qwen2.5-VL-3B bf16 decode at batch 8 on one H100 —
 vs_baseline > 1.0 means faster than that anchor per chip.
+
+BENCH_MODE=train measures full GRPO update steps/s instead (1B config by
+default — 3B fp32 grads + optimizer state exceed a single v5e's HBM).
 """
 
 from __future__ import annotations
@@ -25,6 +28,69 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT", "128"))
 GEN_LEN = int(os.environ.get("BENCH_GEN", "128"))
 PRESET = os.environ.get("BENCH_PRESET", "3b")
+
+
+def train_bench() -> None:
+    """GRPO update steps/s on a ~1B model, single chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatialthinker_tpu.models.qwen2_5_vl import get_config
+    from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
+    from spatialthinker_tpu.trainer.train_step import TrainBatch, make_optimizer, make_update_fn
+
+    cfg = get_config(os.environ.get("BENCH_PRESET", "1b"))
+    params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
+    opt = make_optimizer(1e-6, strategy="adamw_bf16")
+    opt_state = opt.init(params)
+    update = jax.jit(
+        make_update_fn(
+            cfg, opt, clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
+            use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
+            max_grad_norm=1.0, remat=True, chunk_size=512,
+        )
+    )
+    n_micro, micro_bs, p, r = 4, int(os.environ.get("BENCH_TRAIN_BS", "2")), 1024, 1024
+    s = p + r
+    rng = np.random.default_rng(0)
+    bs = n_micro * micro_bs
+    ids = rng.integers(1, 100_000, size=(bs, s), dtype=np.int32)
+    batch = TrainBatch(
+        input_ids=jnp.asarray(ids.reshape(n_micro, micro_bs, s)),
+        segment_ids=jnp.ones((n_micro, micro_bs, s), jnp.int32),
+        position_ids=jnp.asarray(
+            np.tile(np.arange(s, dtype=np.int32)[None, None, None], (n_micro, 3, micro_bs, 1))
+        ),
+        responses=jnp.asarray(ids[:, p:].reshape(n_micro, micro_bs, r)),
+        response_mask=jnp.ones((n_micro, micro_bs, r), jnp.float32),
+        old_log_probs=jnp.zeros((n_micro, micro_bs, r), jnp.float32) - 3,
+        ref_log_probs=jnp.zeros((n_micro, micro_bs, r), jnp.float32) - 3,
+        advantages=jnp.asarray(rng.normal(size=(n_micro, micro_bs, r)).astype(np.float32)),
+    )
+
+    def run():
+        nonlocal params, opt_state
+        params, opt_state, metrics = update(params, opt_state, batch)
+        float(np.asarray(metrics["actor/loss"]))  # sync through the relay
+
+    run()  # compile
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    start = time.perf_counter()
+    for _ in range(iters):
+        run()
+    elapsed = time.perf_counter() - start
+    tokens = bs * s * iters
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_update_tokens_per_sec_per_chip",
+                "value": round(tokens / elapsed, 2),
+                "unit": "tok/s/chip",
+                "vs_baseline": round((iters / elapsed) * 3600, 1),  # update steps/hr
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -89,4 +155,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "train":
+        train_bench()
+    else:
+        main()

@@ -73,6 +73,23 @@ def qwen25_vl_3b() -> Qwen25VLConfig:
     return Qwen25VLConfig()
 
 
+def qwen25_vl_1b() -> Qwen25VLConfig:
+    """~1B-param Qwen-shaped config (single-chip training benchmarks)."""
+    return Qwen25VLConfig(
+        text=TextConfig(
+            vocab_size=151936,
+            hidden_size=1536,
+            intermediate_size=8192,
+            num_hidden_layers=24,
+            num_attention_heads=12,
+            num_key_value_heads=2,
+            mrope_section=(16, 24, 24),
+            tie_word_embeddings=True,
+        ),
+        vision=VisionConfig(out_hidden_size=1536),
+    )
+
+
 def qwen25_vl_7b() -> Qwen25VLConfig:
     return Qwen25VLConfig(
         text=TextConfig(
@@ -124,6 +141,7 @@ def qwen25_vl_tiny(vocab_size: int = 1024) -> Qwen25VLConfig:
 PRESETS = {
     "Qwen/Qwen2.5-VL-3B-Instruct": qwen25_vl_3b,
     "Qwen/Qwen2.5-VL-7B-Instruct": qwen25_vl_7b,
+    "1b": qwen25_vl_1b,
     "3b": qwen25_vl_3b,
     "7b": qwen25_vl_7b,
     "tiny": qwen25_vl_tiny,
