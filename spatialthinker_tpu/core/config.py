@@ -157,6 +157,10 @@ class RolloutConfig:
     decode_batch_size: int = -1     # -1: infer from batch
     prefill_chunk_size: int = 2048
     tensor_parallel_size: int = 1   # decode-time model-axis sharding
+    # reuse the decode-time sampled-token log-probs as old_log_probs instead of
+    # recomputing with the training graph (skips one full forward per step;
+    # train and decode share weights here so the gap is only layout/precision)
+    use_rollout_log_probs: bool = False
     val_override_config: SamplingOverride = field(default_factory=SamplingOverride)
 
     # derived from data config by post_init

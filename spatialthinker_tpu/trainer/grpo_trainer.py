@@ -238,6 +238,7 @@ class GRPOTrainer:
                 **{k: v for k, v in repeated.tensors.items()},
                 "responses": responses,
                 "response_mask": response_mask,
+                "rollout_log_probs": np.asarray(result.rollout_log_probs),
                 "full_input_ids": np.concatenate([input_ids, responses], axis=1),
                 "full_segment_ids": np.concatenate([segment_ids, response_mask], axis=1),
             },
@@ -500,7 +501,12 @@ class GRPOTrainer:
                     rolled.reorder(order)
 
             with timer("old"):
-                rolled.tensors["old_log_probs"] = self.compute_log_probs_batched(rolled, self.params)
+                if self.config.worker.rollout.use_rollout_log_probs:
+                    rolled.tensors["old_log_probs"] = rolled.tensors["rollout_log_probs"]
+                else:
+                    rolled.tensors["old_log_probs"] = self.compute_log_probs_batched(
+                        rolled, self.params
+                    )
 
             if self.use_ref:
                 with timer("ref"):

@@ -122,3 +122,13 @@ def test_gae_with_critic(tmp_path):
     assert np.isfinite(metrics["critic/vf_loss"])
     assert np.isfinite(metrics["critic/values/mean"])
     assert np.isfinite(metrics["actor/pg_loss"])
+
+
+def test_rollout_logprob_reuse(tmp_path):
+    trainer, cfg = build_trainer(tmp_path)
+    cfg.worker.rollout.use_rollout_log_probs = True
+    batch = next(iter(trainer.train_dataloader))
+    metrics = trainer.train_step(batch)
+    assert np.isfinite(metrics["actor/pg_loss"])
+    # old pass skipped => negligible 'old' timing vs gen timing
+    assert metrics["timing_s/old"] < metrics["timing_s/gen"]
