@@ -14,9 +14,7 @@ computed here on the host (numpy) once per sample.
 from __future__ import annotations
 
 import glob
-import math
 import os
-from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

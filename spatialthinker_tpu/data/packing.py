@@ -5,11 +5,11 @@ lists; buckets bound recompilation)."""
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
-from ..models.qwen2_5_vl import VisionAux, VisionInputs, prepare_vision_aux
+from ..models.qwen2_5_vl import VisionInputs, prepare_vision_aux
 from ..models.qwen2_5_vl.config import VisionConfig
 from ..models.qwen2_5_vl.vision import pad_vision_inputs
 

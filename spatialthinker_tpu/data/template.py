@@ -10,7 +10,7 @@ merged vision tokens for that image.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 IMAGE_PLACEHOLDER = "<image>"
 DEFAULT_SYSTEM = "You are a helpful assistant."

@@ -20,7 +20,7 @@ from collections import Counter
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from .lemma import expand_question_words, map_objects, map_relationships, normalize_token
-from .prompts import CATEGORIES, LEVELS, QUESTION_GEN_PROMPT, QUESTION_PREFIX, VALIDATION_PROMPT
+from .prompts import CATEGORIES, LEVELS, QUESTION_GEN_PROMPT, QUESTION_PREFIX
 
 SOURCE_DS = "JosephZ/vg150_train_sgg_prompt"
 OPTION_PREFIX_RE = re.compile(r"^\([A-D]\)\s*")

@@ -9,7 +9,7 @@ reference trains these checkpoints via HF transformers
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

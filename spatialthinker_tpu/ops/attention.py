@@ -22,7 +22,6 @@ TPU-native equivalent of the reference's rmpad/flash_attn_varlen path
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -10,7 +10,7 @@ are allgathered where the driver needs global views.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

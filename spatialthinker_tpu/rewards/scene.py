@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 REQUIRED_KEYS_OBJ = {"id", "bbox"}
 REQUIRED_KEYS_REL = {"subject", "predicate", "object"}

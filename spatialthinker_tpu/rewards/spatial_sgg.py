@@ -17,7 +17,7 @@ Behavioral parity with /root/reference/verl/utils/reward_score/spatial_sgg.py:64
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

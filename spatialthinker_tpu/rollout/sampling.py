@@ -10,7 +10,6 @@ reference's CUDA RNG surgery in fsdp_vllm.py:59-68).
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,12 @@ replacement for per-rank .pt files)."""
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 import re
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 TRACKER_FILE = "latest_global_step.txt"

@@ -15,7 +15,7 @@ import os
 import time
 import uuid
 from collections import defaultdict
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ from ..algos import (
     compute_rloo_outcome_advantage,
     get_kl_controller,
 )
-from ..core.batch import RolloutBatch, pad_to_divisor, unpad
+from ..core.batch import RolloutBatch
 from ..core.config import PPOConfig
 from ..data.packing import pack_vision_batch
 from ..models.qwen2_5_vl import Qwen25VLConfig

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import time
 from contextlib import contextmanager
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import numpy as np
 

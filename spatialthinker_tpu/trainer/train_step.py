@@ -13,7 +13,6 @@ hidden[:, P-1 : P+R-1].
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -24,7 +23,6 @@ from ..algos.losses import compute_kl, compute_policy_loss
 from ..algos.masked import masked_mean
 from ..models.qwen2_5_vl import Qwen25VLConfig, forward
 from ..models.qwen2_5_vl.model import VisionInputs
-from ..models.qwen2_5_vl.text import logits_from_hidden
 from ..ops.logprobs import log_probs_from_hidden
 
 

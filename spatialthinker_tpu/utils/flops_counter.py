@@ -8,7 +8,7 @@ model FLOPs utilization. The peak table is TPU generations instead of GPU SKUs.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 from ..models.qwen2_5_vl.config import Qwen25VLConfig
 
