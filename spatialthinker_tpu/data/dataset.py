@@ -78,6 +78,7 @@ class RLHFDataset:
         self.answer_key = config.answer_key
         self.image_key = config.image_key
         self.format_prompt = config.format_prompt
+        self.limit_images = 0  # 0 = unlimited (rollout.limit_images parity)
 
     @classmethod
     def from_rows(cls, rows, tokenizer, config, model_config, system_prompt=None):
@@ -96,7 +97,10 @@ class RLHFDataset:
             return []
         if not isinstance(images, (list, tuple)):
             images = [images]
-        return list(images)
+        images = list(images)
+        if self.limit_images > 0:
+            images = images[: self.limit_images]
+        return images
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         row = dict(self.rows[index])
