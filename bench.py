@@ -48,10 +48,11 @@ def train_bench() -> None:
         make_update_fn(
             cfg, opt, clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
             use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
-            max_grad_norm=1.0, remat=True, chunk_size=512,
+            max_grad_norm=1.0, remat=True, chunk_size=256,
         )
     )
-    n_micro, micro_bs, p, r = 4, int(os.environ.get("BENCH_TRAIN_BS", "2")), 1024, 1024
+    n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "1"))
+    p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "1024")) // 2
     s = p + r
     rng = np.random.default_rng(0)
     bs = n_micro * micro_bs

@@ -204,6 +204,27 @@ class GRPOTrainer:
             self.model_cfg.vision,
         )
 
+    @staticmethod
+    def trim_response_padding(batch: RolloutBatch, bucket: int = 256) -> RolloutBatch:
+        """Right-trim the response buffer to the longest valid response rounded
+        up to `bucket` (responses usually hit EOS well before max_new_tokens)."""
+        mask = batch.tensors["response_mask"]
+        r = mask.shape[1]
+        max_len = int(mask.sum(-1).max())
+        keep = min(r, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
+        if keep >= r:
+            return batch
+        out = RolloutBatch(
+            tensors=dict(batch.tensors), non_tensors=batch.non_tensors, meta=batch.meta
+        )
+        p = batch.tensors["input_ids"].shape[1]
+        for key in ("responses", "response_mask", "token_level_scores", "rollout_log_probs"):
+            if key in out.tensors:
+                out.tensors[key] = out.tensors[key][:, :keep]
+        for key in ("full_input_ids", "full_segment_ids"):
+            out.tensors[key] = out.tensors[key][:, : p + keep]
+        return out
+
     # ------------------------------------------------------------- generation
 
     def generate_sequences(self, batch: RolloutBatch, sampling: SamplingParams) -> RolloutBatch:
@@ -487,6 +508,11 @@ class GRPOTrainer:
             with timer("reward"):
                 reward_tensor, reward_metrics = self.reward_fn(rolled)
                 rolled.tensors["token_level_scores"] = reward_tensor
+
+            # trim the response buffer to the batch's longest response (bucketed):
+            # most rollouts hit EOS early, so the logprob/update forwards see
+            # far fewer padded positions (static shapes per bucket)
+            rolled = self.trim_response_padding(rolled)
 
             with timer("balance"):
                 # Karmarkar-Karp token-load balance across micro-batch slots

@@ -140,3 +140,29 @@ def test_trim_prompt_padding():
     # no trim when bucket exceeds current length
     untouched = GRPOTrainer.trim_prompt_padding(batch, bucket=128)
     assert untouched.tensors["input_ids"].shape == (2, 64)
+
+
+def test_trim_response_padding():
+    from spatialthinker_tpu.trainer.grpo_trainer import GRPOTrainer
+
+    b, p, r = 2, 8, 64
+    mask = np.zeros((b, r), dtype=np.int32)
+    mask[0, :5] = 1
+    mask[1, :9] = 1
+    batch = RolloutBatch.from_dict(
+        tensors={
+            "input_ids": np.ones((b, p), dtype=np.int32),
+            "responses": np.arange(b * r).reshape(b, r),
+            "response_mask": mask,
+            "token_level_scores": np.random.rand(b, r).astype(np.float32),
+            "full_input_ids": np.ones((b, p + r), dtype=np.int32),
+            "full_segment_ids": np.ones((b, p + r), dtype=np.int32),
+        },
+    )
+    out = GRPOTrainer.trim_response_padding(batch, bucket=8)
+    assert out.tensors["responses"].shape == (b, 16)  # 9 -> bucket 16
+    assert out.tensors["full_input_ids"].shape == (b, p + 16)
+    assert out.tensors["response_mask"][1].sum() == 9
+    # no trim when already small
+    same = GRPOTrainer.trim_response_padding(batch, bucket=128)
+    assert same.tensors["responses"].shape == (b, r)
