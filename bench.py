@@ -31,7 +31,7 @@ PRESET = os.environ.get("BENCH_PRESET", "3b")
 
 
 def train_bench() -> None:
-    """GRPO update steps/s on a ~1B model, single chip."""
+    """GRPO update steps/s on a ~0.5B model, single chip (1B+ needs a sharded mesh: AdamW keeps fp32 second moments)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +40,7 @@ def train_bench() -> None:
     from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
     from spatialthinker_tpu.trainer.train_step import TrainBatch, make_optimizer, make_update_fn
 
-    cfg = get_config(os.environ.get("BENCH_PRESET", "1b"))
+    cfg = get_config(os.environ.get("BENCH_PRESET", "0.5b"))
     params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
     opt = make_optimizer(1e-6, strategy="adamw_bf16")
     opt_state = opt.init(params)
@@ -48,7 +48,7 @@ def train_bench() -> None:
         make_update_fn(
             cfg, opt, clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
             use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
-            max_grad_norm=1.0, remat=True, chunk_size=256,
+            max_grad_norm=1.0, remat=True, chunk_size=256, grad_accum_dtype=jnp.bfloat16,
         )
     )
     n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "1"))

@@ -73,6 +73,23 @@ def qwen25_vl_3b() -> Qwen25VLConfig:
     return Qwen25VLConfig()
 
 
+def qwen25_vl_0p5b() -> Qwen25VLConfig:
+    """~0.5B Qwen-shaped config (fits AdamW fp32 second moments on one v5e)."""
+    return Qwen25VLConfig(
+        text=TextConfig(
+            vocab_size=151936,
+            hidden_size=1024,
+            intermediate_size=5504,
+            num_hidden_layers=16,
+            num_attention_heads=8,
+            num_key_value_heads=2,
+            mrope_section=(16, 24, 24),
+            tie_word_embeddings=True,
+        ),
+        vision=VisionConfig(out_hidden_size=1024),
+    )
+
+
 def qwen25_vl_1b() -> Qwen25VLConfig:
     """~1B-param Qwen-shaped config (single-chip training benchmarks)."""
     return Qwen25VLConfig(
@@ -141,6 +158,7 @@ def qwen25_vl_tiny(vocab_size: int = 1024) -> Qwen25VLConfig:
 PRESETS = {
     "Qwen/Qwen2.5-VL-3B-Instruct": qwen25_vl_3b,
     "Qwen/Qwen2.5-VL-7B-Instruct": qwen25_vl_7b,
+    "0.5b": qwen25_vl_0p5b,
     "1b": qwen25_vl_1b,
     "3b": qwen25_vl_3b,
     "7b": qwen25_vl_7b,

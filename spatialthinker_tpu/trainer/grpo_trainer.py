@@ -117,6 +117,29 @@ class GRPOTrainer:
             lambda p, b, v: compute_log_probs(p, model_cfg, b, v, remat=False)[0],
         )
 
+        # padding-free (packed) path — used for text-only batches when enabled
+        self.padding_free = actor.padding_free
+        if self.padding_free:
+            from .train_step import compute_packed_log_probs, make_packed_update_fn
+
+            self.packed_update_fn = jax.jit(
+                make_packed_update_fn(
+                    model_cfg, self.optimizer,
+                    clip_ratio_low=actor.clip_ratio_low,
+                    clip_ratio_high=actor.clip_ratio_high,
+                    clip_ratio_dual=actor.clip_ratio_dual,
+                    use_kl_loss=self.use_kl_loss,
+                    kl_loss_coef=actor.kl_loss_coef,
+                    kl_penalty=actor.kl_penalty,
+                    entropy_coeff=actor.entropy_coeff,
+                    max_grad_norm=actor.max_grad_norm,
+                    remat=actor.sharding.remat,
+                )
+            )
+            self.packed_logprob_fn = jax.jit(
+                lambda p, b: compute_packed_log_probs(p, model_cfg, b, remat=False)[0]
+            )
+
         # ---- critic (GAE only) -------------------------------------------
         self.use_critic = self.adv_estimator == "gae"
         if self.use_critic:
@@ -292,8 +315,39 @@ class GRPOTrainer:
             advantages=jnp.asarray(batch.tensors.get("advantages", zeros)),
         )
 
+    def _is_text_only(self, batch: RolloutBatch) -> bool:
+        return all(p is None for p in batch.non_tensors.get("patches", [None]))
+
+    def _pack_rows(self, batch: RolloutBatch, per_token=None):
+        from ..data.text_packing import pack_train_rows
+
+        seg = batch.tensors["segment_ids"]
+        mask = batch.tensors["response_mask"]
+        max_total = int((seg.sum(-1) + mask.sum(-1)).max())
+        row_len = max(256, ((max_total + 255) // 256) * 256)
+        return pack_train_rows(
+            batch.tensors["input_ids"], seg,
+            batch.tensors["position_ids"],
+            batch.tensors["responses"], mask,
+            batch.tensors["gen_pos_start"],
+            per_token=per_token, row_len=row_len,
+        )
+
     def compute_log_probs_batched(self, batch: RolloutBatch, params) -> np.ndarray:
-        """Micro-batched old/ref log-prob recompute (no grad)."""
+        """Micro-batched old/ref log-prob recompute (no grad). Text-only
+        batches take the packed (padding-free) path."""
+        from .train_step import PackedTrainBatch
+
+        if self.padding_free and self._is_text_only(batch):
+            from ..data.text_packing import gather_response_values
+
+            packed, slot_map = self._pack_rows(batch)
+            ptb = PackedTrainBatch(*[jnp.asarray(x) for x in packed])
+            logp_rows = np.asarray(self.packed_logprob_fn(params, ptb))
+            return gather_response_values(
+                logp_rows, slot_map, batch.tensors["responses"].shape[1]
+            )
+
         micro = self.config.worker.actor.micro_batch_size_per_device_for_experience
         n_dev = self.mesh.devices.size
         chunk = max(micro * max(n_dev // self.config.worker.actor.sharding.model_size, 1), 1)
@@ -336,7 +390,57 @@ class GRPOTrainer:
 
     # ----------------------------------------------------------------- update
 
+    def _update_actor_packed(self, batch: RolloutBatch) -> Dict[str, float]:
+        """Padding-free policy update: mini-batches are bin-packed into rows."""
+        from ..data.text_packing import pad_rows_to_multiple
+        from .train_step import PackedTrainBatch
+
+        actor_cfg = self.config.worker.actor
+        metrics_acc: Dict[str, List[float]] = defaultdict(list)
+        bs = len(batch)
+        mini_bs = min(actor_cfg.global_batch_size, bs)
+        micro_rows = max(actor_cfg.micro_batch_size_per_device_for_update, 1)
+
+        for epoch in range(actor_cfg.ppo_epochs):
+            order = np.random.default_rng(self.global_step * 131 + epoch).permutation(bs)
+            for start in range(0, bs - mini_bs + 1, mini_bs):
+                idx = order[start : start + mini_bs]
+                mini = RolloutBatch(
+                    tensors={k: v[idx] for k, v in batch.tensors.items()},
+                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
+                    meta=dict(batch.meta),
+                )
+                zeros = np.zeros_like(mini.tensors["old_log_probs"])
+                packed, _ = self._pack_rows(
+                    mini,
+                    per_token={
+                        "old_log_probs": mini.tensors["old_log_probs"],
+                        "ref_log_probs": mini.tensors.get("ref_log_probs", zeros),
+                        "advantages": mini.tensors["advantages"],
+                    },
+                )
+                n_micro = max((packed.input_ids.shape[0] + micro_rows - 1) // micro_rows, 1)
+                packed = pad_rows_to_multiple(packed, n_micro)
+                rows = packed.input_ids.shape[0]
+                per = rows // n_micro
+
+                def micro_shape(x):
+                    x = np.asarray(x)
+                    if x.ndim == 3:  # (3, rows, L)
+                        return x.reshape(3, n_micro, per, x.shape[-1]).transpose(1, 0, 2, 3)
+                    return x.reshape(n_micro, per, *x.shape[1:])
+
+                ptb = PackedTrainBatch(*[jnp.asarray(micro_shape(x)) for x in packed])
+                self.params, self.opt_state, metrics = self.packed_update_fn(
+                    self.params, self.opt_state, ptb
+                )
+                for k, v in metrics.items():
+                    metrics_acc[k].append(float(v))
+        return reduce_metrics(metrics_acc)
+
     def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
+        if self.padding_free and self._is_text_only(batch):
+            return self._update_actor_packed(batch)
         actor_cfg = self.config.worker.actor
         metrics_acc: Dict[str, List[float]] = defaultdict(list)
         bs = len(batch)

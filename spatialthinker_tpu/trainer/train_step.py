@@ -127,6 +127,7 @@ def make_update_fn(
     max_grad_norm: float = 1.0,
     remat: bool = True,
     chunk_size: int = 1024,
+    grad_accum_dtype=jnp.float32,
 ):
     """Build the jittable mini-batch update: scan over micro-batches
     accumulating grads, one optimizer step, NaN-grad skip
@@ -158,12 +159,14 @@ def make_update_fn(
             grad_acc, metric_acc = carry
             (loss, metrics), grads = grad_fn(params, mb, vis)
             metrics["actor/loss"] = loss
-            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            grad_acc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), grad_acc, grads
+            )
             metric_acc = {k: metric_acc[k] + metrics[k] for k in metric_acc}
             return (grad_acc, metric_acc), None
 
         n_micro = micro_batches.input_ids.shape[0]
-        zero_grads = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
+        zero_grads = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=grad_accum_dtype), params)
         # scan carries must have fixed structure: pre-declare every metric key
         metric_keys = [
             "actor/loss",
@@ -179,7 +182,7 @@ def make_update_fn(
         init_metrics = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
         xs = micro_batches if vision is None else (micro_batches, vision)
         (grads, metric_sums), _ = jax.lax.scan(micro_step, (zero_grads, init_metrics), xs)
-        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        grads = jax.tree.map(lambda g: (g / n_micro).astype(jnp.float32), grads)
         metrics = {k: v / n_micro for k, v in metric_sums.items()}
 
         grad_norm = optax.global_norm(grads)
@@ -199,6 +202,136 @@ def make_update_fn(
         new_opt_state = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
         )
+        return new_params, new_opt_state, metrics
+
+    return update
+
+
+class PackedTrainBatch(NamedTuple):
+    """Packed (padding-free) rows — see data/text_packing.py."""
+
+    input_ids: jnp.ndarray      # (rows, L)
+    segment_ids: jnp.ndarray    # (rows, L)
+    position_ids: jnp.ndarray   # (3, rows, L)
+    labels: jnp.ndarray         # (rows, L)
+    loss_mask: jnp.ndarray      # (rows, L)
+    old_log_probs: jnp.ndarray  # (rows, L)
+    ref_log_probs: jnp.ndarray  # (rows, L)
+    advantages: jnp.ndarray     # (rows, L)
+
+
+def compute_packed_log_probs(
+    params, cfg: Qwen25VLConfig, batch: PackedTrainBatch,
+    *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(rows, L) label log-probs on packed rows (masked positions -> 0)."""
+    hidden, _ = forward(
+        params, cfg, batch.input_ids, batch.position_ids,
+        segment_ids=batch.segment_ids, remat=remat,
+    )
+    head = _lm_head(params, cfg).astype(hidden.dtype)
+    logp, entropy = log_probs_from_hidden(
+        hidden, batch.labels, head, chunk_size=chunk_size, compute_entropy=compute_entropy
+    )
+    return logp * batch.loss_mask, entropy * batch.loss_mask
+
+
+def packed_actor_loss_fn(
+    params, cfg: Qwen25VLConfig, batch: PackedTrainBatch,
+    *,
+    clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
+    use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
+    entropy_coeff: float = 0.0, remat: bool = True, chunk_size: int = 1024,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Identical math to actor_loss_fn on packed rows: token-weighted masked
+    means make the two layouts numerically equivalent."""
+    logp, entropy = compute_packed_log_probs(
+        params, cfg, batch, remat=remat, chunk_size=chunk_size,
+        compute_entropy=entropy_coeff != 0.0,
+    )
+    mask = batch.loss_mask
+    pg_loss, clip_hi, clip_lo, ppo_kl = compute_policy_loss(
+        batch.old_log_probs, logp, batch.advantages, mask,
+        clip_ratio_low, clip_ratio_high, clip_ratio_dual,
+    )
+    loss = pg_loss
+    metrics = {
+        "actor/pg_loss": pg_loss,
+        "actor/pg_clipfrac_higher": clip_hi,
+        "actor/pg_clipfrac_lower": clip_lo,
+        "actor/ppo_kl": ppo_kl,
+    }
+    if use_kl_loss:
+        kld = compute_kl(logp, batch.ref_log_probs, kl_penalty)
+        kl_loss = masked_mean(kld, mask)
+        loss = loss + kl_loss * kl_loss_coef
+        metrics["actor/kl_loss"] = kl_loss
+    if entropy_coeff != 0.0:
+        entropy_loss = masked_mean(entropy, mask)
+        loss = loss - entropy_coeff * entropy_loss
+        metrics["actor/entropy_loss"] = entropy_loss
+    return loss, metrics
+
+
+def make_packed_update_fn(
+    cfg: Qwen25VLConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
+    use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
+    entropy_coeff: float = 0.0, max_grad_norm: float = 1.0,
+    remat: bool = True, chunk_size: int = 1024,
+):
+    """Packed-row variant of make_update_fn: micro dim on every array."""
+
+    loss_kwargs = dict(
+        clip_ratio_low=clip_ratio_low, clip_ratio_high=clip_ratio_high,
+        clip_ratio_dual=clip_ratio_dual, use_kl_loss=use_kl_loss,
+        kl_loss_coef=kl_loss_coef, kl_penalty=kl_penalty,
+        entropy_coeff=entropy_coeff, remat=remat, chunk_size=chunk_size,
+    )
+
+    def update(params, opt_state, micro_batches: PackedTrainBatch):
+        grad_fn = jax.value_and_grad(
+            lambda p, mb: packed_actor_loss_fn(p, cfg, mb, **loss_kwargs), has_aux=True
+        )
+
+        def micro_step(carry, mb):
+            grad_acc, metric_acc = carry
+            (loss, metrics), grads = grad_fn(params, mb)
+            metrics["actor/loss"] = loss
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            metric_acc = {k: metric_acc[k] + metrics[k] for k in metric_acc}
+            return (grad_acc, metric_acc), None
+
+        n_micro = micro_batches.input_ids.shape[0]
+        zero_grads = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
+        metric_keys = [
+            "actor/loss", "actor/pg_loss", "actor/pg_clipfrac_higher",
+            "actor/pg_clipfrac_lower", "actor/ppo_kl",
+        ]
+        if use_kl_loss:
+            metric_keys.append("actor/kl_loss")
+        if entropy_coeff != 0.0:
+            metric_keys.append("actor/entropy_loss")
+        init_metrics = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
+        (grads, metric_sums), _ = jax.lax.scan(
+            micro_step, (zero_grads, init_metrics), micro_batches
+        )
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        metrics = {k: v / n_micro for k, v in metric_sums.items()}
+
+        grad_norm = optax.global_norm(grads)
+        metrics["actor/grad_norm"] = grad_norm
+        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        finite = jnp.isfinite(grad_norm)
+        updates, new_opt_state = optimizer.update(
+            jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads), opt_state, params
+        )
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_params, params)
+        new_opt_state = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state)
         return new_params, new_opt_state, metrics
 
     return update
