@@ -751,10 +751,15 @@ class GRPOTrainer:
     # ------------------------------------------------------------ checkpoints
 
     def save_checkpoint(self):
+        params = self.params
+        opt_state = self.opt_state
+        if self.use_critic:
+            params = {"actor": self.params, "critic": self.critic_params}
+            opt_state = {"actor": self.opt_state, "critic": self.critic_opt_state}
         self.ckpt.save(
             self.global_step,
-            params=self.params,
-            opt_state=self.opt_state,
+            params=params,
+            opt_state=opt_state,
             dataloader_state=getattr(self.train_dataloader, "state_dict", lambda: {})(),
             rng_key=np.asarray(jax.random.key_data(self.rng_key)),
         )
@@ -763,11 +768,22 @@ class GRPOTrainer:
         path = self.config.trainer.load_checkpoint_path
         if not path:
             return
-        state = self.ckpt.load(path, params_like=self.params, opt_state_like=self.opt_state)
+        params_like = self.params
+        opt_like = self.opt_state
+        if self.use_critic:
+            params_like = {"actor": self.params, "critic": self.critic_params}
+            opt_like = {"actor": self.opt_state, "critic": self.critic_opt_state}
+        state = self.ckpt.load(path, params_like=params_like, opt_state_like=opt_like)
         if state is None:
             return
-        self.params = state["params"]
-        self.opt_state = state["opt_state"]
+        if self.use_critic:
+            self.params = state["params"]["actor"]
+            self.critic_params = state["params"]["critic"]
+            self.opt_state = state["opt_state"]["actor"]
+            self.critic_opt_state = state["opt_state"]["critic"]
+        else:
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
         self.global_step = state["step"]
         if state.get("dataloader_state") and hasattr(self.train_dataloader, "load_state_dict"):
             self.train_dataloader.load_state_dict(state["dataloader_state"])
