@@ -49,7 +49,8 @@ def train_bench() -> None:
             cfg, opt, clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
             use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
             max_grad_norm=1.0, remat=True, chunk_size=256, grad_accum_dtype=jnp.bfloat16,
-        )
+        ),
+        donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
     )
     n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "1"))
     p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "1024")) // 2

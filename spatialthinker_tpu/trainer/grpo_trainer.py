@@ -84,8 +84,11 @@ class GRPOTrainer:
         sh = config.worker.actor.sharding
         self.mesh = mesh if mesh is not None else create_mesh(sh.data_size, sh.fsdp_size, sh.model_size)
         self.params = shard_params(self.mesh, params)
-        # reference policy = frozen copy of the initial weights
-        self.ref_params = jax.tree.map(lambda x: x, self.params) if self.use_ref else None
+        # reference policy = frozen copy of the initial weights (a REAL copy:
+        # actor params are donated/overwritten in-place by the update step)
+        self.ref_params = (
+            jax.tree.map(lambda x: jnp.copy(x), self.params) if self.use_ref else None
+        )
 
         actor = config.worker.actor
         opt_cfg = actor.optim
@@ -111,7 +114,9 @@ class GRPOTrainer:
                 entropy_coeff=actor.entropy_coeff,
                 max_grad_norm=actor.max_grad_norm,
                 remat=actor.sharding.remat,
-            )
+                freeze_vision_tower=actor.model.freeze_vision_tower,
+            ),
+            donate_argnums=(0, 1),  # in-place params/opt update
         )
         self.logprob_fn = jax.jit(
             lambda p, b, v: compute_log_probs(p, model_cfg, b, v, remat=False)[0],
@@ -134,7 +139,8 @@ class GRPOTrainer:
                     entropy_coeff=actor.entropy_coeff,
                     max_grad_norm=actor.max_grad_norm,
                     remat=actor.sharding.remat,
-                )
+                ),
+                donate_argnums=(0, 1),
             )
             self.packed_logprob_fn = jax.jit(
                 lambda p, b: compute_packed_log_probs(p, model_cfg, b, remat=False)[0]
@@ -162,7 +168,8 @@ class GRPOTrainer:
                     cliprange_value=critic_cfg.cliprange_value,
                     max_grad_norm=critic_cfg.max_grad_norm,
                     remat=critic_cfg.sharding.remat,
-                )
+                ),
+                donate_argnums=(0, 1),
             )
             self.values_fn = jax.jit(
                 lambda p, b, v: compute_values(p, model_cfg, b, v, remat=False)

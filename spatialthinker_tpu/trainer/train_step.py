@@ -128,6 +128,7 @@ def make_update_fn(
     remat: bool = True,
     chunk_size: int = 1024,
     grad_accum_dtype=jnp.float32,
+    freeze_vision_tower: bool = False,
 ):
     """Build the jittable mini-batch update: scan over micro-batches
     accumulating grads, one optimizer step, NaN-grad skip
@@ -183,6 +184,8 @@ def make_update_fn(
         xs = micro_batches if vision is None else (micro_batches, vision)
         (grads, metric_sums), _ = jax.lax.scan(micro_step, (zero_grads, init_metrics), xs)
         grads = jax.tree.map(lambda g: (g / n_micro).astype(jnp.float32), grads)
+        if freeze_vision_tower and "vision" in grads:
+            grads = {**grads, "vision": jax.tree.map(jnp.zeros_like, grads["vision"])}
         metrics = {k: v / n_micro for k, v in metric_sums.items()}
 
         grad_norm = optax.global_norm(grads)
