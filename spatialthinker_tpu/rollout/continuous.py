@@ -1,0 +1,356 @@
+"""Continuous-batching rollout: fixed decode slots, per-slot KV write
+positions, and host-orchestrated refill of finished slots.
+
+This is the vLLM-style scheduling layer
+(/root/reference/verl/workers/rollout/vllm_rollout_spmd.py relies on vLLM's
+continuous batching) rebuilt for the jit model: two compiled kernels —
+``prefill_slots`` (writes a prompt batch's KV into chosen slots) and
+``decode_chunk`` (advances every active slot K tokens with per-slot lengths /
+rope positions / EOS states) — plus a small host loop that harvests finished
+slots between chunks and refills them from the prompt queue. Unlike the dense
+``engine.generate`` (which must run until the LAST sequence of a batch
+finishes), slot turnover keeps the chip busy at heterogeneous response
+lengths.
+
+Per-slot state lives on device across calls; host syncs touch only the (S,)
+finished/step vectors and harvested response rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen2_5_vl import Qwen25VLConfig, forward
+from ..models.qwen2_5_vl.text import KVCache, logits_from_hidden, rms_norm, swiglu_mlp
+from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq, rotate_half
+from ..ops.attention import attention
+from .sampling import SamplingParams, sample_tokens
+
+
+class SlotState(NamedTuple):
+    cache_k: jnp.ndarray     # (L, S, T, Hkv, D)
+    cache_v: jnp.ndarray     # (L, S, T, Hkv, D)
+    kv_seg: jnp.ndarray      # (S, T) int32 — validity of each cache slot cell
+    length: jnp.ndarray      # (S,) int32 — buffer cells used (prompt P + generated)
+    cur_tokens: jnp.ndarray  # (S,) int32 — next token to feed
+    gen_pos: jnp.ndarray     # (S,) int32 — rope position of the next fed token
+    steps: jnp.ndarray       # (S,) int32 — tokens generated so far (incl. cur)
+    finished: jnp.ndarray    # (S,) bool
+    active: jnp.ndarray      # (S,) bool — slot holds a real sequence
+    responses: jnp.ndarray   # (S, R) int32
+    logps: jnp.ndarray       # (S, R) fp32
+    key: jax.Array
+
+
+def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
+                    max_new_tokens: int, key: jax.Array,
+                    kv_dtype=jnp.bfloat16) -> SlotState:
+    t = cfg.text
+    total = prompt_len + max_new_tokens
+    shape = (t.num_hidden_layers, slots, total, t.num_key_value_heads, t.head_dim)
+    return SlotState(
+        cache_k=jnp.zeros(shape, kv_dtype),
+        cache_v=jnp.zeros(shape, kv_dtype),
+        kv_seg=jnp.zeros((slots, total), jnp.int32),
+        length=jnp.zeros((slots,), jnp.int32),
+        cur_tokens=jnp.zeros((slots,), jnp.int32),
+        gen_pos=jnp.zeros((slots,), jnp.int32),
+        steps=jnp.zeros((slots,), jnp.int32),
+        finished=jnp.ones((slots,), bool),
+        active=jnp.zeros((slots,), bool),
+        responses=jnp.full((slots, max_new_tokens), cfg.pad_token_id, jnp.int32),
+        logps=jnp.zeros((slots, max_new_tokens), jnp.float32),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefill into slots
+# ---------------------------------------------------------------------------
+
+
+def prefill_slots(
+    params, cfg: Qwen25VLConfig, state: SlotState,
+    slot_ids: jnp.ndarray,        # (k,)
+    input_ids: jnp.ndarray,       # (k, P)
+    segment_ids: jnp.ndarray,     # (k, P)
+    position_ids: jnp.ndarray,    # (3, k, P)
+    gen_pos_start: jnp.ndarray,   # (k,)
+    valid: jnp.ndarray,           # (k,) bool — False rows are queue padding
+    sampling: SamplingParams,
+) -> SlotState:
+    """Run the prompt forward for k sequences and install them in `slot_ids`."""
+    k, p = input_ids.shape
+    t = cfg.text
+    total = state.cache_k.shape[2]
+    max_new = state.responses.shape[1]
+
+    scratch = KVCache.init(t.num_hidden_layers, k, p, t.num_key_value_heads,
+                           t.head_dim, dtype=state.cache_k.dtype)
+    hidden, scratch = forward(
+        params, cfg, input_ids, position_ids,
+        segment_ids=segment_ids.astype(jnp.int32), cache=scratch,
+        kv_segment_ids=segment_ids.astype(jnp.int32),
+    )
+    last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
+
+    key, subkey = jax.random.split(state.key)
+    first = sample_tokens(last_logits, subkey, sampling)
+    first_logp = jnp.take_along_axis(
+        jax.nn.log_softmax(last_logits, axis=-1), first[:, None], axis=-1
+    )[:, 0]
+    finished0 = (first == cfg.eos_token_id) | ~valid
+
+    cache_k = state.cache_k.at[:, slot_ids, :p].set(scratch.k)
+    cache_v = state.cache_v.at[:, slot_ids, :p].set(scratch.v)
+    kv_row = jnp.concatenate(
+        [segment_ids.astype(jnp.int32), jnp.zeros((k, total - p), jnp.int32)], axis=1
+    )
+    resp_row = jnp.full((k, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
+    logp_row = jnp.zeros((k, max_new), jnp.float32).at[:, 0].set(first_logp)
+
+    return state._replace(
+        cache_k=cache_k,
+        cache_v=cache_v,
+        kv_seg=state.kv_seg.at[slot_ids].set(kv_row),
+        length=state.length.at[slot_ids].set(p),
+        cur_tokens=state.cur_tokens.at[slot_ids].set(first),
+        gen_pos=state.gen_pos.at[slot_ids].set(gen_pos_start.astype(jnp.int32)),
+        steps=state.steps.at[slot_ids].set(1),
+        finished=state.finished.at[slot_ids].set(finished0),
+        active=state.active.at[slot_ids].set(valid),
+        responses=state.responses.at[slot_ids].set(resp_row),
+        logps=state.logps.at[slot_ids].set(logp_row),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-slot decode step (slots at DIFFERENT lengths)
+# ---------------------------------------------------------------------------
+
+
+def _decode_layer(layer_p, cfg, x, cos, sin, cache_k, cache_v, write_pos, kv_seg, q_offset):
+    """One decoder layer for a single token per slot, writing KV at a per-slot
+    position (text._layer assumes a uniform cache length; this one scatters)."""
+    t = cfg
+    s = x.shape[0]
+    h, hkv, d = t.num_attention_heads, t.num_key_value_heads, t.head_dim
+    attn_p = layer_p["self_attn"]
+
+    normed = rms_norm(x, layer_p["input_layernorm"], t.rms_norm_eps)
+    q = (jnp.dot(normed, attn_p["q_proj"]) + attn_p["q_bias"]).reshape(s, 1, h, d)
+    knew = (jnp.dot(normed, attn_p["k_proj"]) + attn_p["k_bias"]).reshape(s, 1, hkv, d)
+    vnew = (jnp.dot(normed, attn_p["v_proj"]) + attn_p["v_bias"]).reshape(s, 1, hkv, d)
+    cos_b = cos[:, :, None, :]
+    sin_b = sin[:, :, None, :]
+    q = q * cos_b + rotate_half(q) * sin_b
+    knew = knew * cos_b + rotate_half(knew) * sin_b
+
+    slot_idx = jnp.arange(s)
+    cache_k = cache_k.at[slot_idx, write_pos].set(knew[:, 0].astype(cache_k.dtype))
+    cache_v = cache_v.at[slot_idx, write_pos].set(vnew[:, 0].astype(cache_v.dtype))
+
+    out = attention(
+        q.astype(x.dtype), cache_k, cache_v,
+        segment_ids=jnp.ones((s, 1), jnp.int32), kv_segment_ids=kv_seg,
+        causal=True, q_offset=q_offset,
+    )
+    x = x + jnp.dot(out.reshape(s, t.hidden_size), attn_p["o_proj"])
+    x = x + swiglu_mlp(layer_p["mlp"], rms_norm(x, layer_p["post_attention_layernorm"], t.rms_norm_eps))
+    return x, cache_k, cache_v
+
+
+def decode_chunk(
+    params, cfg: Qwen25VLConfig, state: SlotState, sampling: SamplingParams,
+    chunk: int,
+) -> SlotState:
+    """Advance every unfinished slot `chunk` tokens (finished slots no-op)."""
+    t = cfg.text
+    inv_freq = jnp.asarray(make_inv_freq(t.head_dim, t.rope_theta), jnp.float32)
+    text_params = params["text"]
+
+    def one_step(state, _):
+        s = state.cur_tokens.shape[0]
+        run = state.active & ~state.finished
+        # mark the write cell valid for running slots (cell = current length)
+        slot_idx = jnp.arange(s)
+        kv_seg = jnp.where(
+            run[:, None] & (jnp.arange(state.kv_seg.shape[1])[None] == state.length[:, None]),
+            1, state.kv_seg,
+        )
+
+        pos = jnp.broadcast_to(state.gen_pos[None, :, None], (3, s, 1))
+        cos, sin = compute_cos_sin(pos, inv_freq, t.mrope_section, dtype=jnp.bfloat16)
+        x = jnp.take(text_params["embed_tokens"], state.cur_tokens, axis=0)  # (S, E)
+
+        def body(x, xs):
+            layer_p, k_layer, v_layer = xs
+            x, new_k, new_v = _decode_layer(
+                layer_p, t, x, cos, sin, k_layer, v_layer,
+                state.length, kv_seg, state.length,
+            )
+            return x, (new_k, new_v)
+
+        x_out, (new_k, new_v) = jax.lax.scan(
+            body, x, (text_params["layers"], state.cache_k, state.cache_v)
+        )
+        hidden = rms_norm(x_out[:, None, :], text_params["norm"], t.rms_norm_eps)
+        logits = logits_from_hidden(text_params, hidden, t)[:, 0, :]
+
+        key, subkey = jax.random.split(state.key)
+        sampled = sample_tokens(logits, subkey, sampling)
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1), sampled[:, None], axis=-1
+        )[:, 0]
+
+        max_new = state.responses.shape[1]
+        write_step = jnp.clip(state.steps, 0, max_new - 1)
+        responses = jnp.where(
+            run[:, None] & (jnp.arange(max_new)[None] == write_step[:, None]),
+            sampled[:, None], state.responses,
+        )
+        logps = jnp.where(
+            run[:, None] & (jnp.arange(max_new)[None] == write_step[:, None]),
+            logp[:, None], state.logps,
+        )
+        newly_finished = run & (
+            (sampled == cfg.eos_token_id) | (state.steps + 1 >= max_new)
+        )
+        new_state = state._replace(
+            cache_k=new_k,
+            cache_v=new_v,
+            kv_seg=kv_seg,
+            length=jnp.where(run, state.length + 1, state.length),
+            cur_tokens=jnp.where(run, sampled, state.cur_tokens),
+            gen_pos=jnp.where(run, state.gen_pos + 1, state.gen_pos),
+            steps=jnp.where(run, state.steps + 1, state.steps),
+            finished=state.finished | newly_finished,
+            responses=responses,
+            logps=logps,
+            key=key,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(one_step, state, None, length=chunk)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+
+class ContinuousResult(NamedTuple):
+    responses: np.ndarray        # (B, R)
+    response_mask: np.ndarray    # (B, R)
+    rollout_log_probs: np.ndarray  # (B, R)
+
+
+def generate_continuous(
+    params,
+    cfg: Qwen25VLConfig,
+    input_ids: np.ndarray,       # (B, P) left-padded
+    segment_ids: np.ndarray,     # (B, P)
+    position_ids: np.ndarray,    # (3, B, P)
+    gen_pos_start: np.ndarray,   # (B,)
+    *,
+    max_new_tokens: int,
+    sampling: SamplingParams,
+    key: jax.Array,
+    slots: int = 32,
+    decode_chunk_size: int = 32,
+    kv_cache_dtype=jnp.bfloat16,
+) -> ContinuousResult:
+    """Generate B sequences through `slots` concurrent decode lanes with
+    refill. Prefill batch size is fixed at `slots` (queue is padded), so the
+    whole engine compiles exactly two kernels."""
+    b, p = input_ids.shape
+    slots = min(slots, b)
+
+    prefill_jit = jax.jit(
+        prefill_slots, static_argnames=("cfg", "sampling"),
+    )
+    decode_jit = jax.jit(
+        decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
+    )
+
+    # slot index `slots` is a TRASH slot: queue-padding prefill rows land there
+    # (never active), so the refill batch size stays fixed at `slots`
+    trash = slots
+    state = init_slot_state(cfg, slots + 1, p, max_new_tokens, key, kv_cache_dtype)
+
+    responses = np.full((b, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
+    logps_out = np.zeros((b, max_new_tokens), dtype=np.float32)
+    slot_owner = np.full(slots + 1, -1, dtype=np.int64)
+    next_prompt = 0
+
+    def refill(state, free_slot_list):
+        nonlocal next_prompt, slot_owner
+        k = slots  # fixed prefill batch -> exactly one compiled kernel
+        targets = np.full(k, trash, dtype=np.int64)
+        rows = np.zeros(k, dtype=np.int64)
+        valid = np.zeros(k, dtype=bool)
+        for j, slot in enumerate(free_slot_list[:k]):
+            if next_prompt >= b:
+                break
+            targets[j] = slot
+            rows[j] = next_prompt
+            valid[j] = True
+            slot_owner[slot] = next_prompt
+            next_prompt += 1
+        state = prefill_jit(
+            params, cfg, state,
+            jnp.asarray(targets),
+            jnp.asarray(input_ids[rows]),
+            jnp.asarray(segment_ids[rows]),
+            jnp.asarray(position_ids[:, rows]),
+            jnp.asarray(gen_pos_start[rows]),
+            jnp.asarray(valid),
+            sampling,
+        )
+        return state
+
+    def harvest(state) -> Tuple[SlotState, List[int]]:
+        nonlocal responses, logps_out, slot_owner
+        finished = np.asarray(state.finished)
+        active = np.asarray(state.active)
+        done_slots = [int(i) for i in np.nonzero(finished & active)[0]]
+        if done_slots:
+            resp_rows = np.asarray(state.responses[jnp.asarray(done_slots)])
+            logp_rows = np.asarray(state.logps[jnp.asarray(done_slots)])
+            for row, slot in enumerate(done_slots):
+                owner = slot_owner[slot]
+                if owner >= 0:
+                    responses[owner] = resp_rows[row]
+                    logps_out[owner] = logp_rows[row]
+                    slot_owner[slot] = -1
+            state = state._replace(
+                active=state.active.at[jnp.asarray(done_slots)].set(False)
+            )
+        return state, done_slots
+
+    # initial fill covers min(slots, b) prompts
+    state = refill(state, list(range(slots)))
+    while True:
+        state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
+        state, done_slots = harvest(state)
+        pending = next_prompt < b
+        if done_slots and pending:
+            state = refill(state, done_slots)
+        active_left = bool(np.asarray(state.active).any())
+        if not active_left and not pending:
+            break
+
+    from .sampling import get_response_mask
+
+    mask = np.asarray(get_response_mask(jnp.asarray(responses), cfg.eos_token_id))
+    responses = np.where(mask == 1, responses, cfg.pad_token_id)
+    return ContinuousResult(
+        responses=responses, response_mask=mask, rollout_log_probs=logps_out * mask
+    )

@@ -269,18 +269,32 @@ class GRPOTrainer:
         position_ids = np.transpose(repeated.tensors["position_ids"], (1, 0, 2))  # (3,B,P)
         gen_pos_start = repeated.tensors["gen_pos_start"]
 
-        result = self.generate_fn(
-            self.params,
-            self.model_cfg,
-            jnp.asarray(input_ids),
-            jnp.asarray(segment_ids),
-            jnp.asarray(position_ids),
-            jnp.asarray(gen_pos_start),
-            max_new_tokens=self.config.data.max_response_length,
-            sampling=sampling.override(n=1),
-            key=self._next_key(),
-            vision=vision,
-        )
+        rollout_cfg = self.config.worker.rollout
+        if rollout_cfg.name == "continuous" and vision is None:
+            from ..rollout.continuous import generate_continuous
+
+            slots = rollout_cfg.decode_batch_size
+            result = generate_continuous(
+                self.params, self.model_cfg,
+                input_ids, segment_ids, position_ids, gen_pos_start,
+                max_new_tokens=self.config.data.max_response_length,
+                sampling=sampling.override(n=1),
+                key=self._next_key(),
+                slots=slots if slots > 0 else min(len(repeated), 32),
+            )
+        else:
+            result = self.generate_fn(
+                self.params,
+                self.model_cfg,
+                jnp.asarray(input_ids),
+                jnp.asarray(segment_ids),
+                jnp.asarray(position_ids),
+                jnp.asarray(gen_pos_start),
+                max_new_tokens=self.config.data.max_response_length,
+                sampling=sampling.override(n=1),
+                key=self._next_key(),
+                vision=vision,
+            )
         responses = np.asarray(result.responses)
         response_mask = np.asarray(result.response_mask)
 

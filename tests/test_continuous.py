@@ -1,0 +1,90 @@
+"""Continuous-batching engine tests: greedy parity with the dense engine, slot
+refill bookkeeping across a queue larger than the slot count, and EOS/length
+edge cases."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialthinker_tpu.models.qwen2_5_vl import qwen25_vl_tiny
+from spatialthinker_tpu.models.qwen2_5_vl.params import params_from_hf_state_dict
+from spatialthinker_tpu.rollout.continuous import generate_continuous
+from spatialthinker_tpu.rollout.engine import generate
+from spatialthinker_tpu.rollout.sampling import SamplingParams
+
+torch = pytest.importorskip("torch")
+from tests.test_model_golden import make_hf_model, CFG as GOLD_CFG
+
+
+@pytest.fixture(scope="module")
+def jax_params():
+    hf = make_hf_model()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    return params_from_hf_state_dict(state, GOLD_CFG, dtype=jnp.float32)
+
+
+def _prompts(rng, b, p):
+    input_ids = rng.integers(5, 900, size=(b, p), dtype=np.int32)
+    seg = np.ones((b, p), dtype=np.int32)
+    pos = np.tile(np.arange(p, dtype=np.int32)[None, None], (3, b, 1))
+    gen_start = np.full((b,), p, dtype=np.int32)
+    return input_ids, seg, pos, gen_start
+
+
+def test_continuous_matches_dense_greedy(jax_params):
+    rng = np.random.default_rng(0)
+    b, p, r = 6, 8, 6
+    ids, seg, pos, gs = _prompts(rng, b, p)
+
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=2, decode_chunk_size=2,
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), cont.responses)
+    np.testing.assert_array_equal(np.asarray(dense.response_mask), cont.response_mask)
+
+
+def test_continuous_refill_more_prompts_than_slots(jax_params):
+    rng = np.random.default_rng(1)
+    b, p, r = 10, 8, 5
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), slots=3, decode_chunk_size=4,
+    )
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), cont.responses)
+
+
+def test_continuous_logprobs_match_dense(jax_params):
+    rng = np.random.default_rng(2)
+    b, p, r = 4, 8, 5
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(3), slots=2, decode_chunk_size=3,
+    )
+    mask = cont.response_mask.astype(bool)
+    np.testing.assert_allclose(
+        cont.rollout_log_probs[mask], np.asarray(dense.rollout_log_probs)[mask],
+        rtol=2e-3, atol=2e-3,
+    )

@@ -132,3 +132,13 @@ def test_rollout_logprob_reuse(tmp_path):
     assert np.isfinite(metrics["actor/pg_loss"])
     # old pass skipped => negligible 'old' timing vs gen timing
     assert metrics["timing_s/old"] < metrics["timing_s/gen"]
+
+
+def test_continuous_rollout_in_trainer(tmp_path):
+    trainer, cfg = build_trainer(tmp_path)
+    cfg.worker.rollout.name = "continuous"
+    cfg.worker.rollout.decode_batch_size = 4
+    batch = next(iter(trainer.train_dataloader))
+    metrics = trainer.train_step(batch)
+    assert np.isfinite(metrics["actor/pg_loss"])
+    assert metrics["response_length/mean"] > 0
