@@ -24,7 +24,7 @@ import time
 
 H100_VLLM_3B_TOKS = 2800.0  # nominal anchor, see module docstring
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT", "128"))
 GEN_LEN = int(os.environ.get("BENCH_GEN", "128"))
 PRESET = os.environ.get("BENCH_PRESET", "3b")

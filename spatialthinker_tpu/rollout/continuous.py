@@ -83,6 +83,7 @@ def prefill_slots(
     gen_pos_start: jnp.ndarray,   # (k,)
     valid: jnp.ndarray,           # (k,) bool — False rows are queue padding
     sampling: SamplingParams,
+    vision=None,                  # Optional[VisionInputs] for this prompt batch
 ) -> SlotState:
     """Run the prompt forward for k sequences and install them in `slot_ids`."""
     k, p = input_ids.shape
@@ -95,7 +96,7 @@ def prefill_slots(
     hidden, scratch = forward(
         params, cfg, input_ids, position_ids,
         segment_ids=segment_ids.astype(jnp.int32), cache=scratch,
-        kv_segment_ids=segment_ids.astype(jnp.int32),
+        kv_segment_ids=segment_ids.astype(jnp.int32), vision=vision,
     )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
@@ -266,6 +267,9 @@ def generate_continuous(
     slots: int = 32,
     decode_chunk_size: int = 32,
     kv_cache_dtype=jnp.bfloat16,
+    patches_list=None,           # per-prompt (N_i, Din) arrays (multimodal)
+    grids_list=None,             # per-prompt (num_images, 3) grids
+    vision_bucket: int = 0,      # patches per refill batch (0 = auto)
 ) -> ContinuousResult:
     """Generate B sequences through `slots` concurrent decode lanes with
     refill. Prefill batch size is fixed at `slots` (queue is padded), so the
@@ -290,6 +294,12 @@ def generate_continuous(
     slot_owner = np.full(slots + 1, -1, dtype=np.int64)
     next_prompt = 0
 
+    multimodal = patches_list is not None and any(p is not None for p in patches_list)
+    if multimodal and vision_bucket <= 0:
+        per_prompt = [0 if p is None else p.shape[0] for p in patches_list]
+        unit = cfg.vision.spatial_merge_unit
+        vision_bucket = -(-max(per_prompt) * slots // unit) * unit
+
     def refill(state, free_slot_list):
         nonlocal next_prompt, slot_owner
         k = slots  # fixed prefill batch -> exactly one compiled kernel
@@ -304,15 +314,32 @@ def generate_continuous(
             valid[j] = True
             slot_owner[slot] = next_prompt
             next_prompt += 1
+        ids_batch = input_ids[rows].copy()
+        seg_batch = segment_ids[rows].copy()
+        # padding rows must carry NO tokens (image-token gather alignment)
+        ids_batch[~valid] = 0
+        seg_batch[~valid] = 0
+        vision = None
+        if multimodal:
+            from ..data.packing import pack_vision_batch
+
+            vision = pack_vision_batch(
+                [patches_list[int(r)] if v else None for r, v in zip(rows, valid)],
+                [grids_list[int(r)] if v else None for r, v in zip(rows, valid)],
+                cfg.vision, pad_to=vision_bucket,
+            )
+            if vision is not None:
+                vision = jax.tree.map(jnp.asarray, vision)
         state = prefill_jit(
             params, cfg, state,
             jnp.asarray(targets),
-            jnp.asarray(input_ids[rows]),
-            jnp.asarray(segment_ids[rows]),
+            jnp.asarray(ids_batch),
+            jnp.asarray(seg_batch),
             jnp.asarray(position_ids[:, rows]),
             jnp.asarray(gen_pos_start[rows]),
             jnp.asarray(valid),
             sampling,
+            vision,
         )
         return state
 

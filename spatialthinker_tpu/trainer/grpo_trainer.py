@@ -270,7 +270,7 @@ class GRPOTrainer:
         gen_pos_start = repeated.tensors["gen_pos_start"]
 
         rollout_cfg = self.config.worker.rollout
-        if rollout_cfg.name == "continuous" and vision is None:
+        if rollout_cfg.name == "continuous":
             from ..rollout.continuous import generate_continuous
 
             slots = rollout_cfg.decode_batch_size
@@ -281,6 +281,8 @@ class GRPOTrainer:
                 sampling=sampling.override(n=1),
                 key=self._next_key(),
                 slots=slots if slots > 0 else min(len(repeated), 32),
+                patches_list=list(repeated.non_tensors["patches"]),
+                grids_list=list(repeated.non_tensors["image_grid_thw"]),
             )
         else:
             result = self.generate_fn(

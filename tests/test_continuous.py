@@ -88,3 +88,62 @@ def test_continuous_logprobs_match_dense(jax_params):
         cont.rollout_log_probs[mask], np.asarray(dense.rollout_log_probs)[mask],
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_continuous_multimodal_matches_dense(jax_params):
+    """Multimodal prompts through the continuous engine == dense engine."""
+    from spatialthinker_tpu.models.qwen2_5_vl import (
+        VisionInputs, pad_vision_inputs, prepare_vision_aux,
+    )
+    from spatialthinker_tpu.data.packing import pack_vision_batch
+
+    rng = np.random.default_rng(3)
+    b, r = 4, 5
+    din = 3 * GOLD_CFG.vision.temporal_patch_size * GOLD_CFG.vision.patch_size**2
+    grid = np.asarray([[1, 4, 4]])
+    n_img_tokens = 4
+
+    patches_list, grids_list, prompts = [], [], []
+    for i in range(b):
+        patches_list.append(rng.normal(size=(16, din)).astype(np.float32))
+        grids_list.append(grid)
+        ids = (
+            [5 + i, GOLD_CFG.vision_start_token_id]
+            + [GOLD_CFG.image_token_id] * n_img_tokens
+            + [GOLD_CFG.vision_end_token_id, 9, 10 + i]
+        )
+        prompts.append(ids)
+    p = len(prompts[0])
+    input_ids = np.asarray(prompts, dtype=np.int32)
+    seg = np.ones((b, p), dtype=np.int32)
+
+    from spatialthinker_tpu.models.qwen2_5_vl import get_mrope_position_ids
+
+    pos = np.zeros((3, b, p), dtype=np.int64)
+    gen_start = np.zeros(b, dtype=np.int32)
+    for i in range(b):
+        pi, delta = get_mrope_position_ids(
+            input_ids[i], grid,
+            spatial_merge_size=GOLD_CFG.vision.spatial_merge_size,
+            image_token_id=GOLD_CFG.image_token_id,
+            video_token_id=GOLD_CFG.video_token_id,
+            vision_start_token_id=GOLD_CFG.vision_start_token_id,
+        )
+        pos[:, i] = pi
+        gen_start[i] = pi.max() + 1
+
+    # dense path with one batch-level pack
+    vision = pack_vision_batch(patches_list, grids_list, GOLD_CFG.vision, granularity=16)
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(input_ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gen_start),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+        vision=jax.tree.map(jnp.asarray, vision),
+    )
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, input_ids, seg, pos, gen_start,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), slots=2, decode_chunk_size=3,
+        patches_list=patches_list, grids_list=grids_list,
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), cont.responses)
