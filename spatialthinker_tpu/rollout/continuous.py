@@ -18,7 +18,6 @@ finished/step vectors and harvested response rows.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
