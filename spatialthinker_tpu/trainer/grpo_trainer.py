@@ -262,7 +262,6 @@ class GRPOTrainer:
         n = sampling.n
         repeated = batch.repeat(n, interleave=True) if n > 1 else batch
         repeated = self.trim_prompt_padding(repeated)
-        vision = self._pack_vision(repeated)
 
         input_ids = repeated.tensors["input_ids"]
         segment_ids = repeated.tensors["segment_ids"]
@@ -295,7 +294,7 @@ class GRPOTrainer:
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
                 key=self._next_key(),
-                vision=vision,
+                vision=self._pack_vision(repeated),
             )
         responses = np.asarray(result.responses)
         response_mask = np.asarray(result.response_mask)
@@ -484,6 +483,8 @@ class GRPOTrainer:
                     meta=dict(batch.meta),
                 )
                 n_micro = max(mini_bs // micro_global, 1)
+                while mini_bs % n_micro:  # micro dim must divide the mini-batch
+                    n_micro -= 1
                 tb = self._train_batch_views(mini)
 
                 def reshape_micro(x):
@@ -541,6 +542,8 @@ class GRPOTrainer:
                     meta=dict(batch.meta),
                 )
                 n_micro = max(mini_bs // micro_global, 1)
+                while mini_bs % n_micro:  # micro dim must divide the mini-batch
+                    n_micro -= 1
                 tb = self._train_batch_views(mini)
 
                 def reshape_micro(x):
@@ -755,10 +758,12 @@ class GRPOTrainer:
             reward_tensor, metrics = self.val_reward_fn(rolled)
             for k, v in metrics.items():
                 all_scores[k].extend(v)
-            if len(samples) < self.config.trainer.val_generations_to_log:
+            cap = self.config.trainer.val_generations_to_log
+            if len(samples) < cap:
+                take = min(cap - len(samples), len(rolled))
                 lengths = rolled.tensors["response_mask"].sum(-1)
                 texts = self.tokenizer.batch_decode(
-                    [rolled.tensors["responses"][i, : lengths[i]] for i in range(min(3, len(rolled)))],
+                    [rolled.tensors["responses"][i, : lengths[i]] for i in range(take)],
                     skip_special_tokens=True,
                 )
                 for i, text in enumerate(texts):
