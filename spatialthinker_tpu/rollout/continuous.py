@@ -101,9 +101,10 @@ def prefill_slots(
 
     key, subkey = jax.random.split(state.key)
     first = sample_tokens(last_logits, subkey, sampling)
-    first_logp = jnp.take_along_axis(
-        jax.nn.log_softmax(last_logits, axis=-1), first[:, None], axis=-1
-    )[:, 0]
+    first_logp = (
+        jnp.take_along_axis(last_logits, first[:, None], axis=-1)[:, 0]
+        - jax.scipy.special.logsumexp(last_logits, axis=-1)
+    )
     finished0 = (first == cfg.eos_token_id) | ~valid
 
     cache_k = state.cache_k.at[:, slot_ids, :p].set(scratch.k)
@@ -205,9 +206,10 @@ def decode_chunk(
 
         key, subkey = jax.random.split(state.key)
         sampled = sample_tokens(logits, subkey, sampling)
-        logp = jnp.take_along_axis(
-            jax.nn.log_softmax(logits, axis=-1), sampled[:, None], axis=-1
-        )[:, 0]
+        logp = (
+            jnp.take_along_axis(logits, sampled[:, None], axis=-1)[:, 0]
+            - jax.scipy.special.logsumexp(logits, axis=-1)
+        )
 
         max_new = state.responses.shape[1]
         write_step = jnp.clip(state.steps, 0, max_new - 1)

@@ -71,8 +71,10 @@ def _decode_step(
 
     key, subkey = jax.random.split(state.key)
     sampled = sample_tokens(logits, subkey, sampling)
-    logp_all = jax.nn.log_softmax(logits, axis=-1)
-    token_logp = jnp.take_along_axis(logp_all, sampled[:, None], axis=-1)[:, 0]
+    # token logp via logsumexp reduction — avoids materializing a (B, V)
+    # log-softmax array every decode step
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    token_logp = jnp.take_along_axis(logits, sampled[:, None], axis=-1)[:, 0] - lse
 
     next_tokens = jnp.where(state.finished, pad_id, sampled)
     token_logp = jnp.where(state.finished, 0.0, token_logp)
@@ -123,9 +125,10 @@ def generate(
 
     key, subkey = jax.random.split(key)
     first_token = sample_tokens(last_logits, subkey, sampling)
-    first_logp = jnp.take_along_axis(
-        jax.nn.log_softmax(last_logits, axis=-1), first_token[:, None], axis=-1
-    )[:, 0]
+    first_logp = (
+        jnp.take_along_axis(last_logits, first_token[:, None], axis=-1)[:, 0]
+        - jax.scipy.special.logsumexp(last_logits, axis=-1)
+    )
     finished0 = first_token == cfg.eos_token_id
 
     # ---- decode remaining R-1 tokens ----
