@@ -142,3 +142,53 @@ def test_continuous_rollout_in_trainer(tmp_path):
     metrics = trainer.train_step(batch)
     assert np.isfinite(metrics["actor/pg_loss"])
     assert metrics["response_length/mean"] > 0
+
+
+def test_multimodal_train_step(tmp_path):
+    """Full GRPO step with images: dataset smart-resize/patchify -> packed
+    vision tower -> multimodal generate -> vision micro-batched update."""
+    cfg = build_config(
+        [
+            "data.max_prompt_length=64",
+            "data.max_response_length=8",
+            "data.rollout_batch_size=2",
+            "data.min_pixels=3136",   # keep images at 56x56 -> (1,4,4) grids
+            "data.max_pixels=3136",
+            "worker.rollout.n=2",
+            "worker.actor.global_batch_size=4",
+            "worker.actor.micro_batch_size_per_device_for_update=2",
+            "worker.actor.micro_batch_size_per_device_for_experience=2",
+            "worker.reward.score_function=r1v",
+            "trainer.logger=['console']",
+            f"trainer.save_checkpoint_path={tmp_path}/ckpt",
+            "worker.actor.sharding.fsdp_size=-1",
+            "worker.actor.sharding.model_size=1",
+        ]
+    )
+    tok = FakeTokenizer(VOCAB)
+    model_cfg = qwen25_vl_tiny(VOCAB)
+    params = init_params(model_cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    rows = [
+        {
+            "problem": f"What color is object {i}? Image size: (56 x 56)",
+            "answer": "red",
+            "image": rng.integers(0, 255, size=(56, 56, 3), dtype=np.uint8),
+        }
+        for i in range(4)
+    ]
+    ds = RLHFDataset.from_rows(rows, tok, cfg.data, model_cfg)
+    item = ds[0]
+    assert item["patches"] is not None and item["image_grid_thw"].tolist() == [[1, 4, 4]]
+    assert (item["input_ids"] == model_cfg.image_token_id).sum() == 4  # merged tokens
+
+    loader = DataLoader(ds, cfg.data.rollout_batch_size, shuffle=False)
+    reward = RewardManager(tok, "r1v", num_workers=1)
+    trainer = GRPOTrainer(
+        config=cfg, tokenizer=tok, model_cfg=model_cfg, params=params,
+        train_dataloader=loader, reward_fn=reward,
+    )
+    batch = next(iter(loader))
+    metrics = trainer.train_step(batch)
+    assert np.isfinite(metrics["actor/pg_loss"])
+    assert np.isfinite(metrics["critic/score/mean"])
