@@ -16,7 +16,10 @@ Qwen2_5_VisionTransformerPretrainedModel performs:
   the end (merged granularity).
 - Window vs full attention per block becomes a choice of segment-id vector;
   attention itself is the shared ops.attention (static shapes, padding via
-  segment id 0).
+  segment id 0). Measured on v5e: ~124 ms per 4096-patch image on the 3B
+  tower. Planned upgrade: lay windows out uniformly (pad each to the merger
+  window size) so windowed blocks run as dense (num_windows, 64, ...) batched
+  attention instead of a masked full-sequence pass.
 """
 
 from __future__ import annotations

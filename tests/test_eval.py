@@ -140,3 +140,22 @@ def test_harness_end_to_end(tmp_path, monkeypatch):
                                    batch_size=3, output_file=out_file),
     )
     assert summary2["n"] == 6
+
+
+def test_jax_provider_generates(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from spatialthinker_tpu.eval.providers import JaxProvider
+    from spatialthinker_tpu.models.qwen2_5_vl import init_params, qwen25_vl_tiny
+    from tests.fake_tokenizer import FakeTokenizer
+
+    cfg = qwen25_vl_tiny(1024)
+    params = init_params(cfg, jax.random.key(0))
+    tok = FakeTokenizer(1024)
+    provider = JaxProvider(
+        params, cfg, tok, max_new_tokens=6, temperature=0.0, max_prompt_length=32,
+    )
+    outs = provider.generate(["What is two plus two?", "Name a color."], [[], []])
+    assert len(outs) == 2
+    assert all(isinstance(o, str) for o in outs)
