@@ -412,6 +412,55 @@ class GRPOTrainer:
 
     # ----------------------------------------------------------------- update
 
+    def _iter_minibatches(self, batch: RolloutBatch, mini_bs: int, ppo_epochs: int,
+                          seed_mult: int):
+        """Shuffled full mini-batches for ppo_epochs passes (shared by the
+        actor/packed/critic update loops)."""
+        bs = len(batch)
+        for epoch in range(ppo_epochs):
+            order = np.random.default_rng(self.global_step * seed_mult + epoch).permutation(bs)
+            for start in range(0, bs - mini_bs + 1, mini_bs):
+                idx = order[start : start + mini_bs]
+                yield RolloutBatch(
+                    tensors={k: v[idx] for k, v in batch.tensors.items()},
+                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
+                    meta=dict(batch.meta),
+                )
+
+    @staticmethod
+    def _fit_n_micro(mini_bs: int, micro_global: int) -> int:
+        n_micro = max(mini_bs // micro_global, 1)
+        while mini_bs % n_micro:  # micro dim must divide the mini-batch
+            n_micro -= 1
+        return n_micro
+
+    @staticmethod
+    def _reshape_micro(x, n_micro: int):
+        """Add the leading micro dim ((3,B,S) position ids keep 3 second)."""
+        x = np.asarray(x)
+        if x.ndim >= 2 and x.shape[0] == 3:
+            return (
+                x.reshape(3, n_micro, x.shape[1] // n_micro, *x.shape[2:])
+                .transpose(1, 0, 2, 3)
+            )
+        return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+
+    def _micro_vision_packs(self, mini: RolloutBatch, n_micro: int):
+        """One vision pack per micro-batch, common bucket, stacked for scan."""
+        from ..data.packing import stack_vision_packs
+
+        pieces = mini.split(len(mini) // n_micro)
+        packs = [
+            pack_vision_batch(
+                list(p.non_tensors["patches"]),
+                list(p.non_tensors["image_grid_thw"]),
+                self.model_cfg.vision,
+            )
+            for p in pieces
+        ]
+        vision = stack_vision_packs(packs, self.model_cfg.vision)
+        return jax.tree.map(jnp.asarray, vision) if vision is not None else None
+
     def _update_actor_packed(self, batch: RolloutBatch) -> Dict[str, float]:
         """Padding-free policy update: mini-batches are bin-packed into rows."""
         from ..data.text_packing import pad_rows_to_multiple
@@ -423,15 +472,7 @@ class GRPOTrainer:
         mini_bs = min(actor_cfg.global_batch_size, bs)
         micro_rows = max(actor_cfg.micro_batch_size_per_device_for_update, 1)
 
-        for epoch in range(actor_cfg.ppo_epochs):
-            order = np.random.default_rng(self.global_step * 131 + epoch).permutation(bs)
-            for start in range(0, bs - mini_bs + 1, mini_bs):
-                idx = order[start : start + mini_bs]
-                mini = RolloutBatch(
-                    tensors={k: v[idx] for k, v in batch.tensors.items()},
-                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
-                    meta=dict(batch.meta),
-                )
+        for mini in self._iter_minibatches(batch, mini_bs, actor_cfg.ppo_epochs, 131):
                 zeros = np.zeros_like(mini.tensors["old_log_probs"])
                 packed, _ = self._pack_rows(
                     mini,
@@ -473,50 +514,17 @@ class GRPOTrainer:
             micro * max(n_dev // actor_cfg.sharding.model_size, 1), 1
         )
 
-        for epoch in range(actor_cfg.ppo_epochs):
-            order = np.random.default_rng(self.global_step * 131 + epoch).permutation(bs)
-            for start in range(0, bs - mini_bs + 1, mini_bs):
-                idx = order[start : start + mini_bs]
-                mini = RolloutBatch(
-                    tensors={k: v[idx] for k, v in batch.tensors.items()},
-                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
-                    meta=dict(batch.meta),
-                )
-                n_micro = max(mini_bs // micro_global, 1)
-                while mini_bs % n_micro:  # micro dim must divide the mini-batch
-                    n_micro -= 1
-                tb = self._train_batch_views(mini)
-
-                def reshape_micro(x):
-                    if x.ndim >= 2 and x.shape[0] == 3:  # (3, B, S)
-                        return (
-                            x.reshape(3, n_micro, x.shape[1] // n_micro, *x.shape[2:])
-                            .transpose(1, 0, 2, 3)
-                        )
-                    return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
-
-                micro_batches = TrainBatch(*[reshape_micro(np.asarray(x)) for x in tb])
-                micro_batches = jax.tree.map(jnp.asarray, micro_batches)
-                # one vision pack per micro-batch, common bucket, scanned together
-                from ..data.packing import pack_vision_batch, stack_vision_packs
-
-                pieces = mini.split(mini_bs // n_micro)
-                packs = [
-                    pack_vision_batch(
-                        list(p.non_tensors["patches"]),
-                        list(p.non_tensors["image_grid_thw"]),
-                        self.model_cfg.vision,
-                    )
-                    for p in pieces
-                ]
-                vision = stack_vision_packs(packs, self.model_cfg.vision)
-                if vision is not None:
-                    vision = jax.tree.map(jnp.asarray, vision)
-                self.params, self.opt_state, metrics = self.update_fn(
-                    self.params, self.opt_state, micro_batches, vision
-                )
-                for k, v in metrics.items():
-                    metrics_acc[k].append(float(v))
+        n_micro = self._fit_n_micro(mini_bs, micro_global)
+        for mini in self._iter_minibatches(batch, mini_bs, actor_cfg.ppo_epochs, 131):
+            tb = self._train_batch_views(mini)
+            micro_batches = TrainBatch(*[self._reshape_micro(x, n_micro) for x in tb])
+            micro_batches = jax.tree.map(jnp.asarray, micro_batches)
+            vision = self._micro_vision_packs(mini, n_micro)
+            self.params, self.opt_state, metrics = self.update_fn(
+                self.params, self.opt_state, micro_batches, vision
+            )
+            for k, v in metrics.items():
+                metrics_acc[k].append(float(v))
         return reduce_metrics(metrics_acc)
 
     def update_critic(self, batch: RolloutBatch) -> Dict[str, float]:
@@ -530,53 +538,21 @@ class GRPOTrainer:
         n_dev = self.mesh.devices.size
         micro_global = max(micro * max(n_dev // critic_cfg.sharding.model_size, 1), 1)
 
-        from ..data.packing import pack_vision_batch, stack_vision_packs
-
-        for epoch in range(critic_cfg.ppo_epochs):
-            order = np.random.default_rng(self.global_step * 173 + epoch).permutation(bs)
-            for start in range(0, bs - mini_bs + 1, mini_bs):
-                idx = order[start : start + mini_bs]
-                mini = RolloutBatch(
-                    tensors={k: v[idx] for k, v in batch.tensors.items()},
-                    non_tensors={k: v[idx] for k, v in batch.non_tensors.items()},
-                    meta=dict(batch.meta),
-                )
-                n_micro = max(mini_bs // micro_global, 1)
-                while mini_bs % n_micro:  # micro dim must divide the mini-batch
-                    n_micro -= 1
-                tb = self._train_batch_views(mini)
-
-                def reshape_micro(x):
-                    if x.ndim >= 2 and x.shape[0] == 3:
-                        return (
-                            x.reshape(3, n_micro, x.shape[1] // n_micro, *x.shape[2:])
-                            .transpose(1, 0, 2, 3)
-                        )
-                    return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
-
-                micro_tb = TrainBatch(*[reshape_micro(np.asarray(x)) for x in tb])
-                cb = CriticBatch(
-                    train=jax.tree.map(jnp.asarray, micro_tb),
-                    values=jnp.asarray(reshape_micro(mini.tensors["values"])),
-                    returns=jnp.asarray(reshape_micro(mini.tensors["returns"])),
-                )
-                pieces = mini.split(mini_bs // n_micro)
-                packs = [
-                    pack_vision_batch(
-                        list(p.non_tensors["patches"]),
-                        list(p.non_tensors["image_grid_thw"]),
-                        self.model_cfg.vision,
-                    )
-                    for p in pieces
-                ]
-                vision = stack_vision_packs(packs, self.model_cfg.vision)
-                if vision is not None:
-                    vision = jax.tree.map(jnp.asarray, vision)
-                self.critic_params, self.critic_opt_state, metrics = self.critic_update_fn(
-                    self.critic_params, self.critic_opt_state, cb, vision
-                )
-                for k, v in metrics.items():
-                    metrics_acc[k].append(float(v))
+        n_micro = self._fit_n_micro(mini_bs, micro_global)
+        for mini in self._iter_minibatches(batch, mini_bs, critic_cfg.ppo_epochs, 173):
+            tb = self._train_batch_views(mini)
+            micro_tb = TrainBatch(*[self._reshape_micro(x, n_micro) for x in tb])
+            cb = CriticBatch(
+                train=jax.tree.map(jnp.asarray, micro_tb),
+                values=jnp.asarray(self._reshape_micro(mini.tensors["values"], n_micro)),
+                returns=jnp.asarray(self._reshape_micro(mini.tensors["returns"], n_micro)),
+            )
+            vision = self._micro_vision_packs(mini, n_micro)
+            self.critic_params, self.critic_opt_state, metrics = self.critic_update_fn(
+                self.critic_params, self.critic_opt_state, cb, vision
+            )
+            for k, v in metrics.items():
+                metrics_acc[k].append(float(v))
         return reduce_metrics(metrics_acc)
 
     # ------------------------------------------------------------------- fit
