@@ -473,31 +473,31 @@ class GRPOTrainer:
         micro_rows = max(actor_cfg.micro_batch_size_per_device_for_update, 1)
 
         for mini in self._iter_minibatches(batch, mini_bs, actor_cfg.ppo_epochs, 131):
-                zeros = np.zeros_like(mini.tensors["old_log_probs"])
-                packed, _ = self._pack_rows(
-                    mini,
-                    per_token={
-                        "old_log_probs": mini.tensors["old_log_probs"],
-                        "ref_log_probs": mini.tensors.get("ref_log_probs", zeros),
-                        "advantages": mini.tensors["advantages"],
-                    },
-                )
-                n_micro = max((packed.input_ids.shape[0] + micro_rows - 1) // micro_rows, 1)
-                packed = pad_rows_to_multiple(packed, n_micro)
-                rows = packed.input_ids.shape[0]
-                per = rows // n_micro
+            zeros = np.zeros_like(mini.tensors["old_log_probs"])
+            packed, _ = self._pack_rows(
+                mini,
+                per_token={
+                    "old_log_probs": mini.tensors["old_log_probs"],
+                    "ref_log_probs": mini.tensors.get("ref_log_probs", zeros),
+                    "advantages": mini.tensors["advantages"],
+                },
+            )
+            n_micro = max((packed.input_ids.shape[0] + micro_rows - 1) // micro_rows, 1)
+            packed = pad_rows_to_multiple(packed, n_micro)
+            rows = packed.input_ids.shape[0]
+            per = rows // n_micro
 
-                def micro_shape(x):
-                    x = np.asarray(x)
-                    if x.ndim == 3:  # (3, rows, L)
-                        return x.reshape(3, n_micro, per, x.shape[-1]).transpose(1, 0, 2, 3)
-                    return x.reshape(n_micro, per, *x.shape[1:])
+            def micro_shape(x):
+                x = np.asarray(x)
+                if x.ndim == 3:  # (3, rows, L)
+                    return x.reshape(3, n_micro, per, x.shape[-1]).transpose(1, 0, 2, 3)
+                return x.reshape(n_micro, per, *x.shape[1:])
 
-                ptb = PackedTrainBatch(*[jnp.asarray(micro_shape(x)) for x in packed])
-                self.params, self.opt_state, metrics = self.packed_update_fn(
-                    self.params, self.opt_state, ptb
-                )
-                for k, v in metrics.items():
+            ptb = PackedTrainBatch(*[jnp.asarray(micro_shape(x)) for x in packed])
+            self.params, self.opt_state, metrics = self.packed_update_fn(
+                self.params, self.opt_state, ptb
+            )
+            for k, v in metrics.items():
                     metrics_acc[k].append(float(v))
         return reduce_metrics(metrics_acc)
 
