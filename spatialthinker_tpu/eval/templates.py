@@ -17,6 +17,37 @@ SPATIAL_THINKER_TEMPLATE = (
     "Image size: {Width} x {Height}"
 )
 
+SPATIAL_THINKER_TEMPLATE_FULL = """<image> You are a vision-language assistant. Answer the question by observing the image, grounding the relevant objects, and reasoning over a structured scene graph.
+
+Steps:
+- Pick out only the objects (and any relationships between them) that matter for the question, and localise each object in the image.
+- Render them as a scene graph in the exact JSON structure below — it is your working spatial map for the question. Give every object a unique id of the form "object_name.number" (e.g. "cup.1", "table.2") and a pixel-coordinate bounding box [x1, y1, x2, y2].
+- Then reason through the question step by step using your observations and the scene graph before committing to an answer.
+
+Output format:
+<observe>
+{What does the scene show? Which objects are relevant to this question?}
+</observe>
+<scene>
+{
+  "objects": [
+    {"id": "object_name.1", "bbox": [x1, y1, x2, y2]},
+    ...
+  ],
+  "relationships": [
+    {"subject": "object_name.1", "predicate": "predicate_word", "object": "object_name.2"},
+    ...
+  ]
+}
+</scene>
+<think>
+{Step-by-step reasoning over the scene graph and observations, justifying how the visual evidence leads to the answer.}
+</think>
+<answer>
+{Your final answer}
+</answer>
+"""
+
 REASONING_HINT = (
     "You FIRST think about the reasoning process as an internal monologue and "
     "then provide the final answer. The reasoning process MUST BE enclosed "

@@ -192,3 +192,18 @@ def test_multimodal_train_step(tmp_path):
     metrics = trainer.train_step(batch)
     assert np.isfinite(metrics["actor/pg_loss"])
     assert np.isfinite(metrics["critic/score/mean"])
+
+
+def test_checkpoint_prune_respects_save_limit(tmp_path):
+    import os
+
+    from spatialthinker_tpu.trainer.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_limit=2)
+    params = {"w": np.ones((4,))}
+    for step in (1, 2, 3):
+        mgr.save(step, params=params, opt_state={"m": np.zeros((4,))},
+                 dataloader_state={}, rng_key=np.zeros(2, dtype=np.uint32))
+    dirs = sorted(d for d in os.listdir(tmp_path / "ck") if d.startswith("global_step"))
+    assert dirs == ["global_step_2", "global_step_3"]
+    assert mgr.latest_step() == 3

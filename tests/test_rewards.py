@@ -316,3 +316,19 @@ def test_reward_manager_places_reward_on_last_token():
     assert rewards[1, 2] == 0.0
     assert metrics["overall"] == [1.0, 0.0]
     assert "format" in metrics and "accuracy" in metrics
+
+
+def test_table_backend_similarity(tmp_path):
+    import numpy as np
+
+    from spatialthinker_tpu.rewards.semantic import TableBackend
+
+    words = np.array(["cat", "kitten", "car"], dtype=object)
+    vectors = np.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]])
+    path = str(tmp_path / "vecs.npz")
+    np.savez(path, words=words, vectors=vectors)
+    backend = TableBackend(path)
+    assert backend.similarity("cat.1", "cat.2") == 1.0
+    assert backend.similarity("cat", "kitten") > backend.similarity("cat", "car")
+    # OOV falls back to the hash backend without crashing
+    assert -1.0 <= backend.similarity("cat", "zeppelin") <= 1.0
