@@ -147,3 +147,33 @@ def test_continuous_multimodal_matches_dense(jax_params):
         patches_list=patches_list, grids_list=grids_list,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), cont.responses)
+
+
+def test_continuous_fewer_prompts_than_slots(jax_params):
+    rng = np.random.default_rng(4)
+    b, p, r = 2, 8, 4
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=8, decode_chunk_size=2,
+    )
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), cont.responses)
+
+
+def test_continuous_single_token_budget(jax_params):
+    rng = np.random.default_rng(5)
+    b, p = 3, 8
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=1, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=2, decode_chunk_size=4,
+    )
+    assert cont.responses.shape == (3, 1)
+    assert cont.response_mask.sum() >= 3  # every prompt got its one token
