@@ -10,6 +10,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..models.qwen2_5_vl import VisionInputs, prepare_vision_aux
+from ..models.qwen2_5_vl.vision import apply_patch_layout, window_patch_len
 from ..models.qwen2_5_vl.config import VisionConfig
 from ..models.qwen2_5_vl.vision import pad_vision_inputs
 
@@ -38,10 +39,12 @@ def pack_vision_batch(
         return None
     all_patches = np.concatenate(patches, axis=0)
     aux = prepare_vision_aux(grids, cfg)
-    permuted = all_patches[aux.patch_perm]
+    layout = apply_patch_layout(all_patches, aux)
+    wlen = window_patch_len(cfg)
     if pad_to is None:
-        pad_to = bucket_size(aux.num_patches, granularity * cfg.spatial_merge_unit)
-    p, pid, sf, sw, rev = pad_vision_inputs(permuted, aux, pad_to, cfg.spatial_merge_unit)
+        pad_to = bucket_size(aux.num_patches, max(granularity * cfg.spatial_merge_unit, wlen))
+    pad_to = -(-pad_to // wlen) * wlen  # whole windows only
+    p, pid, sf, sw, rev = pad_vision_inputs(layout, aux, pad_to, cfg.spatial_merge_unit)
     return VisionInputs(
         patches=p.astype(np.float32),
         pos_ids=pid,

@@ -3,7 +3,7 @@ from .model import VisionInputs, forward, forward_logits, init_params, merge_mul
 from .params import config_from_hf_json, load_params, params_from_hf_state_dict
 from .rope import get_mrope_position_ids
 from .text import KVCache, forward_hidden, init_text_params, logits_from_hidden
-from .vision import VisionAux, pad_vision_inputs, prepare_vision_aux, vision_forward
+from .vision import VisionAux, apply_patch_layout, pad_vision_inputs, prepare_vision_aux, vision_forward, window_patch_len
 
 __all__ = [
     "Qwen25VLConfig", "TextConfig", "VisionConfig", "get_config",

@@ -10,16 +10,15 @@ Qwen2_5_VisionTransformerPretrainedModel performs:
   rotary position ids, reverse index) depends only on image grid shapes, so it
   is precomputed on the host in numpy (``prepare_vision_aux``) and enters the
   device program as dense int arrays — no data-dependent control flow under jit.
+- UNIFORM-WINDOW layout: every window occupies exactly window_patch_len
+  consecutive slots (edge windows padded in place), so the 28 windowed blocks
+  run as a dense (num_windows, 64, heads, d) batched attention — no
+  cross-window mask work at all; only the 4 full-attention blocks pay for a
+  masked full-sequence pass (flash kernel above the seq threshold).
 - The HF model permutes hidden states into window order after embedding; since
-  the patch embed is pointwise per patch, we permute the PATCH ROWS on the
-  host instead, run the whole tower in window order, and un-permute once at
-  the end (merged granularity).
-- Window vs full attention per block becomes a choice of segment-id vector;
-  attention itself is the shared ops.attention (static shapes, padding via
-  segment id 0). Measured on v5e: ~124 ms per 4096-patch image on the 3B
-  tower. Planned upgrade: lay windows out uniformly (pad each to the merger
-  window size) so windowed blocks run as dense (num_windows, 64, ...) batched
-  attention instead of a masked full-sequence pass.
+  the patch embed is pointwise per patch, the HOST scatters the patch rows
+  into the layout instead (apply_patch_layout) and the device un-permutes once
+  at the end (merged granularity, reverse_index).
 """
 
 from __future__ import annotations
@@ -45,51 +44,53 @@ Params = Dict[str, Any]
 
 @dataclass
 class VisionAux:
-    """Everything the device tower needs besides the pixels, in window order."""
+    """Everything the device tower needs besides the pixels, in the
+    UNIFORM-WINDOW layout: every window occupies exactly
+    spatial_merge_unit * vit_window^2 consecutive patch slots (image-edge
+    windows are padded in place), so windowed blocks run as a dense
+    (num_windows, window_len, ...) batched attention with no cross-window
+    masking — the TPU-shaped replacement for variable-size window segments."""
 
-    patch_perm: np.ndarray     # (N,) permutation applied to patch rows (host side)
-    pos_ids: np.ndarray        # (N, 2) h/w rotary position ids, window order
-    seg_full: np.ndarray       # (N,) segment id per image (full-attention blocks)
-    seg_window: np.ndarray     # (N,) segment id per window (windowed blocks)
-    reverse_index: np.ndarray  # (N/merge_unit,) un-permutation of merged outputs
-    num_patches: int           # true N before padding
-    num_merged: int            # true N / merge_unit before padding
-
-
-def _window_partition(grid_t: int, llm_h: int, llm_w: int, win: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Merged-position indices grouped into win x win windows + per-window sizes."""
-    index = np.arange(grid_t * llm_h * llm_w).reshape(grid_t, llm_h, llm_w)
-    pad_h = (-llm_h) % win
-    pad_w = (-llm_w) % win
-    index = np.pad(index, ((0, 0), (0, pad_h), (0, pad_w)), constant_values=-100)
-    nh, nw = (llm_h + pad_h) // win, (llm_w + pad_w) // win
-    index = index.reshape(grid_t, nh, win, nw, win).transpose(0, 1, 3, 2, 4)
-    index = index.reshape(grid_t, nh * nw, win, win)
-    seqlens = (index != -100).sum(axis=(2, 3)).reshape(-1)  # merged positions per window
-    flat = index.reshape(-1)
-    return flat[flat != -100], seqlens
+    patch_perm: np.ndarray     # (N',) source patch index per layout slot, -1 = pad
+    pos_ids: np.ndarray        # (N', 2) h/w rotary ids (0 on pads)
+    seg_full: np.ndarray       # (N',) frame id per slot (full-attn blocks), 0 on pads
+    seg_window: np.ndarray     # (N',) window id per slot, 0 on pads
+    reverse_index: np.ndarray  # (num_merged_natural,) layout merged slot per natural position
+    num_patches: int           # N' = layout size (incl. intra-window pads)
+    num_merged: int            # natural merged token count (pre-padding)
 
 
 def prepare_vision_aux(grid_thw: Sequence[Tuple[int, int, int]], cfg: VisionConfig) -> VisionAux:
-    """Compute window permutation + segment ids + rotary pos ids for a batch of
-    images (all concatenated into one packed vision sequence)."""
+    """Compute the uniform-window layout + segment ids + rotary pos ids for a
+    batch of images (all concatenated into one packed vision sequence)."""
     merge = cfg.spatial_merge_size
     unit = cfg.spatial_merge_unit
     win = cfg.window_size // merge // cfg.patch_size
 
-    window_indices: List[np.ndarray] = []  # merged granularity, global
-    window_sizes: List[np.ndarray] = []
-    frame_patch_counts: List[int] = []  # full attention is per temporal frame
+    merged_src_parts: List[np.ndarray] = []  # layout -> natural merged idx (-1 pad)
+    window_counts: List[int] = []            # windows per image (x frames)
+    frame_of_merged_parts: List[np.ndarray] = []
     pos_ids_natural: List[np.ndarray] = []
     merged_offset = 0
+    frame_id = 0
+    frame_of_layout_parts: List[np.ndarray] = []
     for t, h, w in grid_thw:
         t, h, w = int(t), int(h), int(w)
         llm_h, llm_w = h // merge, w // merge
-        widx, wsizes = _window_partition(t, llm_h, llm_w, win)
-        window_indices.append(widx + merged_offset)
-        window_sizes.append(wsizes)
+        index = np.arange(t * llm_h * llm_w).reshape(t, llm_h, llm_w)
+        pad_h = (-llm_h) % win
+        pad_w = (-llm_w) % win
+        index = np.pad(index, ((0, 0), (0, pad_h), (0, pad_w)), constant_values=-1)
+        nh, nw = (llm_h + pad_h) // win, (llm_w + pad_w) // win
+        index = index.reshape(t, nh, win, nw, win).transpose(0, 1, 3, 2, 4)
+        flat = index.reshape(-1)  # (t * nh * nw * win * win,), -1 on pads
+        merged_src_parts.append(np.where(flat >= 0, flat + merged_offset, -1))
+        window_counts.append(t * nh * nw)
+        # frame id for every layout merged slot of this image (valid slots only)
+        frames = np.repeat(np.arange(frame_id + 1, frame_id + t + 1), nh * nw * win * win)
+        frame_of_layout_parts.append(np.where(flat >= 0, frames, 0))
+        frame_id += t
         merged_offset += t * llm_h * llm_w
-        frame_patch_counts.extend([h * w] * t)
 
         # h/w position ids in NATURAL patch order, grouped by merge blocks
         # (patch rows inside a merged 2x2 block are consecutive).
@@ -103,28 +104,39 @@ def prepare_vision_aux(grid_thw: Sequence[Tuple[int, int, int]], cfg: VisionConf
         per_frame = np.stack([_block_order(hpos), _block_order(wpos)], axis=-1)
         pos_ids_natural.append(np.tile(per_frame, (t, 1)))
 
-    window_index = np.concatenate(window_indices)  # (num_merged,)
-    pos_natural = np.concatenate(pos_ids_natural)  # (N, 2)
-    num_merged = window_index.shape[0]
-    num_patches = num_merged * unit
+    merged_src = np.concatenate(merged_src_parts)        # (layout_merged,)
+    frame_of_layout = np.concatenate(frame_of_layout_parts)
+    pos_natural = np.concatenate(pos_ids_natural)        # (N_natural, 2)
+    num_merged = merged_offset
+    layout_merged = merged_src.shape[0]
+    num_patches = layout_merged * unit
 
-    # patch permutation: merged block m moves to slot j => its `unit` patch rows move together
-    patch_perm = (window_index[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
-    pos_ids = pos_natural[patch_perm]
+    # patch-level source map: merged slot expands to `unit` consecutive patches
+    patch_src = np.where(
+        merged_src[:, None] >= 0,
+        merged_src[:, None] * unit + np.arange(unit)[None, :],
+        -1,
+    ).reshape(-1)
 
-    # full-attention segments: one per temporal frame, in window order
-    seg_full_natural = np.repeat(
-        np.arange(1, len(frame_patch_counts) + 1), np.asarray(frame_patch_counts)
-    )
-    seg_full = seg_full_natural[patch_perm]
+    pos_ids = np.zeros((num_patches, 2), dtype=np.int64)
+    valid = patch_src >= 0
+    pos_ids[valid] = pos_natural[patch_src[valid]]
 
-    # window segments: window k covers sizes[k] merged positions in window order
-    all_sizes = np.concatenate(window_sizes)
-    seg_window = np.repeat(np.arange(1, all_sizes.shape[0] + 1), all_sizes * unit)
+    seg_full = np.repeat(frame_of_layout, unit)
 
-    reverse_index = np.argsort(window_index)
+    # window ids: every window is exactly win*win merged slots, consecutive
+    total_windows = sum(window_counts)
+    seg_window_merged = np.repeat(np.arange(1, total_windows + 1), win * win)
+    seg_window = np.repeat(np.where(merged_src >= 0, seg_window_merged, 0), unit)
+
+    # natural merged position m lives at layout slot reverse_index[m]
+    reverse_index = np.zeros(num_merged, dtype=np.int64)
+    layout_positions = np.arange(layout_merged)
+    sel = merged_src >= 0
+    reverse_index[merged_src[sel]] = layout_positions[sel]
+
     return VisionAux(
-        patch_perm=patch_perm.astype(np.int32),
+        patch_perm=patch_src.astype(np.int32),
         pos_ids=pos_ids.astype(np.int32),
         seg_full=seg_full.astype(np.int32),
         seg_window=seg_window.astype(np.int32),
@@ -132,6 +144,31 @@ def prepare_vision_aux(grid_thw: Sequence[Tuple[int, int, int]], cfg: VisionConf
         num_patches=num_patches,
         num_merged=num_merged,
     )
+
+
+def apply_patch_layout(patches: np.ndarray, aux: VisionAux) -> np.ndarray:
+    """Scatter natural-order patch rows into the uniform-window layout
+    (pad slots zero)."""
+    out = np.zeros((aux.patch_perm.shape[0], patches.shape[1]), dtype=patches.dtype)
+    valid = aux.patch_perm >= 0
+    out[valid] = patches[aux.patch_perm[valid]]
+    return out
+
+
+def window_patch_len(cfg: VisionConfig) -> int:
+    win = cfg.window_size // cfg.spatial_merge_size // cfg.patch_size
+    return cfg.spatial_merge_unit * win * win
+
+
+def layout_patch_count(grid_thw, cfg: VisionConfig) -> int:
+    """Uniform-window layout size (patches) for one image grid."""
+    t, h, w = (int(v) for v in grid_thw)
+    merge = cfg.spatial_merge_size
+    win = cfg.window_size // merge // cfg.patch_size
+    llm_h, llm_w = h // merge, w // merge
+    nh = -(-llm_h // win)
+    nw = -(-llm_w // win)
+    return t * nh * nw * win * win * cfg.spatial_merge_unit
 
 
 def pad_vision_inputs(
@@ -196,7 +233,9 @@ def vision_forward(
     use_full = jnp.asarray(full_mask_blocks)
 
     seg_full_b = seg_full[None, :]
-    seg_window_b = seg_window[None, :]
+    wlen = window_patch_len(cfg)
+    num_windows = n // wlen
+    seg_window_w = seg_window.reshape(num_windows, wlen)
 
     def body(x, xs):
         layer_p, is_full = xs
@@ -206,11 +245,22 @@ def vision_forward(
         q = q.reshape(1, n, h, d)
         k = k.reshape(1, n, h, d)
         v = v.reshape(1, n, h, d)
-        q = q * cos + _rotate_half(q) * sin
-        k = k * cos + _rotate_half(k) * sin
-        seg = jnp.where(is_full, seg_full_b, seg_window_b)
-        out = attention(q.astype(x.dtype), k.astype(x.dtype), v, segment_ids=seg, causal=False)
-        x = x + jnp.dot(out.reshape(n, e), layer_p["proj"]) + layer_p["proj_bias"]
+        q = (q * cos + _rotate_half(q) * sin).astype(x.dtype)
+        k = (k * cos + _rotate_half(k) * sin).astype(x.dtype)
+
+        def full_attn(qkv3):
+            q_, k_, v_ = qkv3
+            return attention(q_, k_, v_, segment_ids=seg_full_b, causal=False).reshape(n, e)
+
+        def win_attn(qkv3):
+            # dense per-window attention: (num_windows, wlen, H, D) — no
+            # cross-window mask work; edge-window padding via segment id 0
+            q_, k_, v_ = (t.reshape(num_windows, wlen, h, d) for t in qkv3)
+            out = attention(q_, k_, v_, segment_ids=seg_window_w, causal=False)
+            return out.reshape(n, e)
+
+        out = jax.lax.cond(is_full, full_attn, win_attn, (q, k, v))
+        x = x + jnp.dot(out, layer_p["proj"]) + layer_p["proj_bias"]
         normed2 = rms_norm(x, layer_p["norm2"], 1e-6)
         gate = jnp.dot(normed2, layer_p["mlp"]["gate_proj"]) + layer_p["mlp"]["gate_bias"]
         up = jnp.dot(normed2, layer_p["mlp"]["up_proj"]) + layer_p["mlp"]["up_bias"]

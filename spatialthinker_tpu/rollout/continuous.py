@@ -297,9 +297,15 @@ def generate_continuous(
 
     multimodal = patches_list is not None and any(p is not None for p in patches_list)
     if multimodal and vision_bucket <= 0:
-        per_prompt = [0 if p is None else p.shape[0] for p in patches_list]
-        unit = cfg.vision.spatial_merge_unit
-        vision_bucket = -(-max(per_prompt) * slots // unit) * unit
+        from ..models.qwen2_5_vl.vision import layout_patch_count, window_patch_len
+
+        per_prompt = [
+            0 if g is None else sum(layout_patch_count(row, cfg.vision) for row in np.asarray(g))
+            for g in grids_list
+        ]
+        vision_bucket = max(per_prompt) * slots
+        wlen = window_patch_len(cfg.vision)
+        vision_bucket = -(-vision_bucket // wlen) * wlen
 
     def refill(state, free_slot_list):
         nonlocal next_prompt, slot_owner

@@ -176,8 +176,10 @@ def test_multimodal_logits_match(hf_model, jax_params):
         video_token_id=CFG.video_token_id,
         vision_start_token_id=CFG.vision_start_token_id,
     )
+    from spatialthinker_tpu.models.qwen2_5_vl.vision import apply_patch_layout
+
     aux = prepare_vision_aux([tuple(g) for g in grid], CFG.vision)
-    patches = pixels[aux.patch_perm]
+    patches = apply_patch_layout(pixels, aux)
     p, pid, sf, sw, rev = pad_vision_inputs(patches, aux, pad_to=aux.num_patches)
     vision = VisionInputs(
         jnp.asarray(p), jnp.asarray(pid), jnp.asarray(sf), jnp.asarray(sw), jnp.asarray(rev)
@@ -215,10 +217,14 @@ def test_multimodal_window_attention_larger_grid(hf_model, jax_params):
         video_token_id=CFG.video_token_id,
         vision_start_token_id=CFG.vision_start_token_id,
     )
+    from spatialthinker_tpu.models.qwen2_5_vl.vision import apply_patch_layout, window_patch_len
+
     aux = prepare_vision_aux([tuple(g) for g in grid], CFG.vision)
-    patches = pixels[aux.patch_perm]
-    # pad to a bigger bucket to exercise padding correctness
-    p, pid, sf, sw, rev = pad_vision_inputs(patches, aux, pad_to=aux.num_patches + 32)
+    patches = apply_patch_layout(pixels, aux)
+    # pad to a bigger bucket to exercise padding correctness (whole windows)
+    p, pid, sf, sw, rev = pad_vision_inputs(
+        patches, aux, pad_to=aux.num_patches + window_patch_len(CFG.vision)
+    )
     vision = VisionInputs(
         jnp.asarray(p), jnp.asarray(pid), jnp.asarray(sf), jnp.asarray(sw), jnp.asarray(rev)
     )
