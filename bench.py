@@ -124,11 +124,12 @@ def main() -> None:
     gen = jax.jit(
         generate, static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype")
     )
+    kv_dtype = jnp.int8 if os.environ.get("BENCH_KV") == "int8" else jnp.bfloat16
 
     def run(k):
         out = gen(
             params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
-            max_new_tokens=r, sampling=sampling, key=k,
+            max_new_tokens=r, sampling=sampling, key=k, kv_cache_dtype=kv_dtype,
         )
         # NOTE: through the axon relay, block_until_ready returns before the
         # device finishes; a scalar fetch is the only reliable sync.

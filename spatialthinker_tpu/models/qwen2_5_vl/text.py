@@ -47,14 +47,37 @@ def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 class KVCache(NamedTuple):
+    """Dense KV cache; with dtype int8 the values are quantized per token-head
+    (symmetric max-abs scales in bf16: ~44% of the bf16 cache's HBM traffic)."""
+
     k: jnp.ndarray  # (L, B, Smax, Hkv, D)
     v: jnp.ndarray  # (L, B, Smax, Hkv, D)
     length: jnp.ndarray  # () int32 — filled prefix length (uniform across batch)
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, Smax, Hkv) — int8 mode only
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def init(cls, num_layers, batch, max_len, num_kv_heads, head_dim, dtype=jnp.bfloat16):
         shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+        zero_len = jnp.zeros((), jnp.int32)
+        if dtype == jnp.int8:
+            sshape = (num_layers, batch, max_len, num_kv_heads)
+            return cls(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), zero_len,
+                jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16),
+            )
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), zero_len)
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """(B, S, H, D) -> int8 values + (B, S, H) bf16 scales (symmetric max-abs)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+
+def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]).astype(dtype)
 
 
 def _layer(
@@ -64,7 +87,7 @@ def _layer(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     segment_ids: Optional[jnp.ndarray],
-    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # per-layer (B, Smax, Hkv, D)
+    cache_kv,  # per-layer (k, v) or (k, v, k_scale, v_scale) — (B, Smax, Hkv, D)
     cache_length: Optional[jnp.ndarray],
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) incl. cached prefix
 ):
@@ -84,12 +107,23 @@ def _layer(
         new_kv = None
     else:
         cache_dtype = cache_kv[0].dtype
-        k_all = jax.lax.dynamic_update_slice(
-            cache_kv[0], k.astype(cache_dtype), (0, cache_length, 0, 0)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            cache_kv[1], v.astype(cache_dtype), (0, cache_length, 0, 0)
-        )
+        quantized = cache_dtype == jnp.int8
+        if quantized:
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            k_store = jax.lax.dynamic_update_slice(cache_kv[0], kq, (0, cache_length, 0, 0))
+            v_store = jax.lax.dynamic_update_slice(cache_kv[1], vq, (0, cache_length, 0, 0))
+            ks_all = jax.lax.dynamic_update_slice(cache_kv[2], ks, (0, cache_length, 0))
+            vs_all = jax.lax.dynamic_update_slice(cache_kv[3], vs, (0, cache_length, 0))
+            k_all = _dequantize_kv(k_store, ks_all, x.dtype)
+            v_all = _dequantize_kv(v_store, vs_all, x.dtype)
+        else:
+            k_store = k_all = jax.lax.dynamic_update_slice(
+                cache_kv[0], k.astype(cache_dtype), (0, cache_length, 0, 0)
+            )
+            v_store = v_all = jax.lax.dynamic_update_slice(
+                cache_kv[1], v.astype(cache_dtype), (0, cache_length, 0, 0)
+            )
         if s > 1:
             # prefill (cache starts empty): queries only see the prompt's own
             # k/v — attend locally instead of over the full (P+R) cache buffer
@@ -108,7 +142,7 @@ def _layer(
                 q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg,
                 causal=True, q_offset=q_offset,
             )
-        new_kv = (k_all, v_all)
+        new_kv = (k_store, v_store, ks_all, vs_all) if quantized else (k_store, v_store)
 
     x = x + jnp.dot(out.reshape(b, s, h * d), attn_p["o_proj"])
     x = x + swiglu_mlp(p["mlp"], rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps))
@@ -149,16 +183,31 @@ def forward_hidden(
         new_cache = None
     else:
 
+        quantized = cache.k.dtype == jnp.int8
+
         def body(x, xs):
-            layer_p, k_layer, v_layer = xs
+            if quantized:
+                layer_p, k_layer, v_layer, ks_layer, vs_layer = xs
+                per_layer = (k_layer, v_layer, ks_layer, vs_layer)
+            else:
+                layer_p, k_layer, v_layer = xs
+                per_layer = (k_layer, v_layer)
             x, new_kv = _layer(
-                layer_p, cfg, x, cos, sin, segment_ids, (k_layer, v_layer),
+                layer_p, cfg, x, cos, sin, segment_ids, per_layer,
                 cache.length, kv_segment_ids,
             )
             return x, new_kv
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
-        new_cache = KVCache(new_k, new_v, cache.length + inputs_embeds.shape[1])
+        if quantized:
+            x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+                body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+            )
+            new_cache = KVCache(
+                new_k, new_v, cache.length + inputs_embeds.shape[1], new_ks, new_vs
+            )
+        else:
+            x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+            new_cache = KVCache(new_k, new_v, cache.length + inputs_embeds.shape[1])
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_cache

@@ -284,6 +284,7 @@ class GRPOTrainer:
                 grids_list=list(repeated.non_tensors["image_grid_thw"]),
             )
         else:
+            kv_dtype = jnp.int8 if rollout_cfg.kv_cache_dtype == "int8" else jnp.bfloat16
             result = self.generate_fn(
                 self.params,
                 self.model_cfg,
@@ -295,6 +296,7 @@ class GRPOTrainer:
                 sampling=sampling.override(n=1),
                 key=self._next_key(),
                 vision=self._pack_vision(repeated),
+                kv_cache_dtype=kv_dtype,
             )
         responses = np.asarray(result.responses)
         response_mask = np.asarray(result.response_mask)

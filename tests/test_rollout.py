@@ -171,3 +171,45 @@ def test_decode_logprobs_match_teacher_forcing(jax_params):
     np.testing.assert_allclose(
         np.asarray(result.rollout_log_probs)[mask], expected[mask], rtol=1e-3, atol=1e-3
     )
+
+
+def test_int8_kv_cache_close_to_bf16(jax_params):
+    """int8-quantized KV decode: same greedy tokens as full precision on the
+    tiny model, logprobs within quantization tolerance."""
+    rng = np.random.default_rng(7)
+    b, p, r = 2, 8, 6
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    full = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(prompts), jnp.ones((b, p), jnp.int32), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), kv_cache_dtype=jnp.float32, **kwargs,
+    )
+    quant = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(prompts), jnp.ones((b, p), jnp.int32), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), kv_cache_dtype=jnp.int8, **kwargs,
+    )
+    # greedy tokens should match on a well-separated tiny model
+    np.testing.assert_array_equal(np.asarray(full.responses), np.asarray(quant.responses))
+    mask = np.asarray(full.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(quant.rollout_log_probs)[mask],
+        np.asarray(full.rollout_log_probs)[mask],
+        rtol=0.1, atol=0.05,
+    )
+
+
+def test_quantize_roundtrip():
+    from spatialthinker_tpu.models.qwen2_5_vl.text import _dequantize_kv, _quantize_kv
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(scale=3.0, size=(2, 5, 2, 16)).astype(np.float32))
+    q, s = _quantize_kv(x)
+    back = _dequantize_kv(q, s, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    assert err.max() <= np.abs(np.asarray(x)).max() / 127 * 1.1
