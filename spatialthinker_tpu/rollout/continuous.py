@@ -49,6 +49,11 @@ class SlotState(NamedTuple):
 def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
                     max_new_tokens: int, key: jax.Array,
                     kv_dtype=jnp.bfloat16) -> SlotState:
+    if kv_dtype == jnp.int8:
+        raise NotImplementedError(
+            "int8 KV is supported by the dense engine (rollout.name=jax); the "
+            "continuous engine's slot cache does not carry scales yet"
+        )
     t = cfg.text
     total = prompt_len + max_new_tokens
     shape = (t.num_hidden_layers, slots, total, t.num_key_value_heads, t.head_dim)
