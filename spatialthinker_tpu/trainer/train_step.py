@@ -197,6 +197,10 @@ def make_update_fn(
         updates, new_opt_state = optimizer.update(
             jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads), opt_state, params
         )
+        if freeze_vision_tower and "vision" in updates:
+            # zero the UPDATES too: AdamW weight decay would otherwise still
+            # move "frozen" params
+            updates = {**updates, "vision": jax.tree.map(jnp.zeros_like, updates["vision"])}
         new_params = optax.apply_updates(params, updates)
         # NaN-grad skip: keep old params/opt state when the grad norm is not finite
         new_params = jax.tree.map(

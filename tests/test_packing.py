@@ -74,3 +74,28 @@ def test_empty_pack_shapes():
     assert pack.patches.shape == (16, DIN)
     assert pack.reverse_index.shape[0] == 16 // CFG.vision.spatial_merge_unit
     assert (pack.seg_full == 0).all()
+
+
+def test_vision_layout_helpers():
+    from spatialthinker_tpu.models.qwen2_5_vl.vision import (
+        apply_patch_layout, layout_patch_count, prepare_vision_aux, window_patch_len,
+    )
+
+    wlen = window_patch_len(CFG.vision)  # merge_unit * win^2 = 4 * 16 = 64
+    assert wlen == 64
+    # (1, 4, 4) natural 16 patches -> 2x2 merged < 4x4 window -> padded to 1 window
+    assert layout_patch_count((1, 4, 4), CFG.vision) == 64
+    aux = prepare_vision_aux([(1, 4, 4)], CFG.vision)
+    assert aux.num_patches == 64 and aux.num_merged == 4
+    assert (aux.patch_perm >= 0).sum() == 16
+    rng = np.random.default_rng(0)
+    patches = rng.normal(size=(16, 8)).astype(np.float32)
+    layout = apply_patch_layout(patches, aux)
+    assert layout.shape == (64, 8)
+    # every original row appears exactly once; pad rows are zero
+    valid = aux.patch_perm >= 0
+    np.testing.assert_allclose(np.sort(layout[valid], axis=0), np.sort(patches, axis=0))
+    assert (layout[~valid] == 0).all()
+    # reverse_index points at slots holding the natural merged tokens
+    merged_slots = aux.reverse_index
+    assert len(set(merged_slots.tolist())) == 4

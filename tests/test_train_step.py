@@ -162,3 +162,29 @@ def test_param_sharding_rules_cover_big_leaves():
     assert norm.spec == P()
     vqkv = shardings["vision"]["blocks"]["qkv"]
     assert vqkv.spec == P(None, "fsdp", "model")
+
+
+def test_freeze_vision_tower_zeroes_vision_grads():
+    rng = np.random.default_rng(9)
+    params = init_params(CFG, jax.random.key(5))
+    opt = make_optimizer(1e-2)
+    opt_state = opt.init(params)
+    update = make_update_fn(
+        CFG, opt,
+        clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
+        use_kl_loss=False, kl_loss_coef=0.0, kl_penalty="low_var_kl",
+        max_grad_norm=1.0, remat=False, chunk_size=4, freeze_vision_tower=True,
+    )
+    batch = _micro_batches(_toy_batch(rng), n_micro=2)
+    new_params, _, _ = jax.jit(update)(params, opt_state, batch)
+    # vision untouched, text changed
+    vis_same = jax.tree.map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        params["vision"], new_params["vision"],
+    )
+    assert all(jax.tree.leaves(vis_same))
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params["text"], new_params["text"],
+    )
+    assert max(jax.tree.leaves(diff)) > 0
