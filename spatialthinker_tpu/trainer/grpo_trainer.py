@@ -143,7 +143,7 @@ class GRPOTrainer:
                 donate_argnums=(0, 1),
             )
             self.packed_logprob_fn = jax.jit(
-                lambda p, b: compute_packed_log_probs(p, model_cfg, b, remat=False)[0]
+                lambda p, b, v: compute_packed_log_probs(p, model_cfg, b, v, remat=False)[0]
             )
 
         # ---- critic (GAE only) -------------------------------------------
@@ -342,6 +342,20 @@ class GRPOTrainer:
     def _is_text_only(self, batch: RolloutBatch) -> bool:
         return all(p is None for p in batch.non_tensors.get("patches", [None]))
 
+    def _vision_for_packed(self, batch: RolloutBatch, slot_map, row_lo=None, row_hi=None,
+                           pad_to=None):
+        """Vision pack whose image order matches the packed rows' row-major
+        image-token order (sample order sorted by (row, offset))."""
+        order = sorted(
+            range(len(batch)),
+            key=lambda i: (int(slot_map.row[i]), int(slot_map.dst_start[i])),
+        )
+        if row_lo is not None:
+            order = [i for i in order if row_lo <= int(slot_map.row[i]) < row_hi]
+        patches = [batch.non_tensors["patches"][i] for i in order]
+        grids = [batch.non_tensors["image_grid_thw"][i] for i in order]
+        return pack_vision_batch(patches, grids, self.model_cfg.vision, pad_to=pad_to)
+
     def _pack_rows(self, batch: RolloutBatch, per_token=None):
         from ..data.text_packing import pack_train_rows
 
@@ -362,12 +376,15 @@ class GRPOTrainer:
         batches take the packed (padding-free) path."""
         from .train_step import PackedTrainBatch
 
-        if self.padding_free and self._is_text_only(batch):
+        if self.padding_free:
             from ..data.text_packing import gather_response_values
 
             packed, slot_map = self._pack_rows(batch)
+            vision = self._vision_for_packed(batch, slot_map)
+            if vision is not None:
+                vision = jax.tree.map(jnp.asarray, vision)
             ptb = PackedTrainBatch(*[jnp.asarray(x) for x in packed])
-            logp_rows = np.asarray(self.packed_logprob_fn(params, ptb))
+            logp_rows = np.asarray(self.packed_logprob_fn(params, ptb, vision))
             return gather_response_values(
                 logp_rows, slot_map, batch.tensors["responses"].shape[1]
             )
@@ -474,9 +491,11 @@ class GRPOTrainer:
         mini_bs = min(actor_cfg.global_batch_size, bs)
         micro_rows = max(actor_cfg.micro_batch_size_per_device_for_update, 1)
 
+        from ..data.packing import stack_vision_packs
+
         for mini in self._iter_minibatches(batch, mini_bs, actor_cfg.ppo_epochs, 131):
             zeros = np.zeros_like(mini.tensors["old_log_probs"])
-            packed, _ = self._pack_rows(
+            packed, slot_map = self._pack_rows(
                 mini,
                 per_token={
                     "old_log_probs": mini.tensors["old_log_probs"],
@@ -496,15 +515,22 @@ class GRPOTrainer:
                 return x.reshape(n_micro, per, *x.shape[1:])
 
             ptb = PackedTrainBatch(*[jnp.asarray(micro_shape(x)) for x in packed])
+            packs = [
+                self._vision_for_packed(mini, slot_map, row_lo=g * per, row_hi=(g + 1) * per)
+                for g in range(n_micro)
+            ]
+            vision = stack_vision_packs(packs, self.model_cfg.vision)
+            if vision is not None:
+                vision = jax.tree.map(jnp.asarray, vision)
             self.params, self.opt_state, metrics = self.packed_update_fn(
-                self.params, self.opt_state, ptb
+                self.params, self.opt_state, ptb, vision
             )
             for k, v in metrics.items():
-                    metrics_acc[k].append(float(v))
+                metrics_acc[k].append(float(v))
         return reduce_metrics(metrics_acc)
 
     def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
-        if self.padding_free and self._is_text_only(batch):
+        if self.padding_free:
             return self._update_actor_packed(batch)
         actor_cfg = self.config.worker.actor
         metrics_acc: Dict[str, List[float]] = defaultdict(list)

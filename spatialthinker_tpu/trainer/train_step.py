@@ -229,12 +229,14 @@ class PackedTrainBatch(NamedTuple):
 
 def compute_packed_log_probs(
     params, cfg: Qwen25VLConfig, batch: PackedTrainBatch,
+    vision: Optional[VisionInputs] = None,
     *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(rows, L) label log-probs on packed rows (masked positions -> 0)."""
+    """(rows, L) label log-probs on packed rows (masked positions -> 0).
+    `vision` must be packed in the rows' image-token order (row-major)."""
     hidden, _ = forward(
         params, cfg, batch.input_ids, batch.position_ids,
-        segment_ids=batch.segment_ids, remat=remat,
+        segment_ids=batch.segment_ids, vision=vision, remat=remat,
     )
     head = _lm_head(params, cfg).astype(hidden.dtype)
     logp, entropy = log_probs_from_hidden(
@@ -245,6 +247,7 @@ def compute_packed_log_probs(
 
 def packed_actor_loss_fn(
     params, cfg: Qwen25VLConfig, batch: PackedTrainBatch,
+    vision: Optional[VisionInputs] = None,
     *,
     clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
     use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
@@ -253,7 +256,7 @@ def packed_actor_loss_fn(
     """Identical math to actor_loss_fn on packed rows: token-weighted masked
     means make the two layouts numerically equivalent."""
     logp, entropy = compute_packed_log_probs(
-        params, cfg, batch, remat=remat, chunk_size=chunk_size,
+        params, cfg, batch, vision, remat=remat, chunk_size=chunk_size,
         compute_entropy=entropy_coeff != 0.0,
     )
     mask = batch.loss_mask
@@ -298,14 +301,16 @@ def make_packed_update_fn(
         entropy_coeff=entropy_coeff, remat=remat, chunk_size=chunk_size,
     )
 
-    def update(params, opt_state, micro_batches: PackedTrainBatch):
+    def update(params, opt_state, micro_batches: PackedTrainBatch, vision=None):
         grad_fn = jax.value_and_grad(
-            lambda p, mb: packed_actor_loss_fn(p, cfg, mb, **loss_kwargs), has_aux=True
+            lambda p, mb, vis: packed_actor_loss_fn(p, cfg, mb, vis, **loss_kwargs),
+            has_aux=True,
         )
 
-        def micro_step(carry, mb):
+        def micro_step(carry, xs):
+            mb, vis = (xs, None) if vision is None else xs
             grad_acc, metric_acc = carry
-            (loss, metrics), grads = grad_fn(params, mb)
+            (loss, metrics), grads = grad_fn(params, mb, vis)
             metrics["actor/loss"] = loss
             grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
             metric_acc = {k: metric_acc[k] + metrics[k] for k in metric_acc}
@@ -322,8 +327,9 @@ def make_packed_update_fn(
         if entropy_coeff != 0.0:
             metric_keys.append("actor/entropy_loss")
         init_metrics = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
+        xs = micro_batches if vision is None else (micro_batches, vision)
         (grads, metric_sums), _ = jax.lax.scan(
-            micro_step, (zero_grads, init_metrics), micro_batches
+            micro_step, (zero_grads, init_metrics), xs
         )
         grads = jax.tree.map(lambda g: g / n_micro, grads)
         metrics = {k: v / n_micro for k, v in metric_sums.items()}

@@ -154,3 +154,96 @@ def test_packing_compresses():
     packed_tokens = packed.input_ids.size
     padded_tokens = 8 * (64 + 48)
     assert packed_tokens < padded_tokens
+
+def test_packed_multimodal_logprobs_match_unpacked():
+    """Image batches through the packed path: per-response log-probs must match
+    the standard (B, P+R) layout — proves the image-token gather alignment
+    across packed rows."""
+    from spatialthinker_tpu.data.packing import pack_vision_batch
+    from spatialthinker_tpu.data.text_packing import gather_response_values
+    from spatialthinker_tpu.trainer.train_step import (
+        compute_log_probs, compute_packed_log_probs,
+    )
+
+    rng = np.random.default_rng(5)
+    cfg = CFG
+    din = 3 * cfg.vision.temporal_patch_size * cfg.vision.patch_size ** 2
+    grid = np.asarray([[1, 4, 4]])
+    b, r = 3, 6
+    p = 16
+
+    # variable prompt lengths, each with one 4-merged-token image
+    input_ids = np.zeros((b, p), dtype=np.int32)
+    segment_ids = np.zeros((b, p), dtype=np.int32)
+    position_ids = np.ones((b, 3, p), dtype=np.int32)
+    patches_list = []
+    prompt_lens = [10, 8, 12]
+    for i in range(b):
+        pl = prompt_lens[i]
+        body = (
+            [5 + i, cfg.vision_start_token_id]
+            + [cfg.image_token_id] * 4
+            + [cfg.vision_end_token_id]
+            + list(rng.integers(5, 200, size=pl - 7))
+        )
+        input_ids[i, p - pl:] = body
+        segment_ids[i, p - pl:] = 1
+        from spatialthinker_tpu.models.qwen2_5_vl import get_mrope_position_ids
+
+        pos, _ = get_mrope_position_ids(
+            np.asarray(body), grid,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+            vision_start_token_id=cfg.vision_start_token_id,
+        )
+        position_ids[i, :, p - pl:] = pos
+        patches_list.append(rng.normal(size=(16, din)).astype(np.float32))
+
+    responses = rng.integers(5, 200, size=(b, r)).astype(np.int32)
+    response_mask = np.ones((b, r), dtype=np.float32)
+    response_mask[1, 4:] = 0
+    gen_pos_start = np.asarray([int(position_ids[i].max()) + 1 for i in range(b)], np.int32)
+
+    params = init_params(cfg, jax.random.key(3))
+
+    # ---- unpacked reference
+    full_ids = np.concatenate([input_ids, np.where(response_mask > 0, responses, 0)], axis=1)
+    full_seg = np.concatenate([segment_ids, response_mask.astype(np.int32)], axis=1)
+    pos_resp = gen_pos_start[:, None] + np.arange(r)[None]
+    full_pos = np.concatenate(
+        [position_ids.transpose(1, 0, 2), np.broadcast_to(pos_resp[None], (3, b, r))], axis=2
+    )
+    tb = TrainBatch(
+        input_ids=jnp.asarray(full_ids), segment_ids=jnp.asarray(full_seg),
+        position_ids=jnp.asarray(full_pos), responses=jnp.asarray(responses),
+        response_mask=jnp.asarray(response_mask),
+        old_log_probs=jnp.zeros((b, r)), ref_log_probs=jnp.zeros((b, r)),
+        advantages=jnp.zeros((b, r)),
+    )
+    vision_all = pack_vision_batch(patches_list, [grid] * b, cfg.vision, granularity=16)
+    logp_ref, _ = compute_log_probs(
+        params, cfg, tb, jax.tree.map(jnp.asarray, vision_all), chunk_size=8
+    )
+    logp_ref = np.asarray(logp_ref) * response_mask
+
+    # ---- packed path
+    packed, slot_map = pack_train_rows(
+        input_ids, segment_ids, position_ids,
+        np.where(response_mask > 0, responses, 0).astype(np.int32),
+        response_mask, gen_pos_start, row_len=64,
+    )
+    order = sorted(range(b), key=lambda i: (int(slot_map.row[i]), int(slot_map.dst_start[i])))
+    vision_packed = pack_vision_batch(
+        [patches_list[i] for i in order], [grid] * b, cfg.vision, granularity=16
+    )
+    from spatialthinker_tpu.trainer.train_step import PackedTrainBatch
+
+    ptb = PackedTrainBatch(*[jnp.asarray(x) for x in packed])
+    logp_rows = np.asarray(
+        compute_packed_log_probs(
+            params, cfg, ptb, jax.tree.map(jnp.asarray, vision_packed), chunk_size=8
+        )[0]
+    )
+    logp_packed = gather_response_values(logp_rows, slot_map, r) * response_mask
+    np.testing.assert_allclose(logp_packed, logp_ref, rtol=2e-4, atol=2e-5)
