@@ -361,8 +361,13 @@ class GRPOTrainer:
 
         seg = batch.tensors["segment_ids"]
         mask = batch.tensors["response_mask"]
-        max_total = int((seg.sum(-1) + mask.sum(-1)).max())
-        row_len = max(256, ((max_total + 255) // 256) * 256)
+        totals = seg.sum(-1) + mask.sum(-1)
+        max_total = int(totals.max())
+        mean_total = float(totals.mean())
+        # rows must fit the longest sample; make them big enough to hold ~2
+        # average samples so FFD can actually pack (row == max gives 1/row)
+        target = max(max_total, int(2 * mean_total))
+        row_len = max(256, ((target + 255) // 256) * 256)
         return pack_train_rows(
             batch.tensors["input_ids"], seg,
             batch.tensors["position_ids"],
