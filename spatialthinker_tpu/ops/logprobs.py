@@ -18,9 +18,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _chunk_logprob(hidden_chunk, labels_chunk, head, compute_entropy: bool):
+def _chunk_logprob(hidden_chunk, labels_chunk, head, compute_entropy: bool,
+                   inv_temperature: float = 1.0):
     """hidden (B, C, E) x head (E, V) -> (logp (B, C), entropy (B, C))."""
     logits = jnp.dot(hidden_chunk, head, preferred_element_type=jnp.float32)  # (B, C, V)
+    if inv_temperature != 1.0:
+        logits = logits * inv_temperature
     lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B, C)
     label_logit = jnp.take_along_axis(logits, labels_chunk[..., None], axis=-1)[..., 0]
     logp = label_logit - lse
@@ -39,18 +42,23 @@ def log_probs_from_hidden(
     *,
     chunk_size: int = 1024,
     compute_entropy: bool = False,
+    temperature: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (log_probs (B, S) fp32, entropy (B, S) fp32)."""
+    """Returns (log_probs (B, S) fp32, entropy (B, S) fp32). `temperature`
+    divides the logits before the softmax — the PPO forward must evaluate the
+    same tempered distribution the rollout sampled from (reference divides
+    actor logits by the rollout temperature, dp_actor.py:126,149)."""
     b, s, e = hidden.shape
     if s % chunk_size != 0:
         chunk_size = _best_chunk(s, chunk_size)
     n_chunks = s // chunk_size
+    inv_t = 1.0 / temperature if temperature > 0 else 1.0
 
     hidden_chunks = hidden.reshape(b, n_chunks, chunk_size, e).transpose(1, 0, 2, 3)
     label_chunks = labels.reshape(b, n_chunks, chunk_size).transpose(1, 0, 2)
 
     body = jax.checkpoint(
-        lambda carry, xs: (carry, _chunk_logprob(xs[0], xs[1], head, compute_entropy)),
+        lambda carry, xs: (carry, _chunk_logprob(xs[0], xs[1], head, compute_entropy, inv_t)),
         policy=jax.checkpoint_policies.nothing_saveable,
     )
     _, (logps, ents) = jax.lax.scan(body, (), (hidden_chunks, label_chunks))

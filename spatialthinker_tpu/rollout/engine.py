@@ -33,7 +33,7 @@ import numpy as np
 from ..models.qwen2_5_vl import Qwen25VLConfig, forward
 from ..models.qwen2_5_vl.model import VisionInputs
 from ..models.qwen2_5_vl.text import KVCache, logits_from_hidden
-from .sampling import SamplingParams, get_response_mask, sample_tokens
+from .sampling import SamplingParams, get_response_mask, sample_tokens, sampled_token_logp
 
 
 class RolloutResult(NamedTuple):
@@ -71,10 +71,9 @@ def _decode_step(
 
     key, subkey = jax.random.split(state.key)
     sampled = sample_tokens(logits, subkey, sampling)
-    # token logp via logsumexp reduction — avoids materializing a (B, V)
-    # log-softmax array every decode step
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    token_logp = jnp.take_along_axis(logits, sampled[:, None], axis=-1)[:, 0] - lse
+    # token logp under the tempered (behavior) distribution, via logsumexp
+    # reduction — avoids materializing a (B, V) log-softmax every decode step
+    token_logp = sampled_token_logp(logits, sampled, sampling)
 
     next_tokens = jnp.where(state.finished, pad_id, sampled)
     token_logp = jnp.where(state.finished, 0.0, token_logp)
@@ -125,10 +124,7 @@ def generate(
 
     key, subkey = jax.random.split(key)
     first_token = sample_tokens(last_logits, subkey, sampling)
-    first_logp = (
-        jnp.take_along_axis(last_logits, first_token[:, None], axis=-1)[:, 0]
-        - jax.scipy.special.logsumexp(last_logits, axis=-1)
-    )
+    first_logp = sampled_token_logp(last_logits, first_token, sampling)
     finished0 = first_token == cfg.eos_token_id
 
     # ---- decode remaining R-1 tokens ----

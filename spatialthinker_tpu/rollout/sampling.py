@@ -71,6 +71,23 @@ def sample_tokens(
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def sampled_token_logp(
+    logits: jnp.ndarray,   # (B, V) fp32 raw model logits
+    tokens: jnp.ndarray,   # (B,) int32 sampled ids
+    params: SamplingParams,
+) -> jnp.ndarray:
+    """Log-prob of the sampled tokens under the TEMPERED distribution
+    (logits / T), the behavior policy the PPO ratio must be taken against.
+    Matches the reference convention of dividing actor logits by the rollout
+    temperature in every forward (reference dp_actor.py:126,149); top-k/top-p
+    renormalization is not folded in (same convention). Greedy (T=0) uses
+    T=1 so the reported log-prob stays finite."""
+    t = params.temperature if params.temperature > 0 else 1.0
+    scaled = logits / t
+    lse = jax.scipy.special.logsumexp(scaled, axis=-1)
+    return jnp.take_along_axis(scaled, tokens[:, None], axis=-1)[:, 0] - lse
+
+
 def get_response_mask(
     responses: jnp.ndarray, eos_token_id: int, dtype=jnp.int32
 ) -> jnp.ndarray:

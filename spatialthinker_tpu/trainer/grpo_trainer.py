@@ -76,6 +76,29 @@ class GRPOTrainer:
 
         algo = config.algorithm
         self.adv_estimator = algo.adv_estimator
+        if self.adv_estimator in ("grpo", "rloo") and config.worker.rollout.n < 2:
+            # group-relative baselines degenerate to zero advantage at n=1:
+            # training would silently produce zero gradients (reference
+            # asserts the same in ray_trainer.__init__)
+            raise ValueError(
+                f"{self.adv_estimator} needs worker.rollout.n > 1 "
+                f"(got {config.worker.rollout.n}); group whitening over a "
+                "single sample yields identically zero advantages"
+            )
+        rollout_bs = config.data.rollout_batch_size * config.worker.rollout.n
+        for role, gbs in (("actor", config.worker.actor.global_batch_size),
+                          ("critic", config.worker.critic.global_batch_size)):
+            if role == "critic" and algo.adv_estimator != "gae":
+                continue
+            if rollout_bs % min(gbs, rollout_bs) != 0:
+                # _iter_minibatches yields full mini-batches only; a
+                # non-dividing global_batch_size would silently drop the tail
+                # samples every step (reference validates the same at
+                # ray_trainer.py:238-263)
+                raise ValueError(
+                    f"rollout_batch_size * n = {rollout_bs} must be divisible by "
+                    f"worker.{role}.global_batch_size = {gbs}"
+                )
         self.use_kl_in_reward = not algo.disable_kl and not algo.use_kl_loss
         self.use_kl_loss = not algo.disable_kl and algo.use_kl_loss
         self.use_ref = not algo.disable_kl
@@ -115,11 +138,15 @@ class GRPOTrainer:
                 max_grad_norm=actor.max_grad_norm,
                 remat=actor.sharding.remat,
                 freeze_vision_tower=actor.model.freeze_vision_tower,
+                temperature=config.worker.rollout.temperature,
             ),
             donate_argnums=(0, 1),  # in-place params/opt update
         )
+        rollout_temp = config.worker.rollout.temperature
         self.logprob_fn = jax.jit(
-            lambda p, b, v: compute_log_probs(p, model_cfg, b, v, remat=False)[0],
+            lambda p, b, v: compute_log_probs(
+                p, model_cfg, b, v, remat=False, temperature=rollout_temp
+            )[0],
         )
 
         # padding-free (packed) path — used for text-only batches when enabled
@@ -139,11 +166,14 @@ class GRPOTrainer:
                     entropy_coeff=actor.entropy_coeff,
                     max_grad_norm=actor.max_grad_norm,
                     remat=actor.sharding.remat,
+                    temperature=rollout_temp,
                 ),
                 donate_argnums=(0, 1),
             )
             self.packed_logprob_fn = jax.jit(
-                lambda p, b, v: compute_packed_log_probs(p, model_cfg, b, v, remat=False)[0]
+                lambda p, b, v: compute_packed_log_probs(
+                    p, model_cfg, b, v, remat=False, temperature=rollout_temp
+                )[0]
             )
 
         # ---- critic (GAE only) -------------------------------------------
@@ -269,6 +299,7 @@ class GRPOTrainer:
         gen_pos_start = repeated.tensors["gen_pos_start"]
 
         rollout_cfg = self.config.worker.rollout
+        kv_dtype = jnp.int8 if rollout_cfg.kv_cache_dtype == "int8" else jnp.bfloat16
         if rollout_cfg.name == "continuous":
             from ..rollout.continuous import generate_continuous
 
@@ -282,9 +313,9 @@ class GRPOTrainer:
                 slots=slots if slots > 0 else min(len(repeated), 32),
                 patches_list=list(repeated.non_tensors["patches"]),
                 grids_list=list(repeated.non_tensors["image_grid_thw"]),
+                kv_cache_dtype=kv_dtype,
             )
         else:
-            kv_dtype = jnp.int8 if rollout_cfg.kv_cache_dtype == "int8" else jnp.bfloat16
             result = self.generate_fn(
                 self.params,
                 self.model_cfg,
@@ -378,25 +409,32 @@ class GRPOTrainer:
 
     def compute_log_probs_batched(self, batch: RolloutBatch, params) -> np.ndarray:
         """Micro-batched old/ref log-prob recompute (no grad). Text-only
-        batches take the packed (padding-free) path."""
+        batches take the packed (padding-free) path. Both paths split the
+        rollout batch into experience-sized chunks first — the per-chunk
+        logit buffers (rows x chunk x vocab fp32 inside the logprob scan) are
+        what bound HBM, so packing the whole rollout into one forward would
+        OOM at flagship shapes."""
         from .train_step import PackedTrainBatch
-
-        if self.padding_free:
-            from ..data.text_packing import gather_response_values
-
-            packed, slot_map = self._pack_rows(batch)
-            vision = self._vision_for_packed(batch, slot_map)
-            if vision is not None:
-                vision = jax.tree.map(jnp.asarray, vision)
-            ptb = PackedTrainBatch(*[jnp.asarray(x) for x in packed])
-            logp_rows = np.asarray(self.packed_logprob_fn(params, ptb, vision))
-            return gather_response_values(
-                logp_rows, slot_map, batch.tensors["responses"].shape[1]
-            )
 
         micro = self.config.worker.actor.micro_batch_size_per_device_for_experience
         n_dev = self.mesh.devices.size
         chunk = max(micro * max(n_dev // self.config.worker.actor.sharding.model_size, 1), 1)
+
+        if self.padding_free:
+            from ..data.text_packing import gather_response_values
+
+            r = batch.tensors["responses"].shape[1]
+            outs = []
+            for piece in batch.split(chunk):
+                packed, slot_map = self._pack_rows(piece)
+                vision = self._vision_for_packed(piece, slot_map)
+                if vision is not None:
+                    vision = jax.tree.map(jnp.asarray, vision)
+                ptb = PackedTrainBatch(*[jnp.asarray(x) for x in packed])
+                logp_rows = np.asarray(self.packed_logprob_fn(params, ptb, vision))
+                outs.append(gather_response_values(logp_rows, slot_map, r))
+            return np.concatenate(outs, axis=0)
+
         outs = []
         for piece in batch.split(chunk):
             tb = self._train_batch_views(piece)

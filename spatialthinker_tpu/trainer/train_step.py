@@ -59,12 +59,15 @@ def compute_log_probs(
     params, cfg: Qwen25VLConfig, batch: TrainBatch,
     vision: Optional[VisionInputs] = None,
     *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
+    temperature: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, R) log-probs of the sampled responses under `params` (+ entropy)."""
+    """(B, R) log-probs of the sampled responses under `params` (+ entropy),
+    evaluated at the rollout temperature (behavior-policy distribution)."""
     hidden = _response_hidden(params, cfg, batch, vision, remat)
     head = _lm_head(params, cfg).astype(hidden.dtype)
     logp, entropy = log_probs_from_hidden(
-        hidden, batch.responses, head, chunk_size=chunk_size, compute_entropy=compute_entropy
+        hidden, batch.responses, head, chunk_size=chunk_size,
+        compute_entropy=compute_entropy, temperature=temperature,
     )
     return logp, entropy
 
@@ -84,10 +87,11 @@ def actor_loss_fn(
     entropy_coeff: float = 0.0,
     remat: bool = True,
     chunk_size: int = 1024,
+    temperature: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     logp, entropy = compute_log_probs(
         params, cfg, batch, vision, remat=remat, chunk_size=chunk_size,
-        compute_entropy=entropy_coeff != 0.0,
+        compute_entropy=entropy_coeff != 0.0, temperature=temperature,
     )
     mask = batch.response_mask.astype(jnp.float32)
     pg_loss, clip_hi, clip_lo, ppo_kl = compute_policy_loss(
@@ -129,6 +133,7 @@ def make_update_fn(
     chunk_size: int = 1024,
     grad_accum_dtype=jnp.float32,
     freeze_vision_tower: bool = False,
+    temperature: float = 1.0,
 ):
     """Build the jittable mini-batch update: scan over micro-batches
     accumulating grads, one optimizer step, NaN-grad skip
@@ -144,6 +149,7 @@ def make_update_fn(
         entropy_coeff=entropy_coeff,
         remat=remat,
         chunk_size=chunk_size,
+        temperature=temperature,
     )
 
     def update(params, opt_state, micro_batches: TrainBatch, vision: Optional[VisionInputs] = None):
@@ -231,6 +237,7 @@ def compute_packed_log_probs(
     params, cfg: Qwen25VLConfig, batch: PackedTrainBatch,
     vision: Optional[VisionInputs] = None,
     *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
+    temperature: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(rows, L) label log-probs on packed rows (masked positions -> 0).
     `vision` must be packed in the rows' image-token order (row-major)."""
@@ -240,7 +247,8 @@ def compute_packed_log_probs(
     )
     head = _lm_head(params, cfg).astype(hidden.dtype)
     logp, entropy = log_probs_from_hidden(
-        hidden, batch.labels, head, chunk_size=chunk_size, compute_entropy=compute_entropy
+        hidden, batch.labels, head, chunk_size=chunk_size,
+        compute_entropy=compute_entropy, temperature=temperature,
     )
     return logp * batch.loss_mask, entropy * batch.loss_mask
 
@@ -252,12 +260,13 @@ def packed_actor_loss_fn(
     clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
     use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
     entropy_coeff: float = 0.0, remat: bool = True, chunk_size: int = 1024,
+    temperature: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Identical math to actor_loss_fn on packed rows: token-weighted masked
     means make the two layouts numerically equivalent."""
     logp, entropy = compute_packed_log_probs(
         params, cfg, batch, vision, remat=remat, chunk_size=chunk_size,
-        compute_entropy=entropy_coeff != 0.0,
+        compute_entropy=entropy_coeff != 0.0, temperature=temperature,
     )
     mask = batch.loss_mask
     pg_loss, clip_hi, clip_lo, ppo_kl = compute_policy_loss(
@@ -290,7 +299,7 @@ def make_packed_update_fn(
     clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
     use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
     entropy_coeff: float = 0.0, max_grad_norm: float = 1.0,
-    remat: bool = True, chunk_size: int = 1024,
+    remat: bool = True, chunk_size: int = 1024, temperature: float = 1.0,
 ):
     """Packed-row variant of make_update_fn: micro dim on every array."""
 
@@ -299,6 +308,7 @@ def make_packed_update_fn(
         clip_ratio_dual=clip_ratio_dual, use_kl_loss=use_kl_loss,
         kl_loss_coef=kl_loss_coef, kl_penalty=kl_penalty,
         entropy_coeff=entropy_coeff, remat=remat, chunk_size=chunk_size,
+        temperature=temperature,
     )
 
     def update(params, opt_state, micro_batches: PackedTrainBatch, vision=None):
