@@ -98,6 +98,9 @@ def params_from_hf_state_dict(
         return state[name]
 
     L = cfg.text.num_hidden_layers
+    tc = cfg.text
+    h, hkv, d, e = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim, tc.hidden_size
+    qper = h // hkv
 
     def stack_t(fmt):
         return np.stack([t(fmt.format(i=i)) for i in range(L)])
@@ -105,22 +108,45 @@ def params_from_hf_state_dict(
     def stack_raw(fmt):
         return np.stack([raw(fmt.format(i=i)) for i in range(L)])
 
+    def fuse_qkv_weights(q_w, k_w, v_w):
+        """(L,e,h*d)+(L,e,hkv*d)x2 -> (L,e,hkv,(qper+2)*d), per-group [q|k|v]
+        (see text.fused_qkv; q head order within groups is the HF order)."""
+        q_g = q_w.reshape(L, e, hkv, qper * d)
+        k_g = k_w.reshape(L, e, hkv, d)
+        v_g = v_w.reshape(L, e, hkv, d)
+        return np.concatenate([q_g, k_g, v_g], axis=-1)
+
+    def fuse_qkv_biases(q_b, k_b, v_b):
+        q_g = q_b.reshape(L, hkv, qper * d)
+        k_g = k_b.reshape(L, hkv, d)
+        v_g = v_b.reshape(L, hkv, d)
+        return np.concatenate([q_g, k_g, v_g], axis=-1)
+
     text = {
         "embed_tokens": raw(f"{tp}embed_tokens.weight"),
         "norm": raw(f"{tp}norm.weight"),
         "layers": {
             "self_attn": {
-                "q_proj": stack_t(tp + "layers.{i}.self_attn.q_proj.weight"),
-                "k_proj": stack_t(tp + "layers.{i}.self_attn.k_proj.weight"),
-                "v_proj": stack_t(tp + "layers.{i}.self_attn.v_proj.weight"),
+                "qkv_proj": fuse_qkv_weights(
+                    stack_t(tp + "layers.{i}.self_attn.q_proj.weight"),
+                    stack_t(tp + "layers.{i}.self_attn.k_proj.weight"),
+                    stack_t(tp + "layers.{i}.self_attn.v_proj.weight"),
+                ),
+                "qkv_bias": fuse_qkv_biases(
+                    stack_raw(tp + "layers.{i}.self_attn.q_proj.bias"),
+                    stack_raw(tp + "layers.{i}.self_attn.k_proj.bias"),
+                    stack_raw(tp + "layers.{i}.self_attn.v_proj.bias"),
+                ),
                 "o_proj": stack_t(tp + "layers.{i}.self_attn.o_proj.weight"),
-                "q_bias": stack_raw(tp + "layers.{i}.self_attn.q_proj.bias"),
-                "k_bias": stack_raw(tp + "layers.{i}.self_attn.k_proj.bias"),
-                "v_bias": stack_raw(tp + "layers.{i}.self_attn.v_proj.bias"),
             },
             "mlp": {
-                "gate_proj": stack_t(tp + "layers.{i}.mlp.gate_proj.weight"),
-                "up_proj": stack_t(tp + "layers.{i}.mlp.up_proj.weight"),
+                "gate_up_proj": np.stack(
+                    [
+                        stack_t(tp + "layers.{i}.mlp.gate_proj.weight"),
+                        stack_t(tp + "layers.{i}.mlp.up_proj.weight"),
+                    ],
+                    axis=2,
+                ),  # (L, e, 2, inter)
                 "down_proj": stack_t(tp + "layers.{i}.mlp.down_proj.weight"),
             },
             "input_layernorm": stack_raw(tp + "layers.{i}.input_layernorm.weight"),

@@ -41,9 +41,29 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    gate = jnp.dot(x, p["gate_proj"])
-    up = jnp.dot(x, p["up_proj"])
-    return jnp.dot(jax.nn.silu(gate) * up, p["down_proj"])
+    """SwiGLU with gate/up fused into one wide matmul: p["gate_up_proj"] is
+    (E, 2, I) so decode reads one contiguous weight instead of two — the
+    decode step is weight-read-bound, and XLA tiles the single wide matmul
+    onto the MXU far better than two half-width ones. The separate (2, I)
+    dims (instead of a flat 2I) keep the tensor-parallel sharding on I local
+    to each shard (silu(gate)*up never crosses shards)."""
+    gu = jnp.einsum("...e,eti->...ti", x, p["gate_up_proj"])
+    return jnp.dot(jax.nn.silu(gu[..., 0, :]) * gu[..., 1, :], p["down_proj"])
+
+
+def fused_qkv(attn_p: Params, normed: jnp.ndarray, h: int, hkv: int, d: int):
+    """One wide QKV matmul -> (q, k, v). attn_p["qkv_proj"] is (E, Hkv, G)
+    with G = (h/hkv + 2) * d: per KV group the columns are [q heads of the
+    group | k | v]. Group-major q ordering equals the natural HF head order
+    (GQA assigns head i to group i // (h/hkv)), so no permutation exists
+    anywhere — the loader just reshapes. Sharded on the Hkv axis for TP."""
+    qper = h // hkv
+    fused = jnp.einsum("...e,egf->...gf", normed, attn_p["qkv_proj"]) + attn_p["qkv_bias"]
+    lead = fused.shape[:-2]
+    q = fused[..., : qper * d].reshape(*lead, h, d)
+    k = fused[..., qper * d : (qper + 1) * d]
+    v = fused[..., (qper + 1) * d :]
+    return q, k, v
 
 
 class KVCache(NamedTuple):
@@ -97,9 +117,7 @@ def _layer(
     h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     normed = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
-    q = (jnp.dot(normed, attn_p["q_proj"]) + attn_p["q_bias"]).reshape(b, s, h, d)
-    k = (jnp.dot(normed, attn_p["k_proj"]) + attn_p["k_bias"]).reshape(b, s, hkv, d)
-    v = (jnp.dot(normed, attn_p["v_proj"]) + attn_p["v_bias"]).reshape(b, s, hkv, d)
+    q, k, v = fused_qkv(attn_p, normed, h, hkv, d)
     q, k = apply_rotary(q, k, cos, sin)
 
     if cache_kv is None:
@@ -232,19 +250,15 @@ def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Para
     def dense(k, shape, scale=0.02):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
+    qper = h // hkv
     layers = {
         "self_attn": {
-            "q_proj": dense(keys[0], (L, e, h * d)),
-            "k_proj": dense(keys[1], (L, e, hkv * d)),
-            "v_proj": dense(keys[2], (L, e, hkv * d)),
+            "qkv_proj": dense(keys[0], (L, e, hkv, (qper + 2) * d)),
+            "qkv_bias": jnp.zeros((L, hkv, (qper + 2) * d), dtype),
             "o_proj": dense(keys[3], (L, h * d, e)),
-            "q_bias": jnp.zeros((L, h * d), dtype),
-            "k_bias": jnp.zeros((L, hkv * d), dtype),
-            "v_bias": jnp.zeros((L, hkv * d), dtype),
         },
         "mlp": {
-            "gate_proj": dense(keys[4], (L, e, inter)),
-            "up_proj": dense(keys[5], (L, e, inter)),
+            "gate_up_proj": dense(keys[4], (L, e, 2, inter)),
             "down_proj": dense(keys[6], (L, inter, e)),
         },
         "input_layernorm": jnp.ones((L, e), dtype),

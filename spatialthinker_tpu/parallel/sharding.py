@@ -25,15 +25,15 @@ from .mesh import FSDP_AXIS, MODEL_AXIS
 # WITHOUT the leading stacked-layer dim (specs below are for the per-layer
 # shape; stacked leaves get None prepended automatically).
 _TEXT_RULES: Tuple[Tuple[str, P], ...] = (
-    ("self_attn/q_proj", P(FSDP_AXIS, MODEL_AXIS)),
-    ("self_attn/k_proj", P(FSDP_AXIS, MODEL_AXIS)),
-    ("self_attn/v_proj", P(FSDP_AXIS, MODEL_AXIS)),
+    # fused QKV (E, Hkv, (h/hkv+2)*d): column-parallel over the KV-GROUP dim,
+    # so each model shard owns whole GQA groups (q heads + their k/v) and
+    # attention stays shard-local; caps model_size at num_key_value_heads
+    ("self_attn/qkv_proj", P(FSDP_AXIS, MODEL_AXIS, None)),
+    ("self_attn/qkv_bias", P(MODEL_AXIS, None)),
     ("self_attn/o_proj", P(MODEL_AXIS, FSDP_AXIS)),
-    ("self_attn/q_bias", P(MODEL_AXIS)),
-    ("self_attn/k_bias", P(MODEL_AXIS)),
-    ("self_attn/v_bias", P(MODEL_AXIS)),
-    ("mlp/gate_proj", P(FSDP_AXIS, MODEL_AXIS)),
-    ("mlp/up_proj", P(FSDP_AXIS, MODEL_AXIS)),
+    # fused gate/up (E, 2, I): column-parallel on I; the explicit 2-dim keeps
+    # silu(gate)*up local per shard
+    ("mlp/gate_up_proj", P(FSDP_AXIS, None, MODEL_AXIS)),
     ("mlp/down_proj", P(MODEL_AXIS, FSDP_AXIS)),
     ("input_layernorm", P()),
     ("post_attention_layernorm", P()),
@@ -50,6 +50,9 @@ _VISION_RULES: Tuple[Tuple[str, P], ...] = (
     ("mlp/gate_bias", P(MODEL_AXIS)),
     ("mlp/up_bias", P(MODEL_AXIS)),
     ("mlp/down_bias", P()),
+    ("mlp/gate_proj", P(FSDP_AXIS, MODEL_AXIS)),  # vision MLP (text MLP is fused)
+    ("mlp/up_proj", P(FSDP_AXIS, MODEL_AXIS)),
+    ("mlp/down_proj", P(MODEL_AXIS, FSDP_AXIS)),
     ("blocks/norm1", P()),
     ("blocks/norm2", P()),
     ("patch_embed", P(None, FSDP_AXIS)),

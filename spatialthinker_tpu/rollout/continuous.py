@@ -25,10 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.qwen2_5_vl import Qwen25VLConfig, forward
-from ..models.qwen2_5_vl.text import KVCache, logits_from_hidden, rms_norm, swiglu_mlp
+from ..models.qwen2_5_vl.text import (
+    KVCache,
+    _dequantize_kv,
+    _quantize_kv,
+    fused_qkv,
+    logits_from_hidden,
+    rms_norm,
+    swiglu_mlp,
+)
 from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq, rotate_half
 from ..ops.attention import attention
-from .sampling import SamplingParams, sample_tokens
+from .sampling import SamplingParams, sample_tokens, sampled_token_logp
 
 
 class SlotState(NamedTuple):
@@ -44,22 +52,24 @@ class SlotState(NamedTuple):
     responses: jnp.ndarray   # (S, R) int32
     logps: jnp.ndarray       # (S, R) fp32
     key: jax.Array
+    k_scale: Optional[jnp.ndarray] = None  # (L, S, T, Hkv) bf16 — int8 mode only
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
                     max_new_tokens: int, key: jax.Array,
                     kv_dtype=jnp.bfloat16) -> SlotState:
-    if kv_dtype == jnp.int8:
-        raise NotImplementedError(
-            "int8 KV is supported by the dense engine (rollout.name=jax); the "
-            "continuous engine's slot cache does not carry scales yet"
-        )
     t = cfg.text
     total = prompt_len + max_new_tokens
     shape = (t.num_hidden_layers, slots, total, t.num_key_value_heads, t.head_dim)
+    scales = None
+    if kv_dtype == jnp.int8:
+        scales = jnp.zeros(shape[:-1], jnp.bfloat16)
     return SlotState(
         cache_k=jnp.zeros(shape, kv_dtype),
         cache_v=jnp.zeros(shape, kv_dtype),
+        k_scale=scales,
+        v_scale=scales,
         kv_seg=jnp.zeros((slots, total), jnp.int32),
         length=jnp.zeros((slots,), jnp.int32),
         cur_tokens=jnp.zeros((slots,), jnp.int32),
@@ -106,14 +116,17 @@ def prefill_slots(
 
     key, subkey = jax.random.split(state.key)
     first = sample_tokens(last_logits, subkey, sampling)
-    first_logp = (
-        jnp.take_along_axis(last_logits, first[:, None], axis=-1)[:, 0]
-        - jax.scipy.special.logsumexp(last_logits, axis=-1)
-    )
+    first_logp = sampled_token_logp(last_logits, first, sampling)
     finished0 = (first == cfg.eos_token_id) | ~valid
 
     cache_k = state.cache_k.at[:, slot_ids, :p].set(scratch.k)
     cache_v = state.cache_v.at[:, slot_ids, :p].set(scratch.v)
+    scale_updates = {}
+    if state.k_scale is not None:
+        scale_updates = dict(
+            k_scale=state.k_scale.at[:, slot_ids, :p].set(scratch.k_scale),
+            v_scale=state.v_scale.at[:, slot_ids, :p].set(scratch.v_scale),
+        )
     kv_row = jnp.concatenate(
         [segment_ids.astype(jnp.int32), jnp.zeros((k, total - p), jnp.int32)], axis=1
     )
@@ -123,6 +136,7 @@ def prefill_slots(
     return state._replace(
         cache_k=cache_k,
         cache_v=cache_v,
+        **scale_updates,
         kv_seg=state.kv_seg.at[slot_ids].set(kv_row),
         length=state.length.at[slot_ids].set(p),
         cur_tokens=state.cur_tokens.at[slot_ids].set(first),
@@ -141,35 +155,52 @@ def prefill_slots(
 # ---------------------------------------------------------------------------
 
 
-def _decode_layer(layer_p, cfg, x, cos, sin, cache_k, cache_v, write_pos, kv_seg, q_offset):
+def _decode_layer(layer_p, cfg, x, cos, sin, cache_kv, write_pos, kv_seg, q_offset):
     """One decoder layer for a single token per slot, writing KV at a per-slot
-    position (text._layer assumes a uniform cache length; this one scatters)."""
+    position (text._layer assumes a uniform cache length; this one scatters).
+    ``cache_kv`` is (k, v) in bf16 mode or (k, v, k_scale, v_scale) in int8
+    mode (per-token-head symmetric quantization, as in text.KVCache)."""
     t = cfg
     s = x.shape[0]
     h, hkv, d = t.num_attention_heads, t.num_key_value_heads, t.head_dim
     attn_p = layer_p["self_attn"]
+    quantized = cache_kv[0].dtype == jnp.int8
 
     normed = rms_norm(x, layer_p["input_layernorm"], t.rms_norm_eps)
-    q = (jnp.dot(normed, attn_p["q_proj"]) + attn_p["q_bias"]).reshape(s, 1, h, d)
-    knew = (jnp.dot(normed, attn_p["k_proj"]) + attn_p["k_bias"]).reshape(s, 1, hkv, d)
-    vnew = (jnp.dot(normed, attn_p["v_proj"]) + attn_p["v_bias"]).reshape(s, 1, hkv, d)
+    q, knew, vnew = fused_qkv(attn_p, normed[:, None, :], h, hkv, d)
     cos_b = cos[:, :, None, :]
     sin_b = sin[:, :, None, :]
     q = q * cos_b + rotate_half(q) * sin_b
     knew = knew * cos_b + rotate_half(knew) * sin_b
 
     slot_idx = jnp.arange(s)
-    cache_k = cache_k.at[slot_idx, write_pos].set(knew[:, 0].astype(cache_k.dtype))
-    cache_v = cache_v.at[slot_idx, write_pos].set(vnew[:, 0].astype(cache_v.dtype))
+    if quantized:
+        kq, ks = _quantize_kv(knew)
+        vq, vs = _quantize_kv(vnew)
+        cache_k = cache_kv[0].at[slot_idx, write_pos].set(kq[:, 0])
+        cache_v = cache_kv[1].at[slot_idx, write_pos].set(vq[:, 0])
+        ks_all = cache_kv[2].at[slot_idx, write_pos].set(ks[:, 0])
+        vs_all = cache_kv[3].at[slot_idx, write_pos].set(vs[:, 0])
+        k_att = _dequantize_kv(cache_k, ks_all, x.dtype)
+        v_att = _dequantize_kv(cache_v, vs_all, x.dtype)
+        new_kv = (cache_k, cache_v, ks_all, vs_all)
+    else:
+        cache_k = k_att = cache_kv[0].at[slot_idx, write_pos].set(
+            knew[:, 0].astype(cache_kv[0].dtype)
+        )
+        cache_v = v_att = cache_kv[1].at[slot_idx, write_pos].set(
+            vnew[:, 0].astype(cache_kv[1].dtype)
+        )
+        new_kv = (cache_k, cache_v)
 
     out = attention(
-        q.astype(x.dtype), cache_k, cache_v,
+        q.astype(x.dtype), k_att, v_att,
         segment_ids=jnp.ones((s, 1), jnp.int32), kv_segment_ids=kv_seg,
         causal=True, q_offset=q_offset,
     )
     x = x + jnp.dot(out.reshape(s, t.hidden_size), attn_p["o_proj"])
     x = x + swiglu_mlp(layer_p["mlp"], rms_norm(x, layer_p["post_attention_layernorm"], t.rms_norm_eps))
-    return x, cache_k, cache_v
+    return x, new_kv
 
 
 def decode_chunk(
@@ -194,27 +225,31 @@ def decode_chunk(
         pos = jnp.broadcast_to(state.gen_pos[None, :, None], (3, s, 1))
         cos, sin = compute_cos_sin(pos, inv_freq, t.mrope_section, dtype=jnp.bfloat16)
         x = jnp.take(text_params["embed_tokens"], state.cur_tokens, axis=0)  # (S, E)
+        quantized = state.k_scale is not None
 
         def body(x, xs):
-            layer_p, k_layer, v_layer = xs
-            x, new_k, new_v = _decode_layer(
-                layer_p, t, x, cos, sin, k_layer, v_layer,
+            layer_p, *cache_kv = xs
+            x, new_kv = _decode_layer(
+                layer_p, t, x, cos, sin, tuple(cache_kv),
                 state.length, kv_seg, state.length,
             )
-            return x, (new_k, new_v)
+            return x, new_kv
 
-        x_out, (new_k, new_v) = jax.lax.scan(
-            body, x, (text_params["layers"], state.cache_k, state.cache_v)
-        )
+        if quantized:
+            xs = (text_params["layers"], state.cache_k, state.cache_v,
+                  state.k_scale, state.v_scale)
+            x_out, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, xs)
+            scale_updates = dict(k_scale=new_ks, v_scale=new_vs)
+        else:
+            xs = (text_params["layers"], state.cache_k, state.cache_v)
+            x_out, (new_k, new_v) = jax.lax.scan(body, x, xs)
+            scale_updates = {}
         hidden = rms_norm(x_out[:, None, :], text_params["norm"], t.rms_norm_eps)
         logits = logits_from_hidden(text_params, hidden, t)[:, 0, :]
 
         key, subkey = jax.random.split(state.key)
         sampled = sample_tokens(logits, subkey, sampling)
-        logp = (
-            jnp.take_along_axis(logits, sampled[:, None], axis=-1)[:, 0]
-            - jax.scipy.special.logsumexp(logits, axis=-1)
-        )
+        logp = sampled_token_logp(logits, sampled, sampling)
 
         max_new = state.responses.shape[1]
         write_step = jnp.clip(state.steps, 0, max_new - 1)
@@ -232,6 +267,7 @@ def decode_chunk(
         new_state = state._replace(
             cache_k=new_k,
             cache_v=new_v,
+            **scale_updates,
             kv_seg=kv_seg,
             length=jnp.where(run, state.length + 1, state.length),
             cur_tokens=jnp.where(run, sampled, state.cur_tokens),

@@ -42,20 +42,33 @@ def params_to_hf_state_dict(params: Dict[str, Any], cfg: Qwen25VLConfig) -> Dict
         state["lm_head.weight"] = t(text["lm_head"])
 
     L = cfg.text.num_hidden_layers
+    tc = cfg.text
+    h, hkv, d, e = tc.num_attention_heads, tc.num_key_value_heads, tc.head_dim, tc.hidden_size
+    qper = h // hkv
     layers = text["layers"]
     for i in range(L):
         pre = f"{tp}layers.{i}."
         attn = layers["self_attn"]
-        state[pre + "self_attn.q_proj.weight"] = t(attn["q_proj"][i])
-        state[pre + "self_attn.k_proj.weight"] = t(attn["k_proj"][i])
-        state[pre + "self_attn.v_proj.weight"] = t(attn["v_proj"][i])
+        # unfuse (E, Hkv, (qper+2)*d) -> HF q/k/v (exact inverse of the
+        # loader's fuse: per-group columns are [q heads | k | v])
+        qkv_w = np.asarray(attn["qkv_proj"][i])  # (E, Hkv, G)
+        qkv_b = np.asarray(attn["qkv_bias"][i])  # (Hkv, G)
+        state[pre + "self_attn.q_proj.weight"] = t(qkv_w[..., : qper * d].reshape(e, h * d))
+        state[pre + "self_attn.k_proj.weight"] = t(
+            qkv_w[..., qper * d : (qper + 1) * d].reshape(e, hkv * d)
+        )
+        state[pre + "self_attn.v_proj.weight"] = t(
+            qkv_w[..., (qper + 1) * d :].reshape(e, hkv * d)
+        )
         state[pre + "self_attn.o_proj.weight"] = t(attn["o_proj"][i])
-        state[pre + "self_attn.q_proj.bias"] = raw(attn["q_bias"][i])
-        state[pre + "self_attn.k_proj.bias"] = raw(attn["k_bias"][i])
-        state[pre + "self_attn.v_proj.bias"] = raw(attn["v_bias"][i])
+        state[pre + "self_attn.q_proj.bias"] = raw(qkv_b[..., : qper * d].reshape(h * d))
+        state[pre + "self_attn.k_proj.bias"] = raw(
+            qkv_b[..., qper * d : (qper + 1) * d].reshape(hkv * d)
+        )
+        state[pre + "self_attn.v_proj.bias"] = raw(qkv_b[..., (qper + 1) * d :].reshape(hkv * d))
         mlp = layers["mlp"]
-        state[pre + "mlp.gate_proj.weight"] = t(mlp["gate_proj"][i])
-        state[pre + "mlp.up_proj.weight"] = t(mlp["up_proj"][i])
+        state[pre + "mlp.gate_proj.weight"] = t(mlp["gate_up_proj"][i][:, 0, :])
+        state[pre + "mlp.up_proj.weight"] = t(mlp["gate_up_proj"][i][:, 1, :])
         state[pre + "mlp.down_proj.weight"] = t(mlp["down_proj"][i])
         state[pre + "input_layernorm.weight"] = raw(layers["input_layernorm"][i])
         state[pre + "post_attention_layernorm.weight"] = raw(layers["post_attention_layernorm"][i])

@@ -90,6 +90,33 @@ def test_continuous_logprobs_match_dense(jax_params):
     )
 
 
+def test_continuous_int8_kv_matches_bf16(jax_params):
+    """int8 slot cache (per-token-head scales carried in SlotState): same
+    greedy tokens as the full-precision continuous path, logprobs within
+    quantization tolerance — parity with the dense engine's int8 mode."""
+    rng = np.random.default_rng(11)
+    b, p, r = 6, 8, 6
+    ids, seg, pos, gs = _prompts(rng, b, p)
+
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        slots=2, decode_chunk_size=3,
+    )
+    full = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs, key=jax.random.key(4), **kwargs
+    )
+    quant = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs, key=jax.random.key(4),
+        kv_cache_dtype=jnp.int8, **kwargs,
+    )
+    np.testing.assert_array_equal(full.responses, quant.responses)
+    mask = full.response_mask.astype(bool)
+    np.testing.assert_allclose(
+        quant.rollout_log_probs[mask], full.rollout_log_probs[mask],
+        rtol=0.1, atol=0.05,
+    )
+
+
 def test_continuous_multimodal_matches_dense(jax_params):
     """Multimodal prompts through the continuous engine == dense engine."""
     from spatialthinker_tpu.models.qwen2_5_vl import (

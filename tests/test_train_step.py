@@ -145,17 +145,27 @@ def test_update_step_sharded_2x2x2():
     batch = TrainBatch(*[shard_batch(x) for x in batch])
     new_params, _, metrics = jax.jit(update)(params, opt_state, batch)
     assert np.isfinite(float(metrics["actor/loss"]))
-    # params keep their shardings
-    leaf = new_params["text"]["layers"]["self_attn"]["q_proj"]
-    assert leaf.sharding.spec == params["text"]["layers"]["self_attn"]["q_proj"].sharding.spec
+    # params keep their shardings (trailing Nones are insignificant)
+    def norm(spec):
+        t = tuple(spec)
+        while t and t[-1] is None:
+            t = t[:-1]
+        return t
+
+    leaf = new_params["text"]["layers"]["self_attn"]["qkv_proj"]
+    assert norm(leaf.sharding.spec) == norm(
+        params["text"]["layers"]["self_attn"]["qkv_proj"].sharding.spec
+    )
 
 
 def test_param_sharding_rules_cover_big_leaves():
     params = init_params(CFG, jax.random.key(3))
     mesh = create_mesh(data_size=1, fsdp_size=4, model_size=2)
     shardings = param_shardings(mesh, params)
-    q = shardings["text"]["layers"]["self_attn"]["q_proj"]
-    assert q.spec == P(None, "fsdp", "model")
+    q = shardings["text"]["layers"]["self_attn"]["qkv_proj"]
+    assert q.spec == P(None, "fsdp", "model", None)
+    gu = shardings["text"]["layers"]["mlp"]["gate_up_proj"]
+    assert gu.spec == P(None, "fsdp", None, "model")
     emb = shardings["text"]["embed_tokens"]
     assert emb.spec == P("model", "fsdp")
     norm = shardings["text"]["norm"]
