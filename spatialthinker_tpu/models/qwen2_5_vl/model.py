@@ -41,19 +41,17 @@ def merge_multimodal_embeds(
     return jnp.where(flat_mask.reshape(b, s, 1), gathered.astype(text_embeds.dtype), text_embeds)
 
 
-def forward(
+def embed_inputs(
     params: Params,
     cfg: Qwen25VLConfig,
     input_ids: jnp.ndarray,          # (B, S)
-    position_ids: jnp.ndarray,       # (3, B, S)
-    *,
-    segment_ids: Optional[jnp.ndarray] = None,  # (B, S); 0 = pad
     vision: Optional[VisionInputs] = None,
-    cache: Optional[KVCache] = None,
-    kv_segment_ids: Optional[jnp.ndarray] = None,
+    *,
     remat: bool = False,
-) -> Tuple[jnp.ndarray, Optional[KVCache]]:
-    """Returns (hidden_states (B,S,E), updated cache)."""
+) -> jnp.ndarray:
+    """Token embeddings with vision embeddings merged into image-token slots
+    (B, S, E). Chunked prefill embeds the whole prompt once (the vision tower
+    is not chunkable — images must be merged before the sequence is split)."""
     embeds = jnp.take(params["text"]["embed_tokens"], input_ids, axis=0)
     if vision is not None:
         vision_embeds = vision_forward(
@@ -68,6 +66,23 @@ def forward(
         )
         image_mask = input_ids == cfg.image_token_id
         embeds = merge_multimodal_embeds(embeds, vision_embeds, image_mask)
+    return embeds
+
+
+def forward(
+    params: Params,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,          # (B, S)
+    position_ids: jnp.ndarray,       # (3, B, S)
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S); 0 = pad
+    vision: Optional[VisionInputs] = None,
+    cache: Optional[KVCache] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Returns (hidden_states (B,S,E), updated cache)."""
+    embeds = embed_inputs(params, cfg, input_ids, vision, remat=remat)
     return forward_hidden(
         params["text"],
         cfg.text,

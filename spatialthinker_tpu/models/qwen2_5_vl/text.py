@@ -110,6 +110,7 @@ def _layer(
     cache_kv,  # per-layer (k, v) or (k, v, k_scale, v_scale) — (B, Smax, Hkv, D)
     cache_length: Optional[jnp.ndarray],
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) incl. cached prefix
+    attend_to_cache: bool = False,  # chunked prefill: s>1 queries see the cached prefix
 ):
     """One decoder layer. Returns (x, updated per-layer kv or None)."""
     attn_p = p["self_attn"]
@@ -142,12 +143,27 @@ def _layer(
             v_store = v_all = jax.lax.dynamic_update_slice(
                 cache_kv[1], v.astype(cache_dtype), (0, cache_length, 0, 0)
             )
-        if s > 1:
+        if s > 1 and not attend_to_cache:
             # prefill (cache starts empty): queries only see the prompt's own
             # k/v — attend locally instead of over the full (P+R) cache buffer
             # (saves the masked decode-region columns and keeps the flash
             # kernel eligible)
             out = attention(q, k, v, segment_ids=segment_ids, causal=True)
+        elif s > 1:
+            # chunked prefill: this chunk's queries attend the cached prefix
+            # plus the chunk itself (causal via absolute q_offset positions;
+            # kv cells beyond the chunk end are masked by causality even if
+            # kv_segment_ids marks them)
+            q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), jnp.int32)
+            kv_seg = kv_segment_ids
+            if kv_seg is None:
+                kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
+                kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+            q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
+            out = attention(
+                q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg,
+                causal=True, q_offset=q_offset,
+            )
         else:
             if kv_segment_ids is None:
                 kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
@@ -178,6 +194,7 @@ def forward_hidden(
     cache: Optional[KVCache] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) validity of cache slots
     remat: bool = False,
+    attend_to_cache: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns (hidden_states (B,S,E), updated cache)."""
     if inputs_embeds is None:
@@ -212,7 +229,7 @@ def forward_hidden(
                 per_layer = (k_layer, v_layer)
             x, new_kv = _layer(
                 layer_p, cfg, x, cos, sin, segment_ids, per_layer,
-                cache.length, kv_segment_ids,
+                cache.length, kv_segment_ids, attend_to_cache=attend_to_cache,
             )
             return x, new_kv
 

@@ -98,8 +98,15 @@ def prefill_slots(
     valid: jnp.ndarray,           # (k,) bool — False rows are queue padding
     sampling: SamplingParams,
     vision=None,                  # Optional[VisionInputs] for this prompt batch
+    prefill_chunk: int = 0,       # >0: sequence-chunked prefill (token budget)
 ) -> SlotState:
-    """Run the prompt forward for k sequences and install them in `slot_ids`."""
+    """Run the prompt forward for k sequences and install them in `slot_ids`.
+
+    With ``prefill_chunk`` set, the prompt forward is split into sequence
+    chunks of that many tokens per row — each chunk attends the scratch-cache
+    prefix — bounding the per-forward activation footprint by
+    k * prefill_chunk tokens (the vLLM enable_chunked_prefill /
+    max_num_batched_tokens equivalent, reference scripts/config.yaml:55)."""
     k, p = input_ids.shape
     t = cfg.text
     total = state.cache_k.shape[2]
@@ -107,11 +114,29 @@ def prefill_slots(
 
     scratch = KVCache.init(t.num_hidden_layers, k, p, t.num_key_value_heads,
                            t.head_dim, dtype=state.cache_k.dtype)
-    hidden, scratch = forward(
-        params, cfg, input_ids, position_ids,
-        segment_ids=segment_ids.astype(jnp.int32), cache=scratch,
-        kv_segment_ids=segment_ids.astype(jnp.int32), vision=vision,
-    )
+    seg32 = segment_ids.astype(jnp.int32)
+    if prefill_chunk and prefill_chunk < p:
+        from ..models.qwen2_5_vl.model import embed_inputs
+        from ..models.qwen2_5_vl.text import forward_hidden
+
+        embeds = embed_inputs(params, cfg, input_ids, vision)
+        hidden = None
+        for c in range(0, p, prefill_chunk):
+            e = min(c + prefill_chunk, p)
+            hidden, scratch = forward_hidden(
+                params["text"], t,
+                inputs_embeds=embeds[:, c:e],
+                position_ids=position_ids[:, :, c:e],
+                segment_ids=seg32[:, c:e],
+                cache=scratch, kv_segment_ids=seg32,
+                attend_to_cache=True,
+            )
+    else:
+        hidden, scratch = forward(
+            params, cfg, input_ids, position_ids,
+            segment_ids=seg32, cache=scratch,
+            kv_segment_ids=seg32, vision=vision,
+        )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
     key, subkey = jax.random.split(state.key)
@@ -295,6 +320,22 @@ class ContinuousResult(NamedTuple):
     rollout_log_probs: np.ndarray  # (B, R)
 
 
+def effective_prefill_chunk(
+    prompt_len: int, rows: int, prefill_chunk_size: int, max_num_batched_tokens: int
+) -> int:
+    """Tokens per row per prefill forward (0 = unchunked). The binding
+    constraint is rows * chunk <= max_num_batched_tokens; prefill_chunk_size
+    caps the chunk directly. Chunks are 128-aligned (MXU tiling)."""
+    chunk = prompt_len
+    if max_num_batched_tokens > 0 and rows > 0:
+        chunk = min(chunk, max_num_batched_tokens // rows)
+    if prefill_chunk_size > 0:
+        chunk = min(chunk, prefill_chunk_size)
+    if chunk >= prompt_len:
+        return 0
+    return max(128 if prompt_len >= 128 else 1, chunk // 128 * 128 if chunk >= 128 else chunk)
+
+
 def generate_continuous(
     params,
     cfg: Qwen25VLConfig,
@@ -312,15 +353,20 @@ def generate_continuous(
     patches_list=None,           # per-prompt (N_i, Din) arrays (multimodal)
     grids_list=None,             # per-prompt (num_images, 3) grids
     vision_bucket: int = 0,      # patches per refill batch (0 = auto)
+    prefill_chunk_size: int = 0,     # vLLM enable_chunked_prefill equivalent
+    max_num_batched_tokens: int = 0,  # token budget per prefill forward
 ) -> ContinuousResult:
     """Generate B sequences through `slots` concurrent decode lanes with
     refill. Prefill batch size is fixed at `slots` (queue is padded), so the
     whole engine compiles exactly two kernels."""
     b, p = input_ids.shape
     slots = min(slots, b)
+    prefill_chunk = effective_prefill_chunk(
+        p, slots, prefill_chunk_size, max_num_batched_tokens
+    )
 
     prefill_jit = jax.jit(
-        prefill_slots, static_argnames=("cfg", "sampling"),
+        prefill_slots, static_argnames=("cfg", "sampling", "prefill_chunk"),
     )
     decode_jit = jax.jit(
         decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
@@ -388,6 +434,7 @@ def generate_continuous(
             jnp.asarray(valid),
             sampling,
             vision,
+            prefill_chunk=prefill_chunk,
         )
         return state
 

@@ -314,6 +314,8 @@ class GRPOTrainer:
                 patches_list=list(repeated.non_tensors["patches"]),
                 grids_list=list(repeated.non_tensors["image_grid_thw"]),
                 kv_cache_dtype=kv_dtype,
+                prefill_chunk_size=rollout_cfg.prefill_chunk_size,
+                max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
             )
         else:
             result = self.generate_fn(

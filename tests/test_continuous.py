@@ -90,6 +90,49 @@ def test_continuous_logprobs_match_dense(jax_params):
     )
 
 
+def test_effective_prefill_chunk_budget():
+    from spatialthinker_tpu.rollout.continuous import effective_prefill_chunk
+
+    # 6144-token prompt, 32 slots, 8192-token budget -> 256-token chunks
+    assert effective_prefill_chunk(6144, 32, 0, 8192) == 256
+    # budget bigger than rows*prompt -> unchunked
+    assert effective_prefill_chunk(512, 4, 0, 8192) == 0
+    # explicit chunk size caps regardless of budget
+    assert effective_prefill_chunk(6144, 4, 2048, 0) == 2048
+    # sub-128 prompts chunk without 128-alignment (test-scale shapes)
+    assert effective_prefill_chunk(64, 64, 0, 128) == 2
+    assert effective_prefill_chunk(64, 1, 0, 8192) == 0
+
+
+def test_continuous_chunked_prefill_matches_dense(jax_params):
+    """Sequence-chunked prefill (budget-bound) produces the same greedy
+    rollout as the unchunked path, including left-padded prompts."""
+    rng = np.random.default_rng(12)
+    b, p, r = 4, 8, 5
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    # left-pad two rows: tokens shift right, segment ids mark the pad
+    for i, pad in ((0, 3), (2, 1)):
+        ids[i, pad:] = ids[i, : p - pad]
+        ids[i, :pad] = 0
+        seg[i, :pad] = 0
+        pos[:, i, pad:] = pos[:, i, : p - pad]
+
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        slots=2, decode_chunk_size=3, key=jax.random.key(5),
+    )
+    plain = generate_continuous(jax_params, GOLD_CFG, ids, seg, pos, gs, **kwargs)
+    chunked = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs, prefill_chunk_size=3, **kwargs
+    )
+    np.testing.assert_array_equal(plain.responses, chunked.responses)
+    mask = plain.response_mask.astype(bool)
+    np.testing.assert_allclose(
+        chunked.rollout_log_probs[mask], plain.rollout_log_probs[mask],
+        rtol=2e-3, atol=2e-3,
+    )
+
+
 def test_continuous_int8_kv_matches_bf16(jax_params):
     """int8 slot cache (per-token-head scales carried in SlotState): same
     greedy tokens as the full-precision continuous path, logprobs within
