@@ -1,18 +1,24 @@
 """Benchmark: rollout decode throughput on the flagship model (Qwen2.5-VL-3B
 shapes, random weights) on real TPU hardware.
 
-Prints ONE JSON line:
-  {"metric": "rollout_tokens_per_sec_per_chip", "value": N, "unit": "tok/s/chip",
-   "vs_baseline": N / H100_VLLM_3B_TOKS}
+Prints ONE JSON line. The headline metric is the LONG-CONTEXT shape (prompt
+2048 / gen 256 — the shape training actually decodes at; the flagship config
+is prompt 6144 / response 2048, reachable via BENCH_SHAPE=flagship), with the
+short-context (prompt 128 / gen 128, batch 256) number carried alongside for
+round-over-round comparability:
+  {"metric": "rollout_tokens_per_sec_per_chip_long_ctx", "value": N,
+   "unit": "tok/s/chip", "vs_baseline": N / H100_VLLM_3B_TOKS,
+   "short_ctx": {...}, "config": {...}}
 
 Baseline anchor: the reference rolls out with vLLM on H100-class GPUs
 (BASELINE.md: "rollout tokens/sec/chip >= H100-class on a v5p-8" is the
 north-star). The repo publishes no number, so we anchor against a nominal
-2800 tok/s/GPU for Qwen2.5-VL-3B bf16 decode at batch 8 on one H100 —
-vs_baseline > 1.0 means faster than that anchor per chip.
+2800 tok/s/GPU for Qwen2.5-VL-3B bf16 decode on one H100 — vs_baseline > 1.0
+means faster than that anchor per chip.
 
 BENCH_MODE=train measures full GRPO update steps/s instead (1B config by
 default — 3B fp32 grads + optimizer state exceed a single v5e's HBM).
+BENCH_SHAPE=short|long|flagship|both (default both = short + long).
 """
 
 from __future__ import annotations
@@ -24,10 +30,8 @@ import time
 
 H100_VLLM_3B_TOKS = 2800.0  # nominal anchor, see module docstring
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-PROMPT_LEN = int(os.environ.get("BENCH_PROMPT", "128"))
-GEN_LEN = int(os.environ.get("BENCH_GEN", "128"))
 PRESET = os.environ.get("BENCH_PRESET", "3b")
+SHAPE = os.environ.get("BENCH_SHAPE", "both")
 
 
 def train_bench() -> None:
@@ -83,6 +87,10 @@ def train_bench() -> None:
         run()
     elapsed = time.perf_counter() - start
     tokens = bs * s * iters
+
+    from spatialthinker_tpu.utils.flops_counter import FlopsCounter, compute_mfu
+
+    mfu = compute_mfu(FlopsCounter(cfg), [s] * bs, elapsed / iters, n_chips=1)
     print(
         json.dumps(
             {
@@ -90,30 +98,37 @@ def train_bench() -> None:
                 "value": round(tokens / elapsed, 2),
                 "unit": "tok/s/chip",
                 "vs_baseline": round((iters / elapsed) * 3600, 1),  # update steps/hr
+                "mfu": round(mfu, 4),
+                "config": {"preset": os.environ.get("BENCH_PRESET", "0.5b"),
+                           "seq": s, "micro_bs": micro_bs, "n_micro": n_micro},
             }
         )
     )
 
 
-def main() -> None:
+# (batch, prompt, gen, kv_dtype, prefill_chunk) — memory-validated on a 16GB v5e
+SHAPES = {
+    "short": (256, 128, 128, "bfloat16", 0),
+    "long": (
+        int(os.environ.get("BENCH_BATCH", "96")),
+        int(os.environ.get("BENCH_PROMPT", "2048")),
+        int(os.environ.get("BENCH_GEN", "256")),
+        os.environ.get("BENCH_KV", "int8"),
+        int(os.environ.get("BENCH_CHUNK", "256")),
+    ),
+    "flagship": (16, 6144, 2048, "int8", 512),
+}
+
+
+def _measure(gen, params, cfg, shape, iters: int) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from spatialthinker_tpu.models.qwen2_5_vl import get_config
-    from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
-    from spatialthinker_tpu.rollout.engine import generate
     from spatialthinker_tpu.rollout.sampling import SamplingParams
 
-    cfg = get_config(PRESET)
-    n_chips = len(jax.devices())
-
-    key = jax.random.key(0)
-    # random bf16 init directly on device (values irrelevant for throughput)
-    params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(key)
-    jax.block_until_ready(params)
-
-    b, p, r = BATCH, PROMPT_LEN, GEN_LEN
+    b, p, r, kv_name, chunk = shape
+    kv_dtype = jnp.int8 if kv_name == "int8" else jnp.bfloat16
     rng = np.random.default_rng(0)
     input_ids = jnp.asarray(rng.integers(1, 1000, size=(b, p), dtype=np.int32))
     segment_ids = jnp.ones((b, p), jnp.int32)
@@ -121,40 +136,67 @@ def main() -> None:
     gen_pos_start = jnp.full((b,), p, jnp.int32)
     sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
 
-    gen = jax.jit(
-        generate, static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype")
-    )
-    kv_dtype = jnp.int8 if os.environ.get("BENCH_KV") == "int8" else jnp.bfloat16
-
     def run(k):
         out = gen(
             params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
             max_new_tokens=r, sampling=sampling, key=k, kv_cache_dtype=kv_dtype,
+            prefill_chunk=chunk,
         )
         # NOTE: through the axon relay, block_until_ready returns before the
         # device finishes; a scalar fetch is the only reliable sync.
         float(np.asarray(jnp.sum(out.responses.astype(jnp.int32))))
-        return out
 
     run(jax.random.key(1))  # compile + warm
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
     start = time.perf_counter()
     for i in range(iters):
         run(jax.random.key(2 + i))
     elapsed = time.perf_counter() - start
+    return b * r * iters / elapsed
 
-    total_generated = b * r * iters
-    toks_per_sec_per_chip = total_generated / elapsed / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "rollout_tokens_per_sec_per_chip",
-                "value": round(toks_per_sec_per_chip, 2),
-                "unit": "tok/s/chip",
-                "vs_baseline": round(toks_per_sec_per_chip / H100_VLLM_3B_TOKS, 4),
-            }
-        )
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from spatialthinker_tpu.models.qwen2_5_vl import get_config
+    from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
+    from spatialthinker_tpu.rollout.engine import generate
+
+    cfg = get_config(PRESET)
+    n_chips = len(jax.devices())
+
+    # random bf16 init directly on device (values irrelevant for throughput)
+    params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
+    jax.block_until_ready(params)
+    gen = jax.jit(
+        generate,
+        static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk"),
     )
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    names = ["short", "long"] if SHAPE == "both" else [SHAPE]
+    results = {
+        name: round(_measure(gen, params, cfg, SHAPES[name], iters) / n_chips, 2)
+        for name in names
+    }
+    headline = names[-1]  # long (or the single requested shape)
+    b, p, r, kv_name, chunk = SHAPES[headline]
+    out = {
+        "metric": f"rollout_tokens_per_sec_per_chip_{headline}_ctx"
+        if headline in ("long", "flagship") else "rollout_tokens_per_sec_per_chip",
+        "value": results[headline],
+        "unit": "tok/s/chip",
+        "vs_baseline": round(results[headline] / H100_VLLM_3B_TOKS, 4),
+        "config": {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "prefill_chunk": chunk},
+    }
+    for name in names[:-1]:
+        sb, sp_, sr, skv, sc = SHAPES[name]
+        out[f"{name}_ctx"] = {
+            "value": results[name],
+            "vs_baseline": round(results[name] / H100_VLLM_3B_TOKS, 4),
+            "config": {"batch": sb, "prompt": sp_, "gen": sr, "kv": skv},
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

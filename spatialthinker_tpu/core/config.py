@@ -38,6 +38,10 @@ class DataConfig:
     seed: int = 1
     max_pixels: int = 4_194_304
     min_pixels: int = 262_144
+    # host-side loader threads (reference: 8-worker StatefulDataLoader,
+    # ray_trainer.py:241-265); 0 = synchronous
+    num_workers: int = 8
+    prefetch_batches: int = 2
 
 
 @dataclass
@@ -241,6 +245,17 @@ class PPOConfig:
         if self.trainer.save_checkpoint_path is None:
             self.trainer.save_checkpoint_path = (
                 f"checkpoints/{self.trainer.project_name}/{self.trainer.experiment_name}"
+            )
+        # one SPMD mesh serves train AND decode: the vLLM-style decode TP knob
+        # (reference rollout.tensor_parallel_size) must agree with the mesh's
+        # model axis — reject silently-divergent values instead of ignoring them
+        tp = self.worker.rollout.tensor_parallel_size
+        if tp != 1 and tp != self.worker.actor.sharding.model_size:
+            raise ValueError(
+                f"rollout.tensor_parallel_size={tp} conflicts with "
+                f"actor.sharding.model_size={self.worker.actor.sharding.model_size}: "
+                "decode shares the training mesh; set actor.sharding.model_size "
+                "(and leave tensor_parallel_size at 1 or equal to it)"
             )
 
 

@@ -68,6 +68,7 @@ class RLHFDataset:
         model_config: Qwen25VLConfig,
         system_prompt: Optional[str] = None,
         rows: Optional[List[Dict[str, Any]]] = None,
+        limit_images: int = 0,
     ):
         self.tokenizer = tokenizer
         self.config = config
@@ -78,7 +79,8 @@ class RLHFDataset:
         self.answer_key = config.answer_key
         self.image_key = config.image_key
         self.format_prompt = config.format_prompt
-        self.limit_images = 0  # 0 = unlimited (rollout.limit_images parity)
+        # 0 = unlimited (rollout.limit_images parity, vllm_rollout_spmd.py limit_mm_per_prompt)
+        self.limit_images = limit_images
 
     @classmethod
     def from_rows(cls, rows, tokenizer, config, model_config, system_prompt=None):
@@ -199,16 +201,22 @@ def _obj(values: List[Any]) -> np.ndarray:
 
 
 class DataLoader:
-    """Minimal stateful shuffling loader with checkpointable iteration state
-    (parity: the reference's StatefulDataLoader resume, ray_trainer.py:483-524)."""
+    """Stateful shuffling loader with checkpointable iteration state (parity:
+    the reference's 8-worker StatefulDataLoader, ray_trainer.py:241-265 and
+    :483-524). ``num_workers`` > 0 prefetches: __getitem__ (smart-resize +
+    patchify, pure numpy/PIL) runs on a thread pool and ``prefetch_batches``
+    collated batches are staged ahead, so host-side image prep overlaps the
+    device step instead of sitting on the trainer thread between steps."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 1,
-                 drop_last: bool = True):
+                 drop_last: bool = True, num_workers: int = 0, prefetch_batches: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = max(1, prefetch_batches)
         self.epoch = 0
         self.position = 0  # batch index within epoch
 
@@ -224,18 +232,54 @@ class DataLoader:
         rng = np.random.default_rng(self.seed + self.epoch)
         return rng.permutation(len(self.dataset))
 
+    def _batch_indices(self, order: np.ndarray, position: int) -> np.ndarray:
+        start = position * self.batch_size
+        return order[start : start + self.batch_size]
+
     def __iter__(self):
-        while True:
-            order = self._order()
-            nb = len(self)
-            while self.position < nb:
-                start = self.position * self.batch_size
-                idx = order[start : start + self.batch_size]
+        if self.num_workers > 0:
+            yield from self._iter_prefetch()
+            return
+        order = self._order()
+        nb = len(self)
+        while self.position < nb:
+            idx = self._batch_indices(order, self.position)
+            self.position += 1
+            yield collate_fn([self.dataset[int(i)] for i in idx])
+        self.epoch += 1
+        self.position = 0
+
+    def _iter_prefetch(self):
+        """Background-threaded epoch: every item of the next
+        ``prefetch_batches`` batches loads on the pool concurrently (patchify
+        is pure numpy/PIL — GIL-released in the hot parts). Checkpoint state
+        (epoch/position) advances only when a batch is YIELDED, so resume
+        stays exact."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = self._order()
+        nb = len(self)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []  # list of per-batch future lists
+            next_pos = self.position
+
+            def submit(pos):
+                idx = self._batch_indices(order, pos)
+                return [pool.submit(self.dataset.__getitem__, int(i)) for i in idx]
+
+            while next_pos < nb and len(pending) < self.prefetch_batches:
+                pending.append(submit(next_pos))
+                next_pos += 1
+            while pending:
+                futures = pending.pop(0)
+                batch = collate_fn([f.result() for f in futures])
+                if next_pos < nb:
+                    pending.append(submit(next_pos))
+                    next_pos += 1
                 self.position += 1
-                yield collate_fn([self.dataset[int(i)] for i in idx])
-            self.epoch += 1
-            self.position = 0
-            return  # one epoch per __iter__ call
+                yield batch
+        self.epoch += 1
+        self.position = 0
 
     def state_dict(self) -> Dict[str, int]:
         return {"epoch": self.epoch, "position": self.position, "seed": self.seed}

@@ -133,6 +133,36 @@ def _b64(image) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def post_with_retry(url: str, *, headers: Dict, json_body: Dict, timeout: int = 120,
+                    max_retries: int = 5, backoff_s: float = 2.0, _sleep=None):
+    """POST with exponential backoff on rate limits / transient failures.
+
+    The reference wraps provider calls in try/except-retry
+    (/root/reference/evaluation/evals.py:371-373); without it one 429 kills a
+    whole benchmark run. Retries on 429/5xx and connection errors; raises on
+    other HTTP errors immediately."""
+    import time as _time
+
+    import requests
+
+    sleep = _sleep if _sleep is not None else _time.sleep
+    last_exc: Optional[Exception] = None
+    for attempt in range(max_retries + 1):
+        try:
+            resp = requests.post(url, headers=headers, json=json_body, timeout=timeout)
+        except requests.RequestException as exc:  # connection/timeout errors
+            last_exc = exc
+        else:
+            if resp.status_code == 429 or resp.status_code >= 500:
+                last_exc = requests.HTTPError(f"HTTP {resp.status_code}", response=resp)
+            else:
+                resp.raise_for_status()  # 4xx caller bugs surface immediately
+                return resp
+        if attempt < max_retries:
+            sleep(backoff_s * (2**attempt))
+    raise last_exc
+
+
 class OpenAIProvider(Provider):
     def __init__(self, model: str = "gpt-4o", max_tokens: int = 2048,
                  api_key: Optional[str] = None):
@@ -141,8 +171,6 @@ class OpenAIProvider(Provider):
         self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
 
     def generate(self, prompts: List[str], images: List[List[Any]]) -> List[str]:
-        import requests
-
         outs = []
         for prompt, imgs in zip(prompts, images):
             content: List[Dict] = [
@@ -151,17 +179,15 @@ class OpenAIProvider(Provider):
                 for img in imgs
             ]
             content.append({"type": "text", "text": prompt})
-            resp = requests.post(
+            resp = post_with_retry(
                 "https://api.openai.com/v1/chat/completions",
                 headers={"Authorization": f"Bearer {self.api_key}"},
-                json={
+                json_body={
                     "model": self.model,
                     "messages": [{"role": "user", "content": content}],
                     "max_tokens": self.max_tokens,
                 },
-                timeout=120,
             )
-            resp.raise_for_status()
             outs.append(resp.json()["choices"][0]["message"]["content"])
         return outs
 
@@ -174,8 +200,6 @@ class AnthropicProvider(Provider):
         self.api_key = api_key or os.environ.get("ANTHROPIC_API_KEY", "")
 
     def generate(self, prompts: List[str], images: List[List[Any]]) -> List[str]:
-        import requests
-
         outs = []
         for prompt, imgs in zip(prompts, images):
             content: List[Dict] = [
@@ -184,16 +208,14 @@ class AnthropicProvider(Provider):
                 for img in imgs
             ]
             content.append({"type": "text", "text": prompt})
-            resp = requests.post(
+            resp = post_with_retry(
                 "https://api.anthropic.com/v1/messages",
                 headers={"x-api-key": self.api_key, "anthropic-version": "2023-06-01"},
-                json={
+                json_body={
                     "model": self.model,
                     "messages": [{"role": "user", "content": content}],
                     "max_tokens": self.max_tokens,
                 },
-                timeout=120,
             )
-            resp.raise_for_status()
             outs.append(resp.json()["content"][0]["text"])
         return outs

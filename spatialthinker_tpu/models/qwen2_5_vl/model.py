@@ -80,6 +80,7 @@ def forward(
     cache: Optional[KVCache] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    sp=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (hidden_states (B,S,E), updated cache)."""
     embeds = embed_inputs(params, cfg, input_ids, vision, remat=remat)
@@ -92,6 +93,7 @@ def forward(
         cache=cache,
         kv_segment_ids=kv_segment_ids,
         remat=remat,
+        sp=sp,
     )
 
 

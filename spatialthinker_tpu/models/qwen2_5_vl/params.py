@@ -109,11 +109,12 @@ def params_from_hf_state_dict(
         return np.stack([raw(fmt.format(i=i)) for i in range(L)])
 
     def fuse_qkv_weights(q_w, k_w, v_w):
-        """(L,e,h*d)+(L,e,hkv*d)x2 -> (L,e,hkv,(qper+2)*d), per-group [q|k|v]
-        (see text.fused_qkv; q head order within groups is the HF order)."""
-        q_g = q_w.reshape(L, e, hkv, qper * d)
-        k_g = k_w.reshape(L, e, hkv, d)
-        v_g = v_w.reshape(L, e, hkv, d)
+        """(L,e,h*d)+(L,e,hkv*d)x2 -> (L,hkv,e,(qper+2)*d), per-group [q|k|v]
+        (see text.fused_qkv; q head order within groups is the HF order;
+        group axis leads so the stored layout is XLA's dot layout)."""
+        q_g = q_w.reshape(L, e, hkv, qper * d).transpose(0, 2, 1, 3)
+        k_g = k_w.reshape(L, e, hkv, d).transpose(0, 2, 1, 3)
+        v_g = v_w.reshape(L, e, hkv, d).transpose(0, 2, 1, 3)
         return np.concatenate([q_g, k_g, v_g], axis=-1)
 
     def fuse_qkv_biases(q_b, k_b, v_b):
@@ -145,8 +146,8 @@ def params_from_hf_state_dict(
                         stack_t(tp + "layers.{i}.mlp.gate_proj.weight"),
                         stack_t(tp + "layers.{i}.mlp.up_proj.weight"),
                     ],
-                    axis=2,
-                ),  # (L, e, 2, inter)
+                    axis=1,
+                ),  # (L, 2, e, inter)
                 "down_proj": stack_t(tp + "layers.{i}.mlp.down_proj.weight"),
             },
             "input_layernorm": stack_raw(tp + "layers.{i}.input_layernorm.weight"),

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import attention
+from ...ops.decode_attention import decode_attention
 from .config import TextConfig
 from .rope import apply_rotary, compute_cos_sin, make_inv_freq
 
@@ -41,24 +42,28 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU with gate/up fused into one wide matmul: p["gate_up_proj"] is
-    (E, 2, I) so decode reads one contiguous weight instead of two — the
-    decode step is weight-read-bound, and XLA tiles the single wide matmul
-    onto the MXU far better than two half-width ones. The separate (2, I)
-    dims (instead of a flat 2I) keep the tensor-parallel sharding on I local
-    to each shard (silu(gate)*up never crosses shards)."""
-    gu = jnp.einsum("...e,eti->...ti", x, p["gate_up_proj"])
+    """SwiGLU with gate/up fused into one contiguous weight: p["gate_up_proj"]
+    is (2, E, I) — decode reads one buffer instead of two, and the (2, E, I)
+    memory order matches the layout XLA's dot wants (storing (E, 2, I) makes
+    XLA materialize a transposed copy of the whole stack at runtime: a 3GB HLO
+    temp at 3B). The separate leading 2 (instead of a flat 2I column dim)
+    keeps the tensor-parallel sharding on I local to each shard
+    (silu(gate)*up never crosses shards)."""
+    gu = jnp.einsum("...e,tei->...ti", x, p["gate_up_proj"])
     return jnp.dot(jax.nn.silu(gu[..., 0, :]) * gu[..., 1, :], p["down_proj"])
 
 
 def fused_qkv(attn_p: Params, normed: jnp.ndarray, h: int, hkv: int, d: int):
-    """One wide QKV matmul -> (q, k, v). attn_p["qkv_proj"] is (E, Hkv, G)
+    """One wide QKV matmul -> (q, k, v). attn_p["qkv_proj"] is (Hkv, E, G)
     with G = (h/hkv + 2) * d: per KV group the columns are [q heads of the
     group | k | v]. Group-major q ordering equals the natural HF head order
     (GQA assigns head i to group i // (h/hkv)), so no permutation exists
-    anywhere — the loader just reshapes. Sharded on the Hkv axis for TP."""
+    anywhere — the loader just reshapes. The group axis leads (Hkv, E, G) so
+    the stored bytes match the batched-dot layout XLA wants — storing
+    (E, Hkv, G) makes XLA keep a transposed runtime copy of the whole stack.
+    Sharded on the Hkv axis for TP."""
     qper = h // hkv
-    fused = jnp.einsum("...e,egf->...gf", normed, attn_p["qkv_proj"]) + attn_p["qkv_bias"]
+    fused = jnp.einsum("...e,gef->...gf", normed, attn_p["qkv_proj"]) + attn_p["qkv_bias"]
     lead = fused.shape[:-2]
     q = fused[..., : qper * d].reshape(*lead, h, d)
     k = fused[..., qper * d : (qper + 1) * d]
@@ -67,26 +72,42 @@ def fused_qkv(attn_p: Params, normed: jnp.ndarray, h: int, hkv: int, d: int):
 
 
 class KVCache(NamedTuple):
-    """Dense KV cache; with dtype int8 the values are quantized per token-head
-    (symmetric max-abs scales in bf16: ~44% of the bf16 cache's HBM traffic)."""
+    """Dense KV cache, head-major (L, B, Hkv, Smax, D): decode reads one
+    contiguous (S, D) stripe per kv head — the layout the Pallas decode kernel
+    (ops/decode_attention.py) tiles directly. The stacked (L, ...) buffers are
+    CARRIED through the layer scan and updated in place with a one-token
+    dynamic_update_slice at the layer index (XLA aliases scan carries), so a
+    decode step's cache traffic is the read the attention itself needs — not a
+    full-cache copy per layer. With dtype int8 the values are quantized per
+    token-head (symmetric max-abs scales in bf16: ~56% of bf16 HBM traffic)."""
 
-    k: jnp.ndarray  # (L, B, Smax, Hkv, D)
-    v: jnp.ndarray  # (L, B, Smax, Hkv, D)
+    k: jnp.ndarray  # (L, B, Hkv, Smax, D)
+    v: jnp.ndarray  # (L, B, Hkv, Smax, D)
     length: jnp.ndarray  # () int32 — filled prefix length (uniform across batch)
-    k_scale: Optional[jnp.ndarray] = None  # (L, B, Smax, Hkv) — int8 mode only
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, Hkv, Smax) — int8 mode only
     v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def init(cls, num_layers, batch, max_len, num_kv_heads, head_dim, dtype=jnp.bfloat16):
-        shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
-        zero_len = jnp.zeros((), jnp.int32)
+        shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
+        # a PYTHON int, not a traced scalar: chunked prefill runs a static
+        # python loop, so lengths stay static and the cross-chunk attention
+        # can slice the live cache prefix + use the flash kernel's static
+        # causal_offset. Decode loops re-bind length to a traced scalar.
+        zero_len = 0
         if dtype == jnp.int8:
-            sshape = (num_layers, batch, max_len, num_kv_heads)
+            sshape = (num_layers, batch, num_kv_heads, max_len)
             return cls(
                 jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), zero_len,
                 jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16),
             )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), zero_len)
+
+    def arrays(self) -> tuple:
+        """The carried leaves (k, v[, k_scale, v_scale]) for the layer scan."""
+        if self.k.dtype == jnp.int8:
+            return (self.k, self.v, self.k_scale, self.v_scale)
+        return (self.k, self.v)
 
 
 def _quantize_kv(x: jnp.ndarray):
@@ -107,12 +128,18 @@ def _layer(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     segment_ids: Optional[jnp.ndarray],
-    cache_kv,  # per-layer (k, v) or (k, v, k_scale, v_scale) — (B, Smax, Hkv, D)
+    cache_arrays,  # FULL stacked (k, v[, k_scale, v_scale]) — (L, B, Hkv, Smax, D)
+    layer_idx,  # () int32 — this layer's slot in the stack
     cache_length: Optional[jnp.ndarray],
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) incl. cached prefix
     attend_to_cache: bool = False,  # chunked prefill: s>1 queries see the cached prefix
+    sp=None,  # Optional[UlyssesSpec] — sequence-parallel attention (training only)
 ):
-    """One decoder layer. Returns (x, updated per-layer kv or None)."""
+    """One decoder layer. ``cache_arrays`` is the whole layer stack carried
+    through the scan; the write is a one-token in-place dynamic_update_slice
+    at ``layer_idx`` (aliased by XLA), and decode attention reads the stack
+    through the Pallas kernel without materializing a layer slice.
+    Returns (x, updated cache_arrays or None)."""
     attn_p = p["self_attn"]
     b, s, _ = x.shape
     h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -121,28 +148,54 @@ def _layer(
     q, k, v = fused_qkv(attn_p, normed, h, hkv, d)
     q, k = apply_rotary(q, k, cos, sin)
 
-    if cache_kv is None:
-        out = attention(q, k, v, segment_ids=segment_ids, causal=True)
-        new_kv = None
-    else:
-        cache_dtype = cache_kv[0].dtype
-        quantized = cache_dtype == jnp.int8
-        if quantized:
-            kq, ks = _quantize_kv(k)
-            vq, vs = _quantize_kv(v)
-            k_store = jax.lax.dynamic_update_slice(cache_kv[0], kq, (0, cache_length, 0, 0))
-            v_store = jax.lax.dynamic_update_slice(cache_kv[1], vq, (0, cache_length, 0, 0))
-            ks_all = jax.lax.dynamic_update_slice(cache_kv[2], ks, (0, cache_length, 0))
-            vs_all = jax.lax.dynamic_update_slice(cache_kv[3], vs, (0, cache_length, 0))
-            k_all = _dequantize_kv(k_store, ks_all, x.dtype)
-            v_all = _dequantize_kv(v_store, vs_all, x.dtype)
+    if cache_arrays is None:
+        if sp is not None:
+            from ...ops.ulysses import ulysses_attention
+
+            out = ulysses_attention(
+                q, k, v, sp.mesh, sp.axis, segment_ids=segment_ids,
+                causal=True, batch_axes=sp.batch_axes,
+            )
         else:
-            k_store = k_all = jax.lax.dynamic_update_slice(
-                cache_kv[0], k.astype(cache_dtype), (0, cache_length, 0, 0)
+            out = attention(q, k, v, segment_ids=segment_ids, causal=True)
+        new_arrays = None
+    else:
+        cache_dtype = cache_arrays[0].dtype
+        quantized = cache_dtype == jnp.int8
+        k_hm = k.transpose(0, 2, 1, 3)  # (B, Hkv, s, D) head-major for the cache
+        v_hm = v.transpose(0, 2, 1, 3)
+        if quantized:
+            kq, ks = _quantize_kv(k_hm)  # scales (B, Hkv, s)
+            vq, vs = _quantize_kv(v_hm)
+            ck = jax.lax.dynamic_update_slice(
+                cache_arrays[0], kq[None], (layer_idx, 0, 0, cache_length, 0)
             )
-            v_store = v_all = jax.lax.dynamic_update_slice(
-                cache_kv[1], v.astype(cache_dtype), (0, cache_length, 0, 0)
+            cv = jax.lax.dynamic_update_slice(
+                cache_arrays[1], vq[None], (layer_idx, 0, 0, cache_length, 0)
             )
+            cks = jax.lax.dynamic_update_slice(
+                cache_arrays[2], ks[None], (layer_idx, 0, 0, cache_length)
+            )
+            cvs = jax.lax.dynamic_update_slice(
+                cache_arrays[3], vs[None], (layer_idx, 0, 0, cache_length)
+            )
+            new_arrays = (ck, cv, cks, cvs)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                cache_arrays[0], k_hm.astype(cache_dtype)[None],
+                (layer_idx, 0, 0, cache_length, 0),
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache_arrays[1], v_hm.astype(cache_dtype)[None],
+                (layer_idx, 0, 0, cache_length, 0),
+            )
+            new_arrays = (ck, cv)
+
+        kv_seg = kv_segment_ids
+        if kv_seg is None:
+            kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, ck.shape[3]), 1)
+            kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+
         if s > 1 and not attend_to_cache:
             # prefill (cache starts empty): queries only see the prompt's own
             # k/v — attend locally instead of over the full (P+R) cache buffer
@@ -151,36 +204,60 @@ def _layer(
             out = attention(q, k, v, segment_ids=segment_ids, causal=True)
         elif s > 1:
             # chunked prefill: this chunk's queries attend the cached prefix
-            # plus the chunk itself (causal via absolute q_offset positions;
-            # kv cells beyond the chunk end are masked by causality even if
-            # kv_segment_ids marks them)
+            # plus the chunk itself. With a static (python-int) cache length
+            # the live prefix is sliced and the flash kernel runs with a
+            # static causal_offset — the masked-SDPA fallback materializes a
+            # (B, Hq, s, Skv) fp32 score tensor, which is exactly the memory
+            # the chunking exists to avoid.
+            scales = (new_arrays[2], new_arrays[3]) if quantized else (None, None)
             q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), jnp.int32)
-            kv_seg = kv_segment_ids
-            if kv_seg is None:
-                kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
-                kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
-            q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
-            out = attention(
-                q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg,
-                causal=True, q_offset=q_offset,
-            )
-        else:
-            if kv_segment_ids is None:
-                kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, k_all.shape[1]), 1)
-                kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
+            if isinstance(cache_length, int):
+                end = cache_length + s
+                k_all, v_all = _layer_kv(
+                    new_arrays[0], new_arrays[1], layer_idx, x.dtype, *scales, end=end
+                )
+                out = attention(
+                    q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg[:, :end],
+                    causal=True, causal_offset=cache_length,
+                )
             else:
-                kv_seg = kv_segment_ids
-            q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), dtype=jnp.int32)
-            q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
-            out = attention(
-                q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg,
-                causal=True, q_offset=q_offset,
-            )
-        new_kv = (k_store, v_store, ks_all, vs_all) if quantized else (k_store, v_store)
+                k_all, v_all = _layer_kv(
+                    new_arrays[0], new_arrays[1], layer_idx, x.dtype, *scales
+                )
+                q_offset = jnp.full((b,), cache_length, dtype=jnp.int32)
+                out = attention(
+                    q, k_all, v_all, segment_ids=q_seg, kv_segment_ids=kv_seg,
+                    causal=True, q_offset=q_offset,
+                )
+        else:
+            scales = (new_arrays[2], new_arrays[3]) if quantized else (None, None)
+            out = decode_attention(
+                q[:, 0], new_arrays[0], new_arrays[1], kv_seg, layer_idx, *scales
+            )[:, None]
 
     x = x + jnp.dot(out.reshape(b, s, h * d), attn_p["o_proj"])
     x = x + swiglu_mlp(p["mlp"], rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps))
-    return x, new_kv
+    return x, new_arrays
+
+
+def _layer_kv(ck, cv, layer_idx, dtype, k_scale=None, v_scale=None, end=None):
+    """Materialize one layer's cache as (B, S, Hkv, D) for the chunked-prefill
+    attention (decode goes through ops/decode_attention instead). ``end``
+    (static) slices the live prefix so only written cells are read."""
+    k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
+    v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
+    if end is not None:
+        k_l = jax.lax.slice_in_dim(k_l, 0, end, axis=2)
+        v_l = jax.lax.slice_in_dim(v_l, 0, end, axis=2)
+    if k_scale is not None:
+        ks = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)
+        if end is not None:
+            ks = jax.lax.slice_in_dim(ks, 0, end, axis=2)
+            vs = jax.lax.slice_in_dim(vs, 0, end, axis=2)
+        k_l = _dequantize_kv(k_l, ks, dtype)
+        v_l = _dequantize_kv(v_l, vs, dtype)
+    return k_l.transpose(0, 2, 1, 3), v_l.transpose(0, 2, 1, 3)
 
 
 def forward_hidden(
@@ -195,6 +272,7 @@ def forward_hidden(
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) validity of cache slots
     remat: bool = False,
     attend_to_cache: bool = False,
+    sp=None,  # Optional[UlyssesSpec] — Ulysses sequence parallelism (no-cache path)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns (hidden_states (B,S,E), updated cache)."""
     if inputs_embeds is None:
@@ -207,7 +285,7 @@ def forward_hidden(
     if cache is None:
 
         def body(x, layer_p):
-            x, _ = _layer(layer_p, cfg, x, cos, sin, segment_ids, None, None)
+            x, _ = _layer(layer_p, cfg, x, cos, sin, segment_ids, None, None, None, sp=sp)
             return x, None
 
         if remat:
@@ -217,32 +295,27 @@ def forward_hidden(
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
-
+        # the stacked cache rides in the CARRY (not xs/ys): each layer's write
+        # is an in-place one-slot update at its index, so a decode step never
+        # copies the cache (the xs/ys formulation re-materializes every
+        # layer's full buffer into the stacked output each step)
         quantized = cache.k.dtype == jnp.int8
 
-        def body(x, xs):
-            if quantized:
-                layer_p, k_layer, v_layer, ks_layer, vs_layer = xs
-                per_layer = (k_layer, v_layer, ks_layer, vs_layer)
-            else:
-                layer_p, k_layer, v_layer = xs
-                per_layer = (k_layer, v_layer)
-            x, new_kv = _layer(
-                layer_p, cfg, x, cos, sin, segment_ids, per_layer,
+        def body(carry, layer_p):
+            x, arrays, idx = carry
+            x, arrays = _layer(
+                layer_p, cfg, x, cos, sin, segment_ids, arrays, idx,
                 cache.length, kv_segment_ids, attend_to_cache=attend_to_cache,
             )
-            return x, new_kv
+            return (x, arrays, idx + 1), None
 
+        init = (x, cache.arrays(), jnp.zeros((), jnp.int32))
+        (x, arrays, _), _ = jax.lax.scan(body, init, params["layers"])
+        new_length = cache.length + inputs_embeds.shape[1]
         if quantized:
-            x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-                body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
-            )
-            new_cache = KVCache(
-                new_k, new_v, cache.length + inputs_embeds.shape[1], new_ks, new_vs
-            )
+            new_cache = KVCache(arrays[0], arrays[1], new_length, arrays[2], arrays[3])
         else:
-            x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
-            new_cache = KVCache(new_k, new_v, cache.length + inputs_embeds.shape[1])
+            new_cache = KVCache(arrays[0], arrays[1], new_length)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_cache
@@ -270,12 +343,12 @@ def init_text_params(cfg: TextConfig, key: jax.Array, dtype=jnp.float32) -> Para
     qper = h // hkv
     layers = {
         "self_attn": {
-            "qkv_proj": dense(keys[0], (L, e, hkv, (qper + 2) * d)),
+            "qkv_proj": dense(keys[0], (L, hkv, e, (qper + 2) * d)),
             "qkv_bias": jnp.zeros((L, hkv, (qper + 2) * d), dtype),
             "o_proj": dense(keys[3], (L, h * d, e)),
         },
         "mlp": {
-            "gate_up_proj": dense(keys[4], (L, e, 2, inter)),
+            "gate_up_proj": dense(keys[4], (L, 2, e, inter)),
             "down_proj": dense(keys[6], (L, inter, e)),
         },
         "input_layernorm": jnp.ones((L, e), dtype),

@@ -100,25 +100,35 @@ def attention(
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = True,
     q_offset: Optional[jnp.ndarray] = None,
+    causal_offset: Optional[int] = None,
     scale: Optional[float] = None,
     backend: str = "auto",
 ) -> jnp.ndarray:
-    """Unified attention entry point. q:(B,Sq,Hq,D), k/v:(B,Skv,Hkv,D)."""
+    """Unified attention entry point. q:(B,Sq,Hq,D), k/v:(B,Skv,Hkv,D).
+
+    ``q_offset`` is a per-row (B,) traced offset (decode); ``causal_offset``
+    is a STATIC scalar offset (chunked prefill) — the static form keeps the
+    flash kernel eligible, where the masked-SDPA fallback would materialize a
+    (B, Hq, Sq, Skv) fp32 score tensor (3GB at 3B long-context shapes)."""
     b, sq, hq, d = q.shape
     kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
 
-    if backend in ("auto", "flash") and _flash_eligible(q, k, causal, segment_ids, q_offset):
+    if backend in ("auto", "flash") and _flash_eligible(q, k, causal, segment_ids, q_offset, causal_offset):
         from .flash_attention import flash_attention
 
         try:
             return flash_attention(
-                q, k, v, segment_ids=segment_ids, kv_segment_ids=kv_seg, causal=causal, scale=scale
+                q, k, v, segment_ids=segment_ids, kv_segment_ids=kv_seg,
+                causal=causal, scale=scale, causal_offset=causal_offset or 0,
+                **({"block_q": 256, "block_k": 256} if causal_offset is not None else {}),
             )
         except Exception:
             if backend == "flash":
                 raise
             # fall through to XLA path
 
+    if q_offset is None and causal_offset is not None:
+        q_offset = jnp.full((b,), causal_offset, dtype=jnp.int32)
     mask = None
     if segment_ids is not None:
         mask = make_attention_mask(segment_ids, kv_seg, causal=causal, q_offset=q_offset)
@@ -129,18 +139,25 @@ def attention(
     return xla_attention(q, k, v, mask=mask, scale=scale)
 
 
-def _flash_eligible(q, k, causal, segment_ids, q_offset) -> bool:
+def _flash_eligible(q, k, causal, segment_ids, q_offset, causal_offset=None) -> bool:
     """Flash kernel handles long self-attention on TPU: seq multiple of block,
-    same q/kv length, no decode offset. Measured on v5e (b=2, 16 q-heads,
-    d=128): ~parity at 1024, 1.5x at 2048, 2.5x at 4096; XLA fails outright
-    at 8192 where flash runs — so the threshold is 1024."""
+    same q/kv length (or a static chunked-prefill offset), no traced decode
+    offset. Measured on v5e (b=2, 16 q-heads, d=128): ~parity at 1024, 1.5x at
+    2048, 2.5x at 4096; XLA fails outright at 8192 where flash runs — so the
+    self-attention threshold is 1024. The static-offset (chunked prefill) path
+    has no threshold: the fallback's fp32 score tensor is the memory hog the
+    chunking exists to avoid."""
     if q_offset is not None:
         return False
     if jax.default_backend() != "tpu":
         return False
     b, sq, hq, d = q.shape
-    if sq != k.shape[1]:
+    if d % 8 != 0:
         return False
-    if sq < 1024 or sq % 512 != 0:
+    skv = k.shape[1]
+    if causal_offset is not None:
+        # cross-length chunked prefill: 256-blocks over both lengths
+        return sq % 256 == 0 and skv % 256 == 0
+    if sq != skv:
         return False
-    return d % 8 == 0
+    return sq >= 1024 and sq % 512 == 0

@@ -1,0 +1,243 @@
+"""Pallas TPU decode attention over the full stacked KV cache.
+
+This is the single-token-per-sequence attention of the rollout engines — the
+role vLLM fills with its paged_attention CUDA kernels
+(/root/reference/verl/workers/rollout/vllm_rollout_spmd.py gets it from vLLM).
+Decode is HBM-bandwidth-bound: the step reads every live KV cell once, so the
+kernel's job is to hit that floor and nothing more.
+
+Design (TPU-first):
+- The cache is the STACKED (L, B, Hkv, S, D) buffer that lives in the decode
+  loop's carry. The layer to attend is selected with a scalar-prefetch index
+  feeding the BlockSpec index maps — no (B, S, Hkv, D) layer slice is ever
+  materialized in HBM (a jnp dynamic-slice would copy it; at 3B decode that
+  copy alone doubles the step's KV traffic).
+- int8 KV is dequantized IN REGISTERS: per-token-head scales fold into the
+  score matrix after the q@k dot (q . (k*s) == (q . k) * s) and into the
+  softmax weights before the p@v dot, so the bf16 dequantized cache never
+  exists anywhere — HBM sees only int8 reads (~half the bf16 traffic).
+- Grid (B, S_blocks) with flash-style online softmax across S blocks: m/l/acc
+  scratch persists across the S dimension of the grid, out is flushed at the
+  last block. Head-major cache layout (S, D) trailing dims satisfies Mosaic
+  tiling for both int8 (32, 128) and bf16 (8, 128) blocks.
+- GQA: all query heads of one sequence ride in one program; each kv head's
+  group is a static (G, D) row slice (G padded to a multiple of 8 by the
+  caller when needed, e.g. the 7B's G=7).
+
+Masking: ``kv_seg`` (B, S) int32 marks valid cache cells (left-pad zeros and
+the unwritten decode tail are 0). The query is the newest token, so causality
+is exactly "attend every valid cell" — no position arithmetic in the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_S = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    idx_ref,      # scalar prefetch: (1,) layer index (consumed by index maps)
+    seg_ref,      # (1, block_s) int32
+    q_ref,        # (Hq_pad, D)
+    k_ref,        # (Hkv, block_s, D) int8 | bf16
+    v_ref,        # (Hkv, block_s, D)
+    *rest,        # [ks_ref, vs_ref] if quantized, then o_ref + scratches
+    scale: float,
+    hkv: int,
+    g: int,       # padded group size (multiple of 8)
+    quantized: bool,
+):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    seg = seg_ref[0, :]  # (block_s,)
+    valid = (seg != 0)[None, :]
+
+    for j in range(hkv):
+        rows = slice(j * g, (j + 1) * g)
+        qj = q_ref[rows, :].astype(jnp.float32) * scale          # (g, D)
+        k = k_ref[j].astype(jnp.float32)                         # (block_s, D)
+        s = jax.lax.dot_general(
+            qj, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                        # (g, block_s)
+        if quantized:
+            # fold the k scales in after the dot: q.(k*s) == (q.k)*s
+            s = s * ks_ref[j][None, :].astype(jnp.float32)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[rows, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[rows, :] = jnp.broadcast_to(
+            l_scr[rows, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True), (g, 128)
+        )
+        if quantized:
+            # fold the v scales into the softmax weights: p.(v*s) == (p*s).v
+            p = p * vs_ref[j][None, :].astype(jnp.float32)
+        acc_scr[rows, :] = acc_scr[rows, :] * corr + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[j].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        m_scr[rows, :] = jnp.broadcast_to(m_new, (g, 128))
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows emit zeros
+        o_ref[...] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
+
+
+def _pallas_decode(
+    q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s
+):
+    b, hq, d = q.shape
+    n_layers, _, hkv, s_max, _ = k_cache.shape
+    g = hq // hkv
+    gp = ((g + 7) // 8) * 8
+    if gp != g:  # pad each GQA group's query rows to a Mosaic-tileable height
+        qr = q.reshape(b, hkv, g, d)
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+        q = qr.reshape(b, hkv * gp, d)
+    hq_p = hkv * gp
+    quantized = k_scale is not None
+    grid = (b, s_max // block_s)
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, hkv=hkv, g=gp, quantized=quantized
+    )
+    in_specs = [
+        pl.BlockSpec((None, 1, block_s), lambda bi, si, idx: (bi, 0, si)),
+        pl.BlockSpec((None, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
+        pl.BlockSpec(
+            (None, None, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
+        ),
+        pl.BlockSpec(
+            (None, None, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
+        ),
+    ]
+    args = [kv_seg.reshape(b, 1, s_max), q, k_cache, v_cache]
+    if quantized:
+        scale_spec = pl.BlockSpec(
+            (None, None, hkv, block_s), lambda bi, si, idx: (idx[0], bi, 0, si)
+        )
+        in_specs += [scale_spec, scale_spec]
+        args += [k_scale, v_scale]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hq_p, 128), jnp.float32),
+            pltpu.VMEM((hq_p, 128), jnp.float32),
+            pltpu.VMEM((hq_p, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq_p, d), q.dtype),
+        interpret=_interpret(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *args)
+    if gp != g:
+        out = out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, hq, d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch + XLA fallback
+# ---------------------------------------------------------------------------
+
+
+def _xla_decode(q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale):
+    """Reference path (CPU tests / ineligible shapes): slice the layer,
+    dequantize, masked SDPA."""
+    from ..models.qwen2_5_vl.text import _dequantize_kv
+    from .attention import xla_attention
+
+    k_l = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
+    v_l = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+    if k_scale is not None:
+        ks = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)
+        k_l = _dequantize_kv(k_l, ks, q.dtype)
+        v_l = _dequantize_kv(v_l, vs, q.dtype)
+    k_l = k_l.transpose(0, 2, 1, 3)  # (B, Hkv, S, D) -> (B, S, Hkv, D)
+    v_l = v_l.transpose(0, 2, 1, 3)
+    mask = (kv_seg != 0)[:, None, None, :]  # newest token sees every valid cell
+    out = xla_attention(q[:, None].astype(k_l.dtype), k_l, v_l, mask=mask, scale=scale)
+    return out[:, 0]
+
+
+def _pick_block(s_max: int) -> Optional[int]:
+    """Largest block dividing the cache length (cache buckets are multiples of
+    128; e.g. 2304 -> 256). None = ineligible."""
+    for b in (512, 384, 256, 128):
+        if s_max % b == 0:
+            return b
+    return None
+
+
+def _eligible(q, k_cache, block_s: Optional[int]) -> bool:
+    if block_s is None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    b, hq, d = q.shape
+    _, _, hkv, s_max, _ = k_cache.shape
+    return d == 128 and hq % hkv == 0
+
+
+def decode_attention(
+    q: jnp.ndarray,        # (B, Hq, D) — one new token per sequence
+    k_cache: jnp.ndarray,  # (L, B, Hkv, S, D) int8 | bf16 (full layer stack)
+    v_cache: jnp.ndarray,
+    kv_seg: jnp.ndarray,   # (B, S) int32 — 1 = valid cache cell
+    layer_idx,             # () int32 — which layer of the stack to attend
+    k_scale: Optional[jnp.ndarray] = None,  # (L, B, Hkv, S) — int8 mode
+    v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Attention for one decode token against layer ``layer_idx`` of the
+    stacked cache. Returns (B, Hq, D)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    block_s = _pick_block(k_cache.shape[3])
+    if backend in ("auto", "pallas") and _eligible(q, k_cache, block_s):
+        try:
+            return _pallas_decode(
+                q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s
+            )
+        except Exception:
+            if backend == "pallas":
+                raise
+    return _xla_decode(q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale)

@@ -58,6 +58,7 @@ def _fwd_kernel(
     block_k: int,
     causal: bool,
     block_q: int,
+    causal_offset: int = 0,  # absolute kv position of q row 0 (chunked prefill)
 ):
     q_blk = pl.program_id(2)
     skv = k_ref.shape[0]
@@ -65,7 +66,8 @@ def _fwd_kernel(
 
     if causal:
         last_kv_block = jnp.minimum(
-            num_kv_blocks, ((q_blk + 1) * block_q + block_k - 1) // block_k
+            num_kv_blocks,
+            (causal_offset + (q_blk + 1) * block_q + block_k - 1) // block_k,
         )
     else:
         last_kv_block = num_kv_blocks
@@ -76,7 +78,11 @@ def _fwd_kernel(
 
     q = q_ref[...].astype(jnp.float32) * scale
     q_seg = q_seg_ref[0, :]
-    q_pos = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    q_pos = (
+        causal_offset
+        + q_blk * block_q
+        + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    )
 
     def body(kv_blk, _):
         k = k_ref[pl.ds(kv_blk * block_k, block_k), :].astype(jnp.float32)
@@ -125,14 +131,15 @@ def _fwd_kernel(
     lse_ref[0, :] = lse[:, 0]
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_offset=0):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     groups = hq // hkv
     grid = (b, hq, sq // block_q)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
+        _fwd_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q,
+        causal_offset=causal_offset,
     )
     # BHSD layout inside the kernel: mosaic tiling wants (seq, head_dim) as
     # the trailing block dims
@@ -360,18 +367,26 @@ def _flash_bwd(q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, bloc
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+                          causal_offset):
+    out, _ = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+                        causal_offset)
     return out
 
 
-def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k)
+def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_offset):
+    out, lse = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+                          causal_offset)
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
-def _core_bwd(causal, scale, block_q, block_k, residuals, g):
+def _core_bwd(causal, scale, block_q, block_k, causal_offset, residuals, g):
+    if causal_offset:
+        raise NotImplementedError(
+            "flash backward with causal_offset (chunked-prefill cross attention) "
+            "is inference-only"
+        )
     q, k, v, q_seg, kv_seg, out, lse = residuals
     dq, dk, dv = _flash_bwd(
         q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, block_k
@@ -393,7 +408,11 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    causal_offset: int = 0,
 ) -> jnp.ndarray:
+    """``causal_offset`` (static) places q row 0 at that absolute kv position:
+    the chunked-prefill cross-attention case (q = one prompt chunk, kv = the
+    cache prefix + chunk). Forward-only when nonzero."""
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     scale = scale if scale is not None else d**-0.5
@@ -403,10 +422,12 @@ def flash_attention(
         raise ValueError(f"seq lengths ({sq}, {skv}) must divide blocks ({block_q}, {block_k})")
     if hq % hkv:
         raise ValueError("query heads must be a multiple of kv heads")
+    if sq != skv and not (causal_offset or not causal):
+        raise ValueError("cross-length causal attention requires causal_offset")
 
     q_seg = segment_ids if segment_ids is not None else jnp.ones((b, sq), jnp.int32)
     kv_seg = kv_segment_ids if kv_segment_ids is not None else q_seg
     return _flash_attention_core(
         q, k, v, q_seg.astype(jnp.int32), kv_seg.astype(jnp.int32),
-        causal, scale, block_q, block_k,
+        causal, scale, block_q, block_k, int(causal_offset),
     )

@@ -16,13 +16,25 @@ the default path lets pjit/XLA pick shardings.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .attention import attention
+
+
+class UlyssesSpec(NamedTuple):
+    """Sequence-parallel wiring handed down into the model forward: the mesh,
+    the axis carrying the sp degree, and the axes the batch dim is sharded
+    over (so the shard_map region preserves pjit's batch sharding). Built by
+    the trainer from actor.ulysses_sequence_parallel_size (reference chain:
+    fsdp_workers.py:113-125 -> flash_attention_utils.py:98-148)."""
+
+    mesh: Mesh
+    axis: str
+    batch_axes: Tuple[str, ...] = ()
 
 
 def gather_seq_scatter_heads(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -44,10 +56,13 @@ def ulysses_attention(
     *,
     segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = True,
+    batch_axes: Tuple[str, ...] = (),
 ) -> jnp.ndarray:
     """Sequence-parallel attention: callers hold sequence-sharded q/k/v; heads
     are exchanged for sequence via all-to-all, full-sequence attention runs on
     each shard's head slice, and the output returns to sequence sharding.
+    ``batch_axes`` names the mesh axes the batch dim is sharded over (so the
+    region composes with pjit's data/fsdp batch sharding).
 
     Requirements (same as the reference's Ulysses): num heads (incl. kv heads)
     divisible by the sp degree.
@@ -56,8 +71,9 @@ def ulysses_attention(
     if q.shape[2] % sp or k.shape[2] % sp:
         raise ValueError(f"q/kv heads ({q.shape[2]}, {k.shape[2]}) must divide sp={sp}")
 
-    seq_spec = P(None, sp_axis, None, None)
-    seg_spec = P(None, sp_axis) if segment_ids is not None else None
+    b_spec = batch_axes if batch_axes else None
+    seq_spec = P(b_spec, sp_axis, None, None)
+    seg_spec = P(b_spec, sp_axis) if segment_ids is not None else None
 
     def inner(q_l, k_l, v_l, seg_l):
         q_full = gather_seq_scatter_heads(q_l, sp_axis)  # (B, S, Hq/sp, D)

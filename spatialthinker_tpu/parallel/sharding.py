@@ -28,12 +28,12 @@ _TEXT_RULES: Tuple[Tuple[str, P], ...] = (
     # fused QKV (E, Hkv, (h/hkv+2)*d): column-parallel over the KV-GROUP dim,
     # so each model shard owns whole GQA groups (q heads + their k/v) and
     # attention stays shard-local; caps model_size at num_key_value_heads
-    ("self_attn/qkv_proj", P(FSDP_AXIS, MODEL_AXIS, None)),
+    ("self_attn/qkv_proj", P(MODEL_AXIS, FSDP_AXIS, None)),
     ("self_attn/qkv_bias", P(MODEL_AXIS, None)),
     ("self_attn/o_proj", P(MODEL_AXIS, FSDP_AXIS)),
-    # fused gate/up (E, 2, I): column-parallel on I; the explicit 2-dim keeps
+    # fused gate/up (2, E, I): column-parallel on I; the explicit 2-dim keeps
     # silu(gate)*up local per shard
-    ("mlp/gate_up_proj", P(FSDP_AXIS, None, MODEL_AXIS)),
+    ("mlp/gate_up_proj", P(None, FSDP_AXIS, MODEL_AXIS)),
     ("mlp/down_proj", P(MODEL_AXIS, FSDP_AXIS)),
     ("input_layernorm", P()),
     ("post_attention_layernorm", P()),

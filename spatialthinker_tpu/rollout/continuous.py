@@ -27,7 +27,6 @@ import numpy as np
 from ..models.qwen2_5_vl import Qwen25VLConfig, forward
 from ..models.qwen2_5_vl.text import (
     KVCache,
-    _dequantize_kv,
     _quantize_kv,
     fused_qkv,
     logits_from_hidden,
@@ -35,13 +34,13 @@ from ..models.qwen2_5_vl.text import (
     swiglu_mlp,
 )
 from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq, rotate_half
-from ..ops.attention import attention
+from ..ops.decode_attention import decode_attention
 from .sampling import SamplingParams, sample_tokens, sampled_token_logp
 
 
 class SlotState(NamedTuple):
-    cache_k: jnp.ndarray     # (L, S, T, Hkv, D)
-    cache_v: jnp.ndarray     # (L, S, T, Hkv, D)
+    cache_k: jnp.ndarray     # (L, S, Hkv, T, D) head-major (see text.KVCache)
+    cache_v: jnp.ndarray     # (L, S, Hkv, T, D)
     kv_seg: jnp.ndarray      # (S, T) int32 — validity of each cache slot cell
     length: jnp.ndarray      # (S,) int32 — buffer cells used (prompt P + generated)
     cur_tokens: jnp.ndarray  # (S,) int32 — next token to feed
@@ -52,7 +51,7 @@ class SlotState(NamedTuple):
     responses: jnp.ndarray   # (S, R) int32
     logps: jnp.ndarray       # (S, R) fp32
     key: jax.Array
-    k_scale: Optional[jnp.ndarray] = None  # (L, S, T, Hkv) bf16 — int8 mode only
+    k_scale: Optional[jnp.ndarray] = None  # (L, S, Hkv, T) bf16 — int8 mode only
     v_scale: Optional[jnp.ndarray] = None
 
 
@@ -61,7 +60,7 @@ def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
                     kv_dtype=jnp.bfloat16) -> SlotState:
     t = cfg.text
     total = prompt_len + max_new_tokens
-    shape = (t.num_hidden_layers, slots, total, t.num_key_value_heads, t.head_dim)
+    shape = (t.num_hidden_layers, slots, t.num_key_value_heads, total, t.head_dim)
     scales = None
     if kv_dtype == jnp.int8:
         scales = jnp.zeros(shape[:-1], jnp.bfloat16)
@@ -109,7 +108,7 @@ def prefill_slots(
     max_num_batched_tokens equivalent, reference scripts/config.yaml:55)."""
     k, p = input_ids.shape
     t = cfg.text
-    total = state.cache_k.shape[2]
+    total = state.cache_k.shape[3]
     max_new = state.responses.shape[1]
 
     scratch = KVCache.init(t.num_hidden_layers, k, p, t.num_key_value_heads,
@@ -144,13 +143,13 @@ def prefill_slots(
     first_logp = sampled_token_logp(last_logits, first, sampling)
     finished0 = (first == cfg.eos_token_id) | ~valid
 
-    cache_k = state.cache_k.at[:, slot_ids, :p].set(scratch.k)
-    cache_v = state.cache_v.at[:, slot_ids, :p].set(scratch.v)
+    cache_k = state.cache_k.at[:, slot_ids, :, :p].set(scratch.k)
+    cache_v = state.cache_v.at[:, slot_ids, :, :p].set(scratch.v)
     scale_updates = {}
     if state.k_scale is not None:
         scale_updates = dict(
-            k_scale=state.k_scale.at[:, slot_ids, :p].set(scratch.k_scale),
-            v_scale=state.v_scale.at[:, slot_ids, :p].set(scratch.v_scale),
+            k_scale=state.k_scale.at[:, slot_ids, :, :p].set(scratch.k_scale),
+            v_scale=state.v_scale.at[:, slot_ids, :, :p].set(scratch.v_scale),
         )
     kv_row = jnp.concatenate(
         [segment_ids.astype(jnp.int32), jnp.zeros((k, total - p), jnp.int32)], axis=1
@@ -180,16 +179,18 @@ def prefill_slots(
 # ---------------------------------------------------------------------------
 
 
-def _decode_layer(layer_p, cfg, x, cos, sin, cache_kv, write_pos, kv_seg, q_offset):
+def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_pos, kv_seg):
     """One decoder layer for a single token per slot, writing KV at a per-slot
     position (text._layer assumes a uniform cache length; this one scatters).
-    ``cache_kv`` is (k, v) in bf16 mode or (k, v, k_scale, v_scale) in int8
-    mode (per-token-head symmetric quantization, as in text.KVCache)."""
+    ``cache_arrays`` is the FULL stacked (k, v[, k_scale, v_scale]) carried
+    through the layer scan — the per-slot token write is an in-place scatter
+    at ``layer_idx`` and attention reads the stack through the Pallas decode
+    kernel (per-token-head int8 dequant in registers, as in text.KVCache)."""
     t = cfg
     s = x.shape[0]
     h, hkv, d = t.num_attention_heads, t.num_key_value_heads, t.head_dim
     attn_p = layer_p["self_attn"]
-    quantized = cache_kv[0].dtype == jnp.int8
+    quantized = cache_arrays[0].dtype == jnp.int8
 
     normed = rms_norm(x, layer_p["input_layernorm"], t.rms_norm_eps)
     q, knew, vnew = fused_qkv(attn_p, normed[:, None, :], h, hkv, d)
@@ -200,32 +201,30 @@ def _decode_layer(layer_p, cfg, x, cos, sin, cache_kv, write_pos, kv_seg, q_offs
 
     slot_idx = jnp.arange(s)
     if quantized:
-        kq, ks = _quantize_kv(knew)
+        kq, ks = _quantize_kv(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
         vq, vs = _quantize_kv(vnew)
-        cache_k = cache_kv[0].at[slot_idx, write_pos].set(kq[:, 0])
-        cache_v = cache_kv[1].at[slot_idx, write_pos].set(vq[:, 0])
-        ks_all = cache_kv[2].at[slot_idx, write_pos].set(ks[:, 0])
-        vs_all = cache_kv[3].at[slot_idx, write_pos].set(vs[:, 0])
-        k_att = _dequantize_kv(cache_k, ks_all, x.dtype)
-        v_att = _dequantize_kv(cache_v, vs_all, x.dtype)
-        new_kv = (cache_k, cache_v, ks_all, vs_all)
+        cache_k = cache_arrays[0].at[layer_idx, slot_idx, :, write_pos].set(kq[:, 0])
+        cache_v = cache_arrays[1].at[layer_idx, slot_idx, :, write_pos].set(vq[:, 0])
+        ks_all = cache_arrays[2].at[layer_idx, slot_idx, :, write_pos].set(ks[:, 0])
+        vs_all = cache_arrays[3].at[layer_idx, slot_idx, :, write_pos].set(vs[:, 0])
+        new_arrays = (cache_k, cache_v, ks_all, vs_all)
+        scales = (ks_all, vs_all)
     else:
-        cache_k = k_att = cache_kv[0].at[slot_idx, write_pos].set(
-            knew[:, 0].astype(cache_kv[0].dtype)
+        cache_k = cache_arrays[0].at[layer_idx, slot_idx, :, write_pos].set(
+            knew[:, 0].astype(cache_arrays[0].dtype)
         )
-        cache_v = v_att = cache_kv[1].at[slot_idx, write_pos].set(
-            vnew[:, 0].astype(cache_kv[1].dtype)
+        cache_v = cache_arrays[1].at[layer_idx, slot_idx, :, write_pos].set(
+            vnew[:, 0].astype(cache_arrays[1].dtype)
         )
-        new_kv = (cache_k, cache_v)
+        new_arrays = (cache_k, cache_v)
+        scales = (None, None)
 
-    out = attention(
-        q.astype(x.dtype), k_att, v_att,
-        segment_ids=jnp.ones((s, 1), jnp.int32), kv_segment_ids=kv_seg,
-        causal=True, q_offset=q_offset,
+    out = decode_attention(
+        q[:, 0].astype(x.dtype), cache_k, cache_v, kv_seg, layer_idx, *scales
     )
     x = x + jnp.dot(out.reshape(s, t.hidden_size), attn_p["o_proj"])
     x = x + swiglu_mlp(layer_p["mlp"], rms_norm(x, layer_p["post_attention_layernorm"], t.rms_norm_eps))
-    return x, new_kv
+    return x, new_arrays
 
 
 def decode_chunk(
@@ -252,23 +251,23 @@ def decode_chunk(
         x = jnp.take(text_params["embed_tokens"], state.cur_tokens, axis=0)  # (S, E)
         quantized = state.k_scale is not None
 
-        def body(x, xs):
-            layer_p, *cache_kv = xs
-            x, new_kv = _decode_layer(
-                layer_p, t, x, cos, sin, tuple(cache_kv),
-                state.length, kv_seg, state.length,
+        # the stacked cache rides in the scan CARRY so each layer's one-token
+        # scatter is in-place (the xs/ys form copies the whole cache per step)
+        def body(carry, layer_p):
+            x, arrays, idx = carry
+            x, arrays = _decode_layer(
+                layer_p, t, x, cos, sin, arrays, idx, state.length, kv_seg
             )
-            return x, new_kv
+            return (x, arrays, idx + 1), None
 
         if quantized:
-            xs = (text_params["layers"], state.cache_k, state.cache_v,
-                  state.k_scale, state.v_scale)
-            x_out, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(body, x, xs)
-            scale_updates = dict(k_scale=new_ks, v_scale=new_vs)
+            arrays0 = (state.cache_k, state.cache_v, state.k_scale, state.v_scale)
         else:
-            xs = (text_params["layers"], state.cache_k, state.cache_v)
-            x_out, (new_k, new_v) = jax.lax.scan(body, x, xs)
-            scale_updates = {}
+            arrays0 = (state.cache_k, state.cache_v)
+        init = (x, arrays0, jnp.zeros((), jnp.int32))
+        (x_out, arrays, _), _ = jax.lax.scan(body, init, text_params["layers"])
+        new_k, new_v = arrays[0], arrays[1]
+        scale_updates = dict(k_scale=arrays[2], v_scale=arrays[3]) if quantized else {}
         hidden = rms_norm(x_out[:, None, :], text_params["norm"], t.rms_norm_eps)
         logits = logits_from_hidden(text_params, hidden, t)[:, 0, :]
 

@@ -17,8 +17,9 @@ v0 architecture (dense KV):
 - mRoPE: generated tokens continue at (max prompt position + 1 + step) on all
   three channels; the per-sample start comes in precomputed from the host.
 
-Memory: KV cache (L, B, P+R, Hkv, D) bf16, sharded (fsdp on batch, model on
-heads). The paged upgrade slots in behind the same interface.
+Memory: KV cache (L, B, Hkv, P+R, D) bf16 or int8+scales, sharded (fsdp on
+batch, model on heads), carried in place through the decode loop (see
+text.KVCache); decode attention is the Pallas kernel in ops/decode_attention.
 """
 
 from __future__ import annotations
@@ -99,9 +100,16 @@ def generate(
     key: jax.Array,
     vision: Optional[VisionInputs] = None,
     kv_cache_dtype=jnp.bfloat16,
+    prefill_chunk: int = 0,
 ) -> RolloutResult:
     """Jittable generation: prefill + scan-decode. Callers jit this with
-    static (cfg, max_new_tokens, sampling) for each bucket shape."""
+    static (cfg, max_new_tokens, sampling, prefill_chunk) per bucket shape.
+
+    ``prefill_chunk`` > 0 splits the prompt forward into sequence chunks (the
+    vLLM enable_chunked_prefill equivalent): the MLP/logit activation
+    footprint is bounded by b*chunk tokens instead of b*P — at 3B, batch 64,
+    P=2048 the unchunked gate_up temp alone is 5.4GB, which is the difference
+    between fitting a long-context batch and OOM."""
     b, p = input_ids.shape
     cfgt = cfg.text
     total = p + max_new_tokens
@@ -115,11 +123,30 @@ def generate(
     )
 
     # ---- prefill ----
-    hidden, cache = forward(
-        params, cfg, input_ids, position_ids,
-        segment_ids=prompt_segment_ids.astype(jnp.int32),
-        vision=vision, cache=cache, kv_segment_ids=kv_seg0,
-    )
+    seg32 = prompt_segment_ids.astype(jnp.int32)
+    if prefill_chunk and prefill_chunk < p:
+        from ..models.qwen2_5_vl.model import embed_inputs
+        from ..models.qwen2_5_vl.text import forward_hidden
+
+        # the vision tower is not chunkable (images merge before splitting)
+        embeds = embed_inputs(params, cfg, input_ids, vision)
+        hidden = None
+        for c in range(0, p, prefill_chunk):
+            e = min(c + prefill_chunk, p)
+            hidden, cache = forward_hidden(
+                params["text"], cfgt,
+                inputs_embeds=embeds[:, c:e],
+                position_ids=position_ids[:, :, c:e],
+                segment_ids=seg32[:, c:e],
+                cache=cache, kv_segment_ids=kv_seg0,
+                attend_to_cache=True,
+            )
+    else:
+        hidden, cache = forward(
+            params, cfg, input_ids, position_ids,
+            segment_ids=seg32,
+            vision=vision, cache=cache, kv_segment_ids=kv_seg0,
+        )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
     key, subkey = jax.random.split(key)
@@ -128,6 +155,9 @@ def generate(
     finished0 = first_token == cfg.eos_token_id
 
     # ---- decode remaining R-1 tokens ----
+    # prefill kept length as a python int (static chunking); the while-loop
+    # carry needs a traced scalar of stable dtype
+    cache = cache._replace(length=jnp.asarray(cache.length, jnp.int32))
     state = DecodeState(
         cache=cache, kv_seg=kv_seg0, cur_tokens=first_token,
         finished=finished0, key=key, step=jnp.zeros((), jnp.int32),

@@ -49,9 +49,9 @@ def params_to_hf_state_dict(params: Dict[str, Any], cfg: Qwen25VLConfig) -> Dict
     for i in range(L):
         pre = f"{tp}layers.{i}."
         attn = layers["self_attn"]
-        # unfuse (E, Hkv, (qper+2)*d) -> HF q/k/v (exact inverse of the
+        # unfuse (Hkv, E, (qper+2)*d) -> HF q/k/v (exact inverse of the
         # loader's fuse: per-group columns are [q heads | k | v])
-        qkv_w = np.asarray(attn["qkv_proj"][i])  # (E, Hkv, G)
+        qkv_w = np.asarray(attn["qkv_proj"][i]).transpose(1, 0, 2)  # (E, Hkv, G)
         qkv_b = np.asarray(attn["qkv_bias"][i])  # (Hkv, G)
         state[pre + "self_attn.q_proj.weight"] = t(qkv_w[..., : qper * d].reshape(e, h * d))
         state[pre + "self_attn.k_proj.weight"] = t(
@@ -67,8 +67,8 @@ def params_to_hf_state_dict(params: Dict[str, Any], cfg: Qwen25VLConfig) -> Dict
         )
         state[pre + "self_attn.v_proj.bias"] = raw(qkv_b[..., (qper + 1) * d :].reshape(hkv * d))
         mlp = layers["mlp"]
-        state[pre + "mlp.gate_proj.weight"] = t(mlp["gate_up_proj"][i][:, 0, :])
-        state[pre + "mlp.up_proj.weight"] = t(mlp["gate_up_proj"][i][:, 1, :])
+        state[pre + "mlp.gate_proj.weight"] = t(mlp["gate_up_proj"][i][0])
+        state[pre + "mlp.up_proj.weight"] = t(mlp["gate_up_proj"][i][1])
         state[pre + "mlp.down_proj.weight"] = t(mlp["down_proj"][i])
         state[pre + "input_layernorm.weight"] = raw(layers["input_layernorm"][i])
         state[pre + "post_attention_layernorm.weight"] = raw(layers["post_attention_layernorm"][i])

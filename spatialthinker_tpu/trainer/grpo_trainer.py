@@ -30,13 +30,14 @@ from ..algos import (
     compute_rloo_outcome_advantage,
     get_kl_controller,
 )
-from ..core.batch import RolloutBatch
+from ..core.batch import RolloutBatch, pad_to_divisor, unpad
 from ..core.config import PPOConfig
 from ..data.packing import pack_vision_batch
 from ..models.qwen2_5_vl import Qwen25VLConfig
 from ..parallel.mesh import create_mesh
 from ..parallel.sharding import shard_params
 from ..rewards.manager import RewardManager
+from ..rollout.continuous import effective_prefill_chunk
 from ..rollout.engine import generate
 from ..rollout.sampling import SamplingParams
 from ..utils.flops_counter import FlopsCounter, compute_mfu
@@ -107,6 +108,29 @@ class GRPOTrainer:
         sh = config.worker.actor.sharding
         self.mesh = mesh if mesh is not None else create_mesh(sh.data_size, sh.fsdp_size, sh.model_size)
         self.params = shard_params(self.mesh, params)
+
+        # Ulysses sequence parallelism over the model axis: training forwards
+        # hold sequence-sharded activations and all-to-all heads<->sequence
+        # around attention (reference chain: fsdp_workers.py:113-125 ->
+        # flash_attention_utils.py:98-148). Decode is untouched (cache path).
+        sp_size = config.worker.actor.ulysses_sequence_parallel_size
+        self.sp = None
+        if sp_size > 1:
+            from ..ops.ulysses import UlyssesSpec
+            from ..parallel.mesh import BATCH_AXES, MODEL_AXIS
+
+            if sp_size != sh.model_size:
+                raise ValueError(
+                    f"ulysses_sequence_parallel_size={sp_size} must equal "
+                    f"sharding.model_size={sh.model_size} (sp rides the model axis)"
+                )
+            hkv = model_cfg.text.num_key_value_heads
+            if hkv % sp_size:
+                raise ValueError(f"kv heads ({hkv}) must be divisible by sp={sp_size}")
+            seq = config.data.max_prompt_length + config.data.max_response_length
+            if seq % sp_size:
+                raise ValueError(f"sequence length {seq} must be divisible by sp={sp_size}")
+            self.sp = UlyssesSpec(self.mesh, MODEL_AXIS, BATCH_AXES)
         # reference policy = frozen copy of the initial weights (a REAL copy:
         # actor params are donated/overwritten in-place by the update step)
         self.ref_params = (
@@ -139,13 +163,14 @@ class GRPOTrainer:
                 remat=actor.sharding.remat,
                 freeze_vision_tower=actor.model.freeze_vision_tower,
                 temperature=config.worker.rollout.temperature,
+                sp=self.sp,
             ),
             donate_argnums=(0, 1),  # in-place params/opt update
         )
         rollout_temp = config.worker.rollout.temperature
         self.logprob_fn = jax.jit(
             lambda p, b, v: compute_log_probs(
-                p, model_cfg, b, v, remat=False, temperature=rollout_temp
+                p, model_cfg, b, v, remat=False, temperature=rollout_temp, sp=self.sp
             )[0],
         )
 
@@ -167,12 +192,13 @@ class GRPOTrainer:
                     max_grad_norm=actor.max_grad_norm,
                     remat=actor.sharding.remat,
                     temperature=rollout_temp,
+                    sp=self.sp,
                 ),
                 donate_argnums=(0, 1),
             )
             self.packed_logprob_fn = jax.jit(
                 lambda p, b, v: compute_packed_log_probs(
-                    p, model_cfg, b, v, remat=False, temperature=rollout_temp
+                    p, model_cfg, b, v, remat=False, temperature=rollout_temp, sp=self.sp
                 )[0]
             )
 
@@ -206,7 +232,9 @@ class GRPOTrainer:
             )
         self.generate_fn = jax.jit(
             generate,
-            static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype"),
+            static_argnames=(
+                "cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk"
+            ),
         )
 
         self.sampling = SamplingParams(
@@ -330,6 +358,10 @@ class GRPOTrainer:
                 key=self._next_key(),
                 vision=self._pack_vision(repeated),
                 kv_cache_dtype=kv_dtype,
+                prefill_chunk=effective_prefill_chunk(
+                    input_ids.shape[1], input_ids.shape[0],
+                    rollout_cfg.prefill_chunk_size, rollout_cfg.max_num_batched_tokens,
+                ),
             )
         responses = np.asarray(result.responses)
         response_mask = np.asarray(result.response_mask)
@@ -767,9 +799,13 @@ class GRPOTrainer:
             rolled.tensors["response_mask"].sum() + rolled.tensors["segment_ids"].sum()
         )
         seqlens_all = rolled.tensors["full_segment_ids"].sum(-1).astype(np.int64).tolist()
+        vision_patches = sum(
+            0 if p is None else len(p) for p in rolled.non_tensors.get("patches", [])
+        )
         mfu = compute_mfu(
             self.flops_counter, seqlens_all, timer.timing["update_actor"],
             self.mesh.devices.size, self.config.worker.actor.ppo_epochs,
+            vision_patches=vision_patches,
         )
         from ..utils.profiling import device_memory_metrics
 
@@ -802,8 +838,16 @@ class GRPOTrainer:
     def _validate(self) -> Dict[str, float]:
         all_scores: Dict[str, List[float]] = defaultdict(list)
         samples = []
+        # off-size final val batches break sharding divisibility at larger
+        # meshes: cyclically pad to the batch-sharded device count and unpad
+        # after decode (reference pads via pad_dataproto_to_divisor in
+        # ray_trainer._validate)
+        sh = self.config.worker.actor.sharding
+        divisor = max(1, sh.data_size * sh.fsdp_size)
         for batch in self.val_dataloader:
+            batch, pad_size = pad_to_divisor(batch, divisor)
             rolled = self.generate_sequences(batch, self.val_sampling)
+            rolled = unpad(rolled, pad_size * self.val_sampling.n)
             reward_tensor, metrics = self.val_reward_fn(rolled)
             for k, v in metrics.items():
                 all_scores[k].extend(v)

@@ -56,14 +56,21 @@ def run(config: PPOConfig) -> None:
     tokenizer = load_tokenizer(config.worker.actor.model.tokenizer_path)
     model_cfg, params = build_model(config)
 
-    train_ds = RLHFDataset(config.data.train_files, tokenizer, config.data, model_cfg)
+    train_ds = RLHFDataset(
+        config.data.train_files, tokenizer, config.data, model_cfg,
+        limit_images=config.worker.rollout.limit_images,
+    )
     train_loader = DataLoader(
         train_ds, config.data.rollout_batch_size, shuffle=config.data.shuffle,
-        seed=config.data.seed,
+        seed=config.data.seed, num_workers=config.data.num_workers,
+        prefetch_batches=config.data.prefetch_batches,
     )
     val_loader = None
     if config.data.val_files:
-        val_ds = RLHFDataset(config.data.val_files, tokenizer, config.data, model_cfg)
+        val_ds = RLHFDataset(
+            config.data.val_files, tokenizer, config.data, model_cfg,
+            limit_images=config.worker.rollout.limit_images,
+        )
         val_bs = config.data.val_batch_size if config.data.val_batch_size > 0 else len(val_ds)
         val_loader = DataLoader(val_ds, val_bs, shuffle=False)
 

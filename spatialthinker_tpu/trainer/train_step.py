@@ -40,10 +40,10 @@ class TrainBatch(NamedTuple):
 
 
 def _response_hidden(params, cfg: Qwen25VLConfig, batch: TrainBatch,
-                     vision: Optional[VisionInputs], remat: bool):
+                     vision: Optional[VisionInputs], remat: bool, sp=None):
     hidden, _ = forward(
         params, cfg, batch.input_ids, batch.position_ids,
-        segment_ids=batch.segment_ids, vision=vision, remat=remat,
+        segment_ids=batch.segment_ids, vision=vision, remat=remat, sp=sp,
     )
     r = batch.responses.shape[1]
     p = batch.input_ids.shape[1] - r
@@ -59,11 +59,11 @@ def compute_log_probs(
     params, cfg: Qwen25VLConfig, batch: TrainBatch,
     vision: Optional[VisionInputs] = None,
     *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
-    temperature: float = 1.0,
+    temperature: float = 1.0, sp=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, R) log-probs of the sampled responses under `params` (+ entropy),
     evaluated at the rollout temperature (behavior-policy distribution)."""
-    hidden = _response_hidden(params, cfg, batch, vision, remat)
+    hidden = _response_hidden(params, cfg, batch, vision, remat, sp=sp)
     head = _lm_head(params, cfg).astype(hidden.dtype)
     logp, entropy = log_probs_from_hidden(
         hidden, batch.responses, head, chunk_size=chunk_size,
@@ -88,10 +88,11 @@ def actor_loss_fn(
     remat: bool = True,
     chunk_size: int = 1024,
     temperature: float = 1.0,
+    sp=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     logp, entropy = compute_log_probs(
         params, cfg, batch, vision, remat=remat, chunk_size=chunk_size,
-        compute_entropy=entropy_coeff != 0.0, temperature=temperature,
+        compute_entropy=entropy_coeff != 0.0, temperature=temperature, sp=sp,
     )
     mask = batch.response_mask.astype(jnp.float32)
     pg_loss, clip_hi, clip_lo, ppo_kl = compute_policy_loss(
@@ -134,12 +135,14 @@ def make_update_fn(
     grad_accum_dtype=jnp.float32,
     freeze_vision_tower: bool = False,
     temperature: float = 1.0,
+    sp=None,
 ):
     """Build the jittable mini-batch update: scan over micro-batches
     accumulating grads, one optimizer step, NaN-grad skip
     (parity: reference dp_actor.py:155-166 + micro-batch loop :212-292)."""
 
     loss_kwargs = dict(
+        sp=sp,
         clip_ratio_low=clip_ratio_low,
         clip_ratio_high=clip_ratio_high,
         clip_ratio_dual=clip_ratio_dual,
@@ -237,13 +240,13 @@ def compute_packed_log_probs(
     params, cfg: Qwen25VLConfig, batch: PackedTrainBatch,
     vision: Optional[VisionInputs] = None,
     *, remat: bool = False, chunk_size: int = 1024, compute_entropy: bool = False,
-    temperature: float = 1.0,
+    temperature: float = 1.0, sp=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(rows, L) label log-probs on packed rows (masked positions -> 0).
     `vision` must be packed in the rows' image-token order (row-major)."""
     hidden, _ = forward(
         params, cfg, batch.input_ids, batch.position_ids,
-        segment_ids=batch.segment_ids, vision=vision, remat=remat,
+        segment_ids=batch.segment_ids, vision=vision, remat=remat, sp=sp,
     )
     head = _lm_head(params, cfg).astype(hidden.dtype)
     logp, entropy = log_probs_from_hidden(
@@ -260,13 +263,13 @@ def packed_actor_loss_fn(
     clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
     use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
     entropy_coeff: float = 0.0, remat: bool = True, chunk_size: int = 1024,
-    temperature: float = 1.0,
+    temperature: float = 1.0, sp=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Identical math to actor_loss_fn on packed rows: token-weighted masked
     means make the two layouts numerically equivalent."""
     logp, entropy = compute_packed_log_probs(
         params, cfg, batch, vision, remat=remat, chunk_size=chunk_size,
-        compute_entropy=entropy_coeff != 0.0, temperature=temperature,
+        compute_entropy=entropy_coeff != 0.0, temperature=temperature, sp=sp,
     )
     mask = batch.loss_mask
     pg_loss, clip_hi, clip_lo, ppo_kl = compute_policy_loss(
@@ -300,6 +303,7 @@ def make_packed_update_fn(
     use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
     entropy_coeff: float = 0.0, max_grad_norm: float = 1.0,
     remat: bool = True, chunk_size: int = 1024, temperature: float = 1.0,
+    sp=None,
 ):
     """Packed-row variant of make_update_fn: micro dim on every array."""
 
@@ -308,7 +312,7 @@ def make_packed_update_fn(
         clip_ratio_dual=clip_ratio_dual, use_kl_loss=use_kl_loss,
         kl_loss_coef=kl_loss_coef, kl_penalty=kl_penalty,
         entropy_coeff=entropy_coeff, remat=remat, chunk_size=chunk_size,
-        temperature=temperature,
+        temperature=temperature, sp=sp,
     )
 
     def update(params, opt_state, micro_batches: PackedTrainBatch, vision=None):

@@ -159,3 +159,72 @@ def test_jax_provider_generates(tmp_path):
     outs = provider.generate(["What is two plus two?", "Name a color."], [[], []])
     assert len(outs) == 2
     assert all(isinstance(o, str) for o in outs)
+
+
+def test_post_with_retry_recovers_from_429(monkeypatch):
+    """One 429 must not kill a benchmark run (reference evals.py:371-373)."""
+    import requests
+
+    from spatialthinker_tpu.eval.providers import post_with_retry
+
+    calls = {"n": 0}
+
+    class FakeResp:
+        def __init__(self, status):
+            self.status_code = status
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise requests.HTTPError(f"HTTP {self.status_code}", response=self)
+
+        def json(self):
+            return {"ok": True}
+
+    def fake_post(url, headers=None, json=None, timeout=None):
+        calls["n"] += 1
+        return FakeResp(429 if calls["n"] < 3 else 200)
+
+    monkeypatch.setattr(requests, "post", fake_post)
+    resp = post_with_retry("http://x", headers={}, json_body={}, _sleep=lambda s: None)
+    assert resp.status_code == 200 and calls["n"] == 3
+
+
+def test_post_with_retry_gives_up(monkeypatch):
+    import requests
+
+    from spatialthinker_tpu.eval.providers import post_with_retry
+
+    class FakeResp:
+        status_code = 500
+
+        def raise_for_status(self):
+            raise requests.HTTPError("HTTP 500", response=self)
+
+    monkeypatch.setattr(requests, "post", lambda *a, **k: FakeResp())
+    with pytest.raises(requests.HTTPError):
+        post_with_retry("http://x", headers={}, json_body={}, max_retries=2,
+                        _sleep=lambda s: None)
+
+
+def test_post_with_retry_no_retry_on_client_error(monkeypatch):
+    """A 400 is a caller bug, not a transient — fail immediately."""
+    import requests
+
+    from spatialthinker_tpu.eval.providers import post_with_retry
+
+    calls = {"n": 0}
+
+    class FakeResp:
+        status_code = 400
+
+        def raise_for_status(self):
+            raise requests.HTTPError("HTTP 400", response=self)
+
+    def fake_post(*a, **k):
+        calls["n"] += 1
+        return FakeResp()
+
+    monkeypatch.setattr(requests, "post", fake_post)
+    with pytest.raises(requests.HTTPError):
+        post_with_retry("http://x", headers={}, json_body={}, _sleep=lambda s: None)
+    assert calls["n"] == 1

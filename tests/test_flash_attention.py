@@ -140,3 +140,31 @@ def test_flash_vision_head_dim_80_noncausal():
     out_flash = flash_attention(q, k, v, segment_ids=seg, causal=False, block_q=128, block_k=128)
     out_ref = xla_attention(q, k, v, mask=make_attention_mask(seg, seg, causal=False))
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref), rtol=2e-3, atol=2e-3)
+
+
+def test_flash_causal_offset_cross_length():
+    """Chunked-prefill cross attention: q is a chunk at a static offset inside
+    the kv prefix; flash (interpret mode) must equal the masked XLA path."""
+    from spatialthinker_tpu.ops.attention import make_attention_mask, xla_attention
+    from spatialthinker_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(5)
+    b, hq, hkv, d = 2, 4, 2, 32
+    sq, skv, off = 256, 512, 256
+    q = jnp.asarray(rng.normal(size=(b, sq, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, skv, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, skv, hkv, d)).astype(np.float32))
+    q_seg = np.ones((b, sq), np.int32)
+    kv_seg = np.ones((b, skv), np.int32)
+    kv_seg[0, :64] = 0  # left-padding in the cached prefix
+    q_seg_j, kv_seg_j = jnp.asarray(q_seg), jnp.asarray(kv_seg)
+
+    out = flash_attention(
+        q, k, v, segment_ids=q_seg_j, kv_segment_ids=kv_seg_j,
+        causal=True, causal_offset=off, block_q=128, block_k=128,
+    )
+    mask = make_attention_mask(
+        q_seg_j, kv_seg_j, causal=True, q_offset=jnp.full((b,), off, jnp.int32)
+    )
+    ref = xla_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)

@@ -99,3 +99,37 @@ def test_vision_layout_helpers():
     # reverse_index points at slots holding the natural merged tokens
     merged_slots = aux.reverse_index
     assert len(set(merged_slots.tolist())) == 4
+
+
+def test_prefetch_loader_matches_sync_and_resumes():
+    """num_workers>0 must yield identical batches in the same order as the
+    synchronous loader, and checkpoint state must resume mid-epoch."""
+    from spatialthinker_tpu.core.config import DataConfig
+    from spatialthinker_tpu.data.dataset import DataLoader, RLHFDataset
+    from spatialthinker_tpu.models.qwen2_5_vl import qwen25_vl_tiny
+    from tests.fake_tokenizer import FakeTokenizer
+
+    tok = FakeTokenizer(1024)
+    model_cfg = qwen25_vl_tiny(1024)
+    data_cfg = DataConfig(max_prompt_length=32)
+    rows = [{"problem": f"What is {i} plus {i}?", "answer": str(2 * i)} for i in range(17)]
+    ds = RLHFDataset.from_rows(rows, tok, data_cfg, model_cfg)
+
+    sync_batches = list(DataLoader(ds, 4, shuffle=True, seed=7))
+    pre_batches = list(DataLoader(ds, 4, shuffle=True, seed=7, num_workers=4, prefetch_batches=2))
+    assert len(sync_batches) == len(pre_batches) == 4
+    for a, b in zip(sync_batches, pre_batches):
+        np.testing.assert_array_equal(a.tensors["input_ids"], b.tensors["input_ids"])
+        assert list(a.non_tensors["problem"]) == list(b.non_tensors["problem"])
+
+    # resume: consume 2 batches, checkpoint, rebuild, finish the epoch
+    first = DataLoader(ds, 4, shuffle=True, seed=7, num_workers=4)
+    it = iter(first)
+    consumed = [next(it), next(it)]
+    state = first.state_dict()
+    resumed = DataLoader(ds, 4, shuffle=True, seed=7, num_workers=4)
+    resumed.load_state_dict(state)
+    rest = list(resumed)
+    assert len(consumed) + len(rest) == 4
+    for got, want in zip(consumed + rest, sync_batches):
+        np.testing.assert_array_equal(got.tensors["input_ids"], want.tensors["input_ids"])

@@ -213,3 +213,34 @@ def test_quantize_roundtrip():
     back = _dequantize_kv(q, s, jnp.float32)
     err = np.abs(np.asarray(back) - np.asarray(x))
     assert err.max() <= np.abs(np.asarray(x)).max() / 127 * 1.1
+
+
+def test_dense_engine_chunked_prefill_matches(jax_params):
+    """Sequence-chunked prefill (vLLM enable_chunked_prefill equivalent in the
+    dense engine) must produce the same greedy generation as one-shot prefill,
+    including left-padded prompts."""
+    rng = np.random.default_rng(11)
+    b, p, r = 2, 12, 5
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    seg = np.ones((b, p), np.int32)
+    seg[0, :3] = 0  # left padding
+    prompts[0, :3] = 0
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    full = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), **kwargs,
+    )
+    chunked = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), prefill_chunk=5, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(full.responses), np.asarray(chunked.responses))
+    mask = np.asarray(full.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(chunked.rollout_log_probs)[mask],
+        np.asarray(full.rollout_log_probs)[mask], rtol=2e-3, atol=2e-3,
+    )

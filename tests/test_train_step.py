@@ -163,9 +163,9 @@ def test_param_sharding_rules_cover_big_leaves():
     mesh = create_mesh(data_size=1, fsdp_size=4, model_size=2)
     shardings = param_shardings(mesh, params)
     q = shardings["text"]["layers"]["self_attn"]["qkv_proj"]
-    assert q.spec == P(None, "fsdp", "model", None)
+    assert q.spec == P(None, "model", "fsdp", None)
     gu = shardings["text"]["layers"]["mlp"]["gate_up_proj"]
-    assert gu.spec == P(None, "fsdp", None, "model")
+    assert gu.spec == P(None, None, "fsdp", "model")
     emb = shardings["text"]["embed_tokens"]
     assert emb.spec == P("model", "fsdp")
     norm = shardings["text"]["norm"]
