@@ -110,7 +110,7 @@ def train_bench() -> None:
 SHAPES = {
     "short": (256, 128, 128, "bfloat16", 0),
     "long": (
-        int(os.environ.get("BENCH_BATCH", "96")),
+        int(os.environ.get("BENCH_BATCH", "128")),
         int(os.environ.get("BENCH_PROMPT", "2048")),
         int(os.environ.get("BENCH_GEN", "256")),
         os.environ.get("BENCH_KV", "int8"),

@@ -209,7 +209,8 @@ class DataLoader:
     device step instead of sitting on the trainer thread between steps."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 1,
-                 drop_last: bool = True, num_workers: int = 0, prefetch_batches: int = 2):
+                 drop_last: bool = True, num_workers: int = 0, prefetch_batches: int = 2,
+                 process_shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -217,6 +218,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch_batches = max(1, prefetch_batches)
+        # (process_index, process_count): every process walks the SAME global
+        # shuffle order (seeded identically) and takes its row-slice of each
+        # batch — the multi-host data plan (parallel/multihost.py)
+        self.process_shard = process_shard
         self.epoch = 0
         self.position = 0  # batch index within epoch
 
@@ -234,7 +239,12 @@ class DataLoader:
 
     def _batch_indices(self, order: np.ndarray, position: int) -> np.ndarray:
         start = position * self.batch_size
-        return order[start : start + self.batch_size]
+        idx = order[start : start + self.batch_size]
+        if self.process_shard is not None:
+            i, n = self.process_shard
+            per = len(idx) // n
+            idx = idx[i * per : (i + 1) * per]
+        return idx
 
     def __iter__(self):
         if self.num_workers > 0:

@@ -54,21 +54,30 @@ def _interpret() -> bool:
 
 def _decode_kernel(
     idx_ref,      # scalar prefetch: (1,) layer index (consumed by index maps)
-    seg_ref,      # (1, block_s) int32
-    q_ref,        # (Hq_pad, D)
-    k_ref,        # (Hkv, block_s, D) int8 | bf16
-    v_ref,        # (Hkv, block_s, D)
+    seg_ref,      # (block_b, 1, block_s) int32
+    q_ref,        # (block_b, Hq_pad, D)
+    k_ref,        # (block_b, Hkv, block_s, D) int8 | bf16
+    v_ref,        # (block_b, Hkv, block_s, D)
     *rest,        # [ks_ref, vs_ref] if quantized, then o_ref + scratches
     scale: float,
     hkv: int,
     g: int,       # padded group size (multiple of 8)
+    block_b: int,
     quantized: bool,
 ):
+    """Several batch rows ride in one program (block_b): decode attention is
+    pure HBM streaming (the per-row dots are tiny), so per-program DMA size —
+    not compute — sets the throughput; 1-row programs measured ~4x off the
+    bandwidth floor from launch/DMA overhead."""
     if quantized:
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
     si = pl.program_id(1)
+    hq_p = hkv * g
+    n_grp = block_b * hkv  # one (row, kv-head) group per batched-dot slice
+    d = q_ref.shape[-1]
+    block_s = k_ref.shape[-2]
 
     @pl.when(si == 0)
     def _init():
@@ -76,42 +85,55 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    seg = seg_ref[0, :]  # (block_s,)
-    valid = (seg != 0)[None, :]
+    # batched over all (row, kv-head) groups at once: sequential per-group
+    # iterations serialize tiny dots behind scratch read-modify-writes and
+    # leave the VPU mostly idle — batching turns the softmax bookkeeping into
+    # full-width vector ops and lets Mosaic pipeline the MXU slices.
+    q = q_ref[...].reshape(n_grp, g, d)  # bf16 operands, f32 accumulation
+    k = k_ref[...].reshape(n_grp, block_s, d).astype(jnp.bfloat16)  # int8 -> exact
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (n_grp, g, block_s)
+    if quantized:
+        # fold softmax scale + k scales in after the dot: q.(k*s) == (q.k)*s
+        s = s * (ks_ref[...].reshape(n_grp, 1, block_s).astype(jnp.float32) * scale)
+    else:
+        s = s * scale
+    seg = seg_ref[...] != 0  # (block_b, 1, block_s)
+    valid = jnp.broadcast_to(seg, (block_b, hkv, block_s)).reshape(n_grp, 1, block_s)
+    s = jnp.where(valid, s, NEG_INF)
 
-    for j in range(hkv):
-        rows = slice(j * g, (j + 1) * g)
-        qj = q_ref[rows, :].astype(jnp.float32) * scale          # (g, D)
-        k = k_ref[j].astype(jnp.float32)                         # (block_s, D)
-        s = jax.lax.dot_general(
-            qj, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                        # (g, block_s)
-        if quantized:
-            # fold the k scales in after the dot: q.(k*s) == (q.k)*s
-            s = s * ks_ref[j][None, :].astype(jnp.float32)
-        s = jnp.where(valid, s, NEG_INF)
-
-        m_prev = m_scr[rows, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        corr = jnp.exp(m_prev - m_new)
-        l_scr[rows, :] = jnp.broadcast_to(
-            l_scr[rows, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True), (g, 128)
-        )
-        if quantized:
-            # fold the v scales into the softmax weights: p.(v*s) == (p*s).v
-            p = p * vs_ref[j][None, :].astype(jnp.float32)
-        acc_scr[rows, :] = acc_scr[rows, :] * corr + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_ref[j].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        m_scr[rows, :] = jnp.broadcast_to(m_new, (g, 128))
+    m_prev = m_scr[...].reshape(n_grp, g, 128)[:, :, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[...].reshape(n_grp, g, 128)[:, :, 0:1] * corr + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    if quantized:
+        # fold the v scales into the softmax weights: p.(v*s) == (p*s).v
+        p = p * vs_ref[...].reshape(n_grp, 1, block_s).astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v_ref[...].reshape(n_grp, block_s, d),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )  # (n_grp, g, d)
+    acc = acc_scr[...].reshape(n_grp, g, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(m_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
+    l_scr[...] = jnp.broadcast_to(l_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
+    acc_scr[...] = acc.reshape(n_grp * g, d)
 
     @pl.when(si == pl.num_programs(1) - 1)
     def _flush():
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows emit zeros
-        o_ref[...] = (acc_scr[...] / safe_l).astype(o_ref.dtype)
+        o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def _pick_block_b(b: int) -> int:
+    for cand in (8, 4, 2):
+        if b % cand == 0:
+            return cand
+    return 1
 
 
 def _pallas_decode(
@@ -127,25 +149,27 @@ def _pallas_decode(
         q = qr.reshape(b, hkv * gp, d)
     hq_p = hkv * gp
     quantized = k_scale is not None
-    grid = (b, s_max // block_s)
+    block_b = _pick_block_b(b)
+    grid = (b // block_b, s_max // block_s)
 
     kernel = functools.partial(
-        _decode_kernel, scale=scale, hkv=hkv, g=gp, quantized=quantized
+        _decode_kernel, scale=scale, hkv=hkv, g=gp, block_b=block_b,
+        quantized=quantized,
     )
     in_specs = [
-        pl.BlockSpec((None, 1, block_s), lambda bi, si, idx: (bi, 0, si)),
-        pl.BlockSpec((None, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
+        pl.BlockSpec((block_b, 1, block_s), lambda bi, si, idx: (bi, 0, si)),
+        pl.BlockSpec((block_b, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
         pl.BlockSpec(
-            (None, None, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
+            (None, block_b, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
         ),
         pl.BlockSpec(
-            (None, None, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
+            (None, block_b, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
         ),
     ]
     args = [kv_seg.reshape(b, 1, s_max), q, k_cache, v_cache]
     if quantized:
         scale_spec = pl.BlockSpec(
-            (None, None, hkv, block_s), lambda bi, si, idx: (idx[0], bi, 0, si)
+            (None, block_b, hkv, block_s), lambda bi, si, idx: (idx[0], bi, 0, si)
         )
         in_specs += [scale_spec, scale_spec]
         args += [k_scale, v_scale]
@@ -154,11 +178,11 @@ def _pallas_decode(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((block_b, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hq_p, 128), jnp.float32),
-            pltpu.VMEM((hq_p, 128), jnp.float32),
-            pltpu.VMEM((hq_p, d), jnp.float32),
+            pltpu.VMEM((block_b * hq_p, 128), jnp.float32),
+            pltpu.VMEM((block_b * hq_p, 128), jnp.float32),
+            pltpu.VMEM((block_b * hq_p, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(

@@ -60,3 +60,25 @@ def allgather_host_data(local: np.ndarray) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+
+
+def host_local_rows(global_array: jax.Array, mesh: Mesh, spec: P) -> np.ndarray:
+    """This host's row-slice of a globally sharded device array, as numpy —
+    the inverse of global_batch_array (single-host: the whole array)."""
+    if jax.process_count() == 1:
+        return np.asarray(global_array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.global_array_to_host_local_array(global_array, mesh, spec)
+    )
+
+
+def negotiate_row_count(local_rows: int) -> int:
+    """Agree on a common per-host row count (max over hosts) for stages whose
+    local row counts are data-dependent, e.g. FFD packing — hosts pad their
+    rows up to the agreed count (padding rows carry segment id 0 -> masked)."""
+    if jax.process_count() == 1:
+        return local_rows
+    counts = allgather_host_data(np.asarray([local_rows], dtype=np.int64))
+    return int(counts.max())

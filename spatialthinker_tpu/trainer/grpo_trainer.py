@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..algos import (
     compute_gae_advantage_return,
@@ -107,6 +108,23 @@ class GRPOTrainer:
 
         sh = config.worker.actor.sharding
         self.mesh = mesh if mesh is not None else create_mesh(sh.data_size, sh.fsdp_size, sh.model_size)
+        # multi-host: every process runs this same trainer on its row-slice of
+        # each global batch; device arrays are assembled from process-local
+        # data and host-side results sliced back (parallel/multihost.py). The
+        # reference covers this role with Ray actors + NCCL rendezvous
+        # (/root/reference/verl/single_controller/ray/base.py:211-405).
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            if config.worker.rollout.name == "continuous":
+                raise ValueError(
+                    "continuous rollout is host-dynamic (data-dependent refill) and "
+                    "cannot run SPMD across processes; use rollout.name=jax for nnodes>1"
+                )
+            if config.data.rollout_batch_size % self.n_proc:
+                raise ValueError(
+                    f"data.rollout_batch_size={config.data.rollout_batch_size} must be "
+                    f"divisible by the {self.n_proc} processes"
+                )
         self.params = shard_params(self.mesh, params)
 
         # Ulysses sequence parallelism over the model axis: training forwards
@@ -176,6 +194,12 @@ class GRPOTrainer:
 
         # padding-free (packed) path — used for text-only batches when enabled
         self.padding_free = actor.padding_free
+        if self.padding_free and self.n_proc > 1:
+            # FFD packing yields data-dependent per-host row counts; a global
+            # device batch needs uniform local shapes. Until row-count
+            # negotiation lands, multi-host runs the per-sample layout.
+            print("[trainer] padding_free disabled for multi-process runs")
+            self.padding_free = False
         if self.padding_free:
             from .train_step import compute_packed_log_probs, make_packed_update_fn
 
@@ -265,14 +289,64 @@ class GRPOTrainer:
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
 
+    def _dev(self, x, batch_axis: int = 0):
+        """Host-local numpy -> device array; multi-host: a GLOBAL array whose
+        rows on axis ``batch_axis`` are this process's slice."""
+        if self.n_proc == 1:
+            return jnp.asarray(x)
+        from ..parallel.mesh import BATCH_AXES
+        from ..parallel.multihost import global_batch_array
+
+        spec = P(*([None] * batch_axis + [BATCH_AXES]))
+        return global_batch_array(np.asarray(x), self.mesh, spec)
+
+    def _host(self, arr, batch_axis: int = 0) -> np.ndarray:
+        """Device array -> this process's numpy row-slice (single-host: all)."""
+        if self.n_proc == 1:
+            return np.asarray(arr)
+        from ..parallel.mesh import BATCH_AXES
+        from ..parallel.multihost import host_local_rows
+
+        spec = P(*([None] * batch_axis + [BATCH_AXES]))
+        return host_local_rows(arr, self.mesh, spec)
+
+    def _dev_micro(self, tb: TrainBatch) -> TrainBatch:
+        """Micro-shaped TrainBatch to device (batch axis 1; position_ids 2)."""
+        if self.n_proc == 1:
+            return jax.tree.map(jnp.asarray, tb)
+        return TrainBatch(**{
+            name: self._dev(x, batch_axis=2 if name == "position_ids" else 1)
+            for name, x in tb._asdict().items()
+        })
+
+    def _gather_rows(self, v) -> np.ndarray:
+        """Per-host scalar rows -> global rows (logging means match the
+        reference's global reductions); single-host: identity."""
+        v = np.asarray(v, dtype=np.float64)
+        if self.n_proc == 1:
+            return v
+        from ..parallel.multihost import allgather_host_data
+
+        return allgather_host_data(v)
+
+    def _negotiated_max(self, local_max: int) -> int:
+        """Agree on a max length across processes (jit shapes must match)."""
+        if self.n_proc == 1:
+            return local_max
+        from ..parallel.multihost import allgather_host_data
+
+        return int(allgather_host_data(np.asarray([local_max], np.int64)).max())
+
     @staticmethod
-    def trim_prompt_padding(batch: RolloutBatch, bucket: int = 512) -> RolloutBatch:
+    def trim_prompt_padding(batch: RolloutBatch, bucket: int = 512,
+                            negotiated_max: Optional[int] = None) -> RolloutBatch:
         """Left-padded prompts are padded to the config max; trim to the batch's
         longest prompt rounded up to `bucket` (TPU padding-free equivalent:
         static shapes per bucket, far less wasted compute than always-max).
-        Safe because position ids / segment ids travel with the tokens."""
+        Safe because position ids / segment ids travel with the tokens.
+        ``negotiated_max`` carries the cross-process max (jit shapes agree)."""
         seg = batch.tensors["segment_ids"]
-        max_len = int(seg.sum(-1).max())
+        max_len = negotiated_max if negotiated_max is not None else int(seg.sum(-1).max())
         p = seg.shape[1]
         keep = min(p, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
         if keep >= p:
@@ -293,12 +367,14 @@ class GRPOTrainer:
         )
 
     @staticmethod
-    def trim_response_padding(batch: RolloutBatch, bucket: int = 256) -> RolloutBatch:
+    def trim_response_padding(batch: RolloutBatch, bucket: int = 256,
+                              negotiated_max: Optional[int] = None) -> RolloutBatch:
         """Right-trim the response buffer to the longest valid response rounded
-        up to `bucket` (responses usually hit EOS well before max_new_tokens)."""
+        up to `bucket` (responses usually hit EOS well before max_new_tokens);
+        ``negotiated_max`` carries the cross-process max (jit shapes agree)."""
         mask = batch.tensors["response_mask"]
         r = mask.shape[1]
-        max_len = int(mask.sum(-1).max())
+        max_len = negotiated_max if negotiated_max is not None else int(mask.sum(-1).max())
         keep = min(r, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
         if keep >= r:
             return batch
@@ -319,7 +395,12 @@ class GRPOTrainer:
         """Repeat prompts n times, decode, attach responses + masks + full seqs."""
         n = sampling.n
         repeated = batch.repeat(n, interleave=True) if n > 1 else batch
-        repeated = self.trim_prompt_padding(repeated)
+        repeated = self.trim_prompt_padding(
+            repeated,
+            negotiated_max=self._negotiated_max(
+                int(repeated.tensors["segment_ids"].sum(-1).max())
+            ),
+        )
 
         input_ids = repeated.tensors["input_ids"]
         segment_ids = repeated.tensors["segment_ids"]
@@ -346,32 +427,38 @@ class GRPOTrainer:
                 max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
             )
         else:
+            vision = self._pack_vision(repeated)
+            if vision is not None and self.n_proc > 1:
+                raise NotImplementedError(
+                    "multimodal rollouts across processes need a globally "
+                    "negotiated vision pack; run multimodal on one host"
+                )
             result = self.generate_fn(
                 self.params,
                 self.model_cfg,
-                jnp.asarray(input_ids),
-                jnp.asarray(segment_ids),
-                jnp.asarray(position_ids),
-                jnp.asarray(gen_pos_start),
+                self._dev(input_ids),
+                self._dev(segment_ids),
+                self._dev(position_ids, batch_axis=1),
+                self._dev(gen_pos_start),
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
                 key=self._next_key(),
-                vision=self._pack_vision(repeated),
+                vision=vision,
                 kv_cache_dtype=kv_dtype,
                 prefill_chunk=effective_prefill_chunk(
-                    input_ids.shape[1], input_ids.shape[0],
+                    input_ids.shape[1], input_ids.shape[0] * self.n_proc,
                     rollout_cfg.prefill_chunk_size, rollout_cfg.max_num_batched_tokens,
                 ),
             )
-        responses = np.asarray(result.responses)
-        response_mask = np.asarray(result.response_mask)
+        responses = self._host(result.responses)
+        response_mask = self._host(result.response_mask)
 
         out = RolloutBatch(
             tensors={
                 **{k: v for k, v in repeated.tensors.items()},
                 "responses": responses,
                 "response_mask": response_mask,
-                "rollout_log_probs": np.asarray(result.rollout_log_probs),
+                "rollout_log_probs": self._host(result.rollout_log_probs),
                 "full_input_ids": np.concatenate([input_ids, responses], axis=1),
                 "full_segment_ids": np.concatenate([segment_ids, response_mask], axis=1),
             },
@@ -382,8 +469,8 @@ class GRPOTrainer:
 
     # -------------------------------------------------------------- log probs
 
-    def _train_batch_views(self, batch: RolloutBatch) -> TrainBatch:
-        """Assemble the device TrainBatch (full positions incl. generated part)."""
+    def _train_batch_views_np(self, batch: RolloutBatch) -> TrainBatch:
+        """Assemble the host-side TrainBatch (full positions incl. generated)."""
         b, p = batch.tensors["input_ids"].shape
         r = batch.tensors["responses"].shape[1]
         pos_prompt = np.transpose(batch.tensors["position_ids"], (1, 0, 2))  # (3, B, P)
@@ -394,15 +481,23 @@ class GRPOTrainer:
 
         zeros = np.zeros_like(batch.tensors["responses"], dtype=np.float32)
         return TrainBatch(
-            input_ids=jnp.asarray(batch.tensors["full_input_ids"]),
-            segment_ids=jnp.asarray(batch.tensors["full_segment_ids"]),
-            position_ids=jnp.asarray(full_pos),
-            responses=jnp.asarray(batch.tensors["responses"]),
-            response_mask=jnp.asarray(batch.tensors["response_mask"].astype(np.float32)),
-            old_log_probs=jnp.asarray(batch.tensors.get("old_log_probs", zeros)),
-            ref_log_probs=jnp.asarray(batch.tensors.get("ref_log_probs", zeros)),
-            advantages=jnp.asarray(batch.tensors.get("advantages", zeros)),
+            input_ids=batch.tensors["full_input_ids"],
+            segment_ids=batch.tensors["full_segment_ids"],
+            position_ids=full_pos,
+            responses=batch.tensors["responses"],
+            response_mask=batch.tensors["response_mask"].astype(np.float32),
+            old_log_probs=batch.tensors.get("old_log_probs", zeros),
+            ref_log_probs=batch.tensors.get("ref_log_probs", zeros),
+            advantages=batch.tensors.get("advantages", zeros),
         )
+
+    def _train_batch_views(self, batch: RolloutBatch) -> TrainBatch:
+        """Device TrainBatch (multi-host: global arrays from local rows)."""
+        tb = self._train_batch_views_np(batch)
+        return TrainBatch(**{
+            name: self._dev(x, batch_axis=1 if name == "position_ids" else 0)
+            for name, x in tb._asdict().items()
+        })
 
     def _is_text_only(self, batch: RolloutBatch) -> bool:
         return all(p is None for p in batch.non_tensors.get("patches", [None]))
@@ -453,6 +548,7 @@ class GRPOTrainer:
         micro = self.config.worker.actor.micro_batch_size_per_device_for_experience
         n_dev = self.mesh.devices.size
         chunk = max(micro * max(n_dev // self.config.worker.actor.sharding.model_size, 1), 1)
+        chunk = max(chunk // self.n_proc, 1)  # global token budget -> local rows
 
         if self.padding_free:
             from ..data.text_packing import gather_response_values
@@ -473,7 +569,7 @@ class GRPOTrainer:
         for piece in batch.split(chunk):
             tb = self._train_batch_views(piece)
             vision = self._pack_vision(piece)
-            outs.append(np.asarray(self.logprob_fn(params, tb, vision)))
+            outs.append(self._host(self.logprob_fn(params, tb, vision)))
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------- advantages
@@ -611,19 +707,19 @@ class GRPOTrainer:
             return self._update_actor_packed(batch)
         actor_cfg = self.config.worker.actor
         metrics_acc: Dict[str, List[float]] = defaultdict(list)
-        bs = len(batch)
-        mini_bs = min(actor_cfg.global_batch_size, bs)
+        bs = len(batch)  # local rows (global / n_proc)
+        mini_bs = min(max(actor_cfg.global_batch_size // self.n_proc, 1), bs)
         micro = actor_cfg.micro_batch_size_per_device_for_update
         n_dev = self.mesh.devices.size
         micro_global = max(
             micro * max(n_dev // actor_cfg.sharding.model_size, 1), 1
         )
 
-        n_micro = self._fit_n_micro(mini_bs, micro_global)
+        n_micro = self._fit_n_micro(mini_bs, max(micro_global // self.n_proc, 1))
         for mini in self._iter_minibatches(batch, mini_bs, actor_cfg.ppo_epochs, 131):
-            tb = self._train_batch_views(mini)
+            tb = self._train_batch_views_np(mini)
             micro_batches = TrainBatch(*[self._reshape_micro(x, n_micro) for x in tb])
-            micro_batches = jax.tree.map(jnp.asarray, micro_batches)
+            micro_batches = self._dev_micro(micro_batches)
             vision = self._micro_vision_packs(mini, n_micro)
             self.params, self.opt_state, metrics = self.update_fn(
                 self.params, self.opt_state, micro_batches, vision
@@ -637,20 +733,20 @@ class GRPOTrainer:
 
         critic_cfg = self.config.worker.critic
         metrics_acc: Dict[str, List[float]] = defaultdict(list)
-        bs = len(batch)
-        mini_bs = min(critic_cfg.global_batch_size, bs)
+        bs = len(batch)  # local rows (global / n_proc)
+        mini_bs = min(max(critic_cfg.global_batch_size // self.n_proc, 1), bs)
         micro = critic_cfg.micro_batch_size_per_device_for_update
         n_dev = self.mesh.devices.size
         micro_global = max(micro * max(n_dev // critic_cfg.sharding.model_size, 1), 1)
 
-        n_micro = self._fit_n_micro(mini_bs, micro_global)
+        n_micro = self._fit_n_micro(mini_bs, max(micro_global // self.n_proc, 1))
         for mini in self._iter_minibatches(batch, mini_bs, critic_cfg.ppo_epochs, 173):
-            tb = self._train_batch_views(mini)
+            tb = self._train_batch_views_np(mini)
             micro_tb = TrainBatch(*[self._reshape_micro(x, n_micro) for x in tb])
             cb = CriticBatch(
-                train=jax.tree.map(jnp.asarray, micro_tb),
-                values=jnp.asarray(self._reshape_micro(mini.tensors["values"], n_micro)),
-                returns=jnp.asarray(self._reshape_micro(mini.tensors["returns"], n_micro)),
+                train=self._dev_micro(micro_tb),
+                values=self._dev(self._reshape_micro(mini.tensors["values"], n_micro), 1),
+                returns=self._dev(self._reshape_micro(mini.tensors["returns"], n_micro), 1),
             )
             vision = self._micro_vision_packs(mini, n_micro)
             self.critic_params, self.critic_opt_state, metrics = self.critic_update_fn(
@@ -723,7 +819,12 @@ class GRPOTrainer:
             # trim the response buffer to the batch's longest response (bucketed):
             # most rollouts hit EOS early, so the logprob/update forwards see
             # far fewer padded positions (static shapes per bucket)
-            rolled = self.trim_response_padding(rolled)
+            rolled = self.trim_response_padding(
+                rolled,
+                negotiated_max=self._negotiated_max(
+                    int(rolled.tensors["response_mask"].sum(-1).max())
+                ),
+            )
 
             with timer("balance"):
                 # Karmarkar-Karp token-load balance across micro-batch slots
@@ -757,7 +858,7 @@ class GRPOTrainer:
                     micro = self.config.worker.critic.micro_batch_size_per_device_for_experience
                     for piece in rolled.split(max(micro, 1)):
                         tb = self._train_batch_views(piece)
-                        vals.append(np.asarray(self.values_fn(self.critic_params, tb, self._pack_vision(piece))))
+                        vals.append(self._host(self.values_fn(self.critic_params, tb, self._pack_vision(piece))))
                     rolled.tensors["values"] = np.concatenate(vals, axis=0)
 
             with timer("adv"):
@@ -812,7 +913,8 @@ class GRPOTrainer:
         metrics = {
             "perf/mfu_actor": mfu,
             **device_memory_metrics(),
-            **{f"reward/{k}": float(np.mean(v)) for k, v in reward_metrics.items()},
+            **{f"reward/{k}": float(np.mean(self._gather_rows(v)))
+               for k, v in reward_metrics.items()},
             **compute_data_metrics(
                 token_level_scores=rolled.tensors["token_level_scores"],
                 token_level_rewards=rolled.tensors["token_level_rewards"],
@@ -843,14 +945,14 @@ class GRPOTrainer:
         # after decode (reference pads via pad_dataproto_to_divisor in
         # ray_trainer._validate)
         sh = self.config.worker.actor.sharding
-        divisor = max(1, sh.data_size * sh.fsdp_size)
+        divisor = max(1, sh.data_size * sh.fsdp_size // self.n_proc)
         for batch in self.val_dataloader:
             batch, pad_size = pad_to_divisor(batch, divisor)
             rolled = self.generate_sequences(batch, self.val_sampling)
             rolled = unpad(rolled, pad_size * self.val_sampling.n)
             reward_tensor, metrics = self.val_reward_fn(rolled)
             for k, v in metrics.items():
-                all_scores[k].extend(v)
+                all_scores[k].extend(self._gather_rows(v).tolist())
             cap = self.config.trainer.val_generations_to_log
             if len(samples) < cap:
                 take = min(cap - len(samples), len(rolled))

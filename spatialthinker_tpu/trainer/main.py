@@ -60,10 +60,13 @@ def run(config: PPOConfig) -> None:
         config.data.train_files, tokenizer, config.data, model_cfg,
         limit_images=config.worker.rollout.limit_images,
     )
+    # multi-process: every host walks the same global batch order and takes
+    # its row-slice of each batch (one SPMD program over all hosts)
+    shard = (jax.process_index(), jax.process_count()) if jax.process_count() > 1 else None
     train_loader = DataLoader(
         train_ds, config.data.rollout_batch_size, shuffle=config.data.shuffle,
         seed=config.data.seed, num_workers=config.data.num_workers,
-        prefetch_batches=config.data.prefetch_batches,
+        prefetch_batches=config.data.prefetch_batches, process_shard=shard,
     )
     val_loader = None
     if config.data.val_files:
@@ -72,7 +75,7 @@ def run(config: PPOConfig) -> None:
             limit_images=config.worker.rollout.limit_images,
         )
         val_bs = config.data.val_batch_size if config.data.val_batch_size > 0 else len(val_ds)
-        val_loader = DataLoader(val_ds, val_bs, shuffle=False)
+        val_loader = DataLoader(val_ds, val_bs, shuffle=False, process_shard=shard)
 
     reward_cfg = config.worker.reward
     reward_fn = RewardManager(

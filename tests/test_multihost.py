@@ -1,0 +1,56 @@
+"""Multi-host integration: two CPU processes (4 virtual devices each) run one
+GRPO train_step as a single 8-device SPMD program and must agree with each
+other and with the same step run in a single process (same global batch,
+same keys -> same numerics)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def _run_workers(nprocs, port, tag, tmp_path):
+    outs = [str(tmp_path / f"{tag}_{r}.json") for r in range(nprocs)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(r), str(nprocs), str(port), outs[r]],
+            env=_env(), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for r in range(nprocs)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker rc={p.returncode}\n{log[-4000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_two_process_train_step_matches_single(tmp_path):
+    single = _run_workers(1, 0, "single", tmp_path)[0]
+    duo = _run_workers(2, 29517, "duo", tmp_path)
+
+    # both ranks report the same (globally reduced) update metrics
+    for key in ("actor/loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(duo[0][key])
+        np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
+        # and the 2-process run reproduces the single-process numerics
+        np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
+    )
