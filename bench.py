@@ -106,17 +106,22 @@ def train_bench() -> None:
     )
 
 
-# (batch, prompt, gen, kv_dtype, prefill_chunk) — memory-validated on a 16GB v5e
+# (batch, prompt, gen, kv_dtype, prefill_chunk, group_n) — memory-validated on
+# a 16GB v5e. "grpo" is the training workload: rollout.n samples per prompt,
+# prompt prefilled ONCE with KV fanout (engine.generate n>1); batch counts
+# UNIQUE prompts there (26 x 5 = 130 decode lanes).
 SHAPES = {
-    "short": (256, 128, 128, "bfloat16", 0),
+    "short": (256, 128, 128, "bfloat16", 0, 1),
     "long": (
         int(os.environ.get("BENCH_BATCH", "128")),
         int(os.environ.get("BENCH_PROMPT", "2048")),
         int(os.environ.get("BENCH_GEN", "256")),
         os.environ.get("BENCH_KV", "int8"),
         int(os.environ.get("BENCH_CHUNK", "256")),
+        1,
     ),
-    "flagship": (16, 6144, 2048, "int8", 512),
+    "grpo": (26, 2048, 256, "int8", 512, 5),
+    "flagship": (16, 6144, 2048, "int8", 512, 1),
 }
 
 
@@ -127,7 +132,7 @@ def _measure(gen, params, cfg, shape, iters: int) -> float:
 
     from spatialthinker_tpu.rollout.sampling import SamplingParams
 
-    b, p, r, kv_name, chunk = shape
+    b, p, r, kv_name, chunk, group_n = shape
     kv_dtype = jnp.int8 if kv_name == "int8" else jnp.bfloat16
     rng = np.random.default_rng(0)
     input_ids = jnp.asarray(rng.integers(1, 1000, size=(b, p), dtype=np.int32))
@@ -140,7 +145,7 @@ def _measure(gen, params, cfg, shape, iters: int) -> float:
         out = gen(
             params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
             max_new_tokens=r, sampling=sampling, key=k, kv_cache_dtype=kv_dtype,
-            prefill_chunk=chunk,
+            prefill_chunk=chunk, n=group_n,
         )
         # NOTE: through the axon relay, block_until_ready returns before the
         # device finishes; a scalar fetch is the only reliable sync.
@@ -151,7 +156,7 @@ def _measure(gen, params, cfg, shape, iters: int) -> float:
     for i in range(iters):
         run(jax.random.key(2 + i))
     elapsed = time.perf_counter() - start
-    return b * r * iters / elapsed
+    return b * group_n * r * iters / elapsed
 
 
 def main() -> None:
@@ -170,31 +175,37 @@ def main() -> None:
     jax.block_until_ready(params)
     gen = jax.jit(
         generate,
-        static_argnames=("cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk"),
+        static_argnames=(
+            "cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk", "n"
+        ),
     )
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
-    names = ["short", "long"] if SHAPE == "both" else [SHAPE]
+    names = ["short", "long", "grpo"] if SHAPE == "both" else [SHAPE]
     results = {
         name: round(_measure(gen, params, cfg, SHAPES[name], iters) / n_chips, 2)
         for name in names
     }
-    headline = names[-1]  # long (or the single requested shape)
-    b, p, r, kv_name, chunk = SHAPES[headline]
+    headline = names[-1]  # grpo (or the single requested shape)
+
+    def shape_cfg(name):
+        b, p, r, kv_name, chunk, group_n = SHAPES[name]
+        return {"batch": b, "prompt": p, "gen": r, "kv": kv_name,
+                "prefill_chunk": chunk, "n": group_n}
+
     out = {
-        "metric": f"rollout_tokens_per_sec_per_chip_{headline}_ctx"
-        if headline in ("long", "flagship") else "rollout_tokens_per_sec_per_chip",
+        "metric": f"rollout_tokens_per_sec_per_chip_{headline}"
+        if headline != "short" else "rollout_tokens_per_sec_per_chip",
         "value": results[headline],
         "unit": "tok/s/chip",
         "vs_baseline": round(results[headline] / H100_VLLM_3B_TOKS, 4),
-        "config": {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "prefill_chunk": chunk},
+        "config": shape_cfg(headline),
     }
     for name in names[:-1]:
-        sb, sp_, sr, skv, sc = SHAPES[name]
         out[f"{name}_ctx"] = {
             "value": results[name],
             "vs_baseline": round(results[name] / H100_VLLM_3B_TOKS, 4),
-            "config": {"batch": sb, "prompt": sp_, "gen": sr, "kv": skv},
+            "config": shape_cfg(name),
         }
     print(json.dumps(out))
 

@@ -120,6 +120,11 @@ class RefConfig:
 
     micro_batch_size_per_device_for_experience: int = 16
     sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    # keep the frozen copy in HOST memory and re-shard it onto the mesh only
+    # for the ref log-prob stage (reference ref.offload parity,
+    # /root/reference/scripts/config.yaml ref.offload) — trades one
+    # host->device transfer per step for a full param copy of HBM
+    offload: bool = False
 
 
 @dataclass

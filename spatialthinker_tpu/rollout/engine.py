@@ -101,29 +101,40 @@ def generate(
     vision: Optional[VisionInputs] = None,
     kv_cache_dtype=jnp.bfloat16,
     prefill_chunk: int = 0,
+    n: int = 1,
 ) -> RolloutResult:
     """Jittable generation: prefill + scan-decode. Callers jit this with
-    static (cfg, max_new_tokens, sampling, prefill_chunk) per bucket shape.
+    static (cfg, max_new_tokens, sampling, prefill_chunk, n) per bucket shape.
 
     ``prefill_chunk`` > 0 splits the prompt forward into sequence chunks (the
     vLLM enable_chunked_prefill equivalent): the MLP/logit activation
     footprint is bounded by b*chunk tokens instead of b*P — at 3B, batch 64,
     P=2048 the unchunked gate_up temp alone is 5.4GB, which is the difference
-    between fitting a long-context batch and OOM."""
+    between fitting a long-context batch and OOM.
+
+    ``n`` > 1 is GROUPED sampling (vLLM SamplingParams.n / GRPO rollout.n):
+    each prompt is prefilled ONCE (text stack AND vision tower), the prompt KV
+    is broadcast to n decode lanes, and n continuations sample independently.
+    Returns B*n rows ordered [prompt0 x n, prompt1 x n, ...] (the trainer's
+    repeat(interleave=True) order). At rollout.n=5 this cuts prefill compute —
+    the dominant cost at training shapes — by 5x."""
     b, p = input_ids.shape
     cfgt = cfg.text
+    bn = b * n
     total = p + max_new_tokens
 
+    # prefill writes a prompt-width cache for the b unique prompts; with n==1
+    # that IS the decode cache (allocated at full width up front)
     cache = KVCache.init(
-        cfgt.num_hidden_layers, b, total, cfgt.num_key_value_heads, cfgt.head_dim,
-        dtype=kv_cache_dtype,
+        cfgt.num_hidden_layers, b, p if n > 1 else total,
+        cfgt.num_key_value_heads, cfgt.head_dim, dtype=kv_cache_dtype,
     )
-    kv_seg0 = jnp.concatenate(
-        [prompt_segment_ids.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+    seg32 = prompt_segment_ids.astype(jnp.int32)
+    prefill_seg = seg32 if n > 1 else jnp.concatenate(
+        [seg32, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
     )
 
     # ---- prefill ----
-    seg32 = prompt_segment_ids.astype(jnp.int32)
     if prefill_chunk and prefill_chunk < p:
         from ..models.qwen2_5_vl.model import embed_inputs
         from ..models.qwen2_5_vl.text import forward_hidden
@@ -138,16 +149,45 @@ def generate(
                 inputs_embeds=embeds[:, c:e],
                 position_ids=position_ids[:, :, c:e],
                 segment_ids=seg32[:, c:e],
-                cache=cache, kv_segment_ids=kv_seg0,
+                cache=cache, kv_segment_ids=prefill_seg,
                 attend_to_cache=True,
             )
     else:
         hidden, cache = forward(
             params, cfg, input_ids, position_ids,
             segment_ids=seg32,
-            vision=vision, cache=cache, kv_segment_ids=kv_seg0,
+            vision=vision, cache=cache, kv_segment_ids=prefill_seg,
         )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
+
+    if n > 1:
+        # broadcast the prompt KV into n decode lanes per prompt (row i*n+j)
+        full = KVCache.init(
+            cfgt.num_hidden_layers, bn, total, cfgt.num_key_value_heads,
+            cfgt.head_dim, dtype=kv_cache_dtype,
+        )
+        def fanout(src):
+            # broadcast+reshape (not jnp.repeat): XLA fuses this into the
+            # cache write without materializing a gathered n-x intermediate
+            s = src.shape
+            wide = jnp.broadcast_to(src[:, :, None], (s[0], s[1], n, *s[2:]))
+            return wide.reshape(s[0], s[1] * n, *s[2:])
+
+        arrays = tuple(
+            jax.lax.dynamic_update_slice(dst, fanout(src), (0,) * dst.ndim)
+            for dst, src in zip(full.arrays(), cache.arrays())
+        )
+        if kv_cache_dtype == jnp.int8:
+            cache = KVCache(arrays[0], arrays[1], p, arrays[2], arrays[3])
+        else:
+            cache = KVCache(arrays[0], arrays[1], p)
+        last_logits = jnp.repeat(last_logits, n, axis=0)
+        seg32 = jnp.repeat(seg32, n, axis=0)
+        gen_pos_start = jnp.repeat(gen_pos_start, n, axis=0)
+        b = bn
+    kv_seg0 = jnp.concatenate(
+        [seg32, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+    )
 
     key, subkey = jax.random.split(key)
     first_token = sample_tokens(last_logits, subkey, sampling)

@@ -150,10 +150,21 @@ class GRPOTrainer:
                 raise ValueError(f"sequence length {seq} must be divisible by sp={sp_size}")
             self.sp = UlyssesSpec(self.mesh, MODEL_AXIS, BATCH_AXES)
         # reference policy = frozen copy of the initial weights (a REAL copy:
-        # actor params are donated/overwritten in-place by the update step)
-        self.ref_params = (
-            jax.tree.map(lambda x: jnp.copy(x), self.params) if self.use_ref else None
-        )
+        # actor params are donated/overwritten in-place by the update step).
+        # ref.offload keeps that copy on the HOST (at 7B the permanent HBM
+        # copy is the difference between fitting and OOM) and re-shards it
+        # onto the mesh per ref-logprob stage.
+        self.ref_offload = config.worker.ref.offload
+        self.ref_params = None
+        if self.use_ref:
+            if self.ref_offload:
+                if self.n_proc > 1:
+                    raise ValueError(
+                        "ref.offload needs fully-addressable params (single process)"
+                    )
+                self.ref_params = jax.device_get(self.params)
+            else:
+                self.ref_params = jax.tree.map(lambda x: jnp.copy(x), self.params)
 
         actor = config.worker.actor
         opt_cfg = actor.optim
@@ -257,7 +268,8 @@ class GRPOTrainer:
         self.generate_fn = jax.jit(
             generate,
             static_argnames=(
-                "cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk"
+                "cfg", "max_new_tokens", "sampling", "kv_cache_dtype",
+                "prefill_chunk", "n",
             ),
         )
 
@@ -392,15 +404,18 @@ class GRPOTrainer:
     # ------------------------------------------------------------- generation
 
     def generate_sequences(self, batch: RolloutBatch, sampling: SamplingParams) -> RolloutBatch:
-        """Repeat prompts n times, decode, attach responses + masks + full seqs."""
+        """Decode n samples per prompt, attach responses + masks + full seqs.
+        The dense engine prefills each UNIQUE prompt once and fans the prompt
+        KV out to n decode lanes (engine.generate n>1); host-side tensors are
+        repeated to match the [prompt0 x n, ...] row order."""
         n = sampling.n
-        repeated = batch.repeat(n, interleave=True) if n > 1 else batch
-        repeated = self.trim_prompt_padding(
-            repeated,
+        base = self.trim_prompt_padding(
+            batch,
             negotiated_max=self._negotiated_max(
-                int(repeated.tensors["segment_ids"].sum(-1).max())
+                int(batch.tensors["segment_ids"].sum(-1).max())
             ),
         )
+        repeated = base.repeat(n, interleave=True) if n > 1 else base
 
         input_ids = repeated.tensors["input_ids"]
         segment_ids = repeated.tensors["segment_ids"]
@@ -427,28 +442,37 @@ class GRPOTrainer:
                 max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
             )
         else:
-            vision = self._pack_vision(repeated)
+            # grouped sampling needs the UNIQUE-prompt batch to divide the
+            # batch-sharded device count; fall back to per-sample prefill when
+            # it doesn't (tiny batches / large meshes)
+            sh = self.config.worker.actor.sharding
+            batch_devs = max(1, sh.data_size * sh.fsdp_size)
+            grouped = n > 1 and (len(base) * self.n_proc) % batch_devs == 0
+            eng = base if grouped else repeated
+            vision = self._pack_vision(eng)
             if vision is not None and self.n_proc > 1:
                 raise NotImplementedError(
                     "multimodal rollouts across processes need a globally "
                     "negotiated vision pack; run multimodal on one host"
                 )
+            eng_pos = np.transpose(eng.tensors["position_ids"], (1, 0, 2))
             result = self.generate_fn(
                 self.params,
                 self.model_cfg,
-                self._dev(input_ids),
-                self._dev(segment_ids),
-                self._dev(position_ids, batch_axis=1),
-                self._dev(gen_pos_start),
+                self._dev(eng.tensors["input_ids"]),
+                self._dev(eng.tensors["segment_ids"]),
+                self._dev(eng_pos, batch_axis=1),
+                self._dev(eng.tensors["gen_pos_start"]),
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
                 key=self._next_key(),
                 vision=vision,
                 kv_cache_dtype=kv_dtype,
                 prefill_chunk=effective_prefill_chunk(
-                    input_ids.shape[1], input_ids.shape[0] * self.n_proc,
+                    input_ids.shape[1], len(eng) * self.n_proc,
                     rollout_cfg.prefill_chunk_size, rollout_cfg.max_num_batched_tokens,
                 ),
+                n=n if grouped else 1,
             )
         responses = self._host(result.responses)
         response_mask = self._host(result.response_mask)
@@ -498,9 +522,6 @@ class GRPOTrainer:
             name: self._dev(x, batch_axis=1 if name == "position_ids" else 0)
             for name, x in tb._asdict().items()
         })
-
-    def _is_text_only(self, batch: RolloutBatch) -> bool:
-        return all(p is None for p in batch.non_tensors.get("patches", [None]))
 
     def _vision_for_packed(self, batch: RolloutBatch, slot_map, row_lo=None, row_hi=None,
                            pad_to=None):
@@ -848,9 +869,13 @@ class GRPOTrainer:
 
             if self.use_ref:
                 with timer("ref"):
+                    ref_params = self.ref_params
+                    if self.ref_offload:  # re-shard the host copy for this stage
+                        ref_params = shard_params(self.mesh, self.ref_params)
                     rolled.tensors["ref_log_probs"] = self.compute_log_probs_batched(
-                        rolled, self.ref_params
+                        rolled, ref_params
                     )
+                    del ref_params  # device copy freed until the next step
 
             if self.use_critic:
                 with timer("values"):

@@ -20,8 +20,9 @@ VOCAB = 1024
 
 
 def build_trainer(tmp_path, total_episodes=1, max_steps=2, save_freq=-1, load_path=None,
-                  adv="grpo", disable_kl=False):
+                  adv="grpo", disable_kl=False, extra_overrides=()):
     cfg = build_config(
+        list(extra_overrides) +
         [
             "data.max_prompt_length=32",
             "data.max_response_length=8",
@@ -207,3 +208,21 @@ def test_checkpoint_prune_respects_save_limit(tmp_path):
     dirs = sorted(d for d in os.listdir(tmp_path / "ck") if d.startswith("global_step"))
     assert dirs == ["global_step_2", "global_step_3"]
     assert mgr.latest_step() == 3
+
+
+def test_ref_offload_matches_resident(tmp_path):
+    """worker.ref.offload=true keeps the frozen copy on host and re-shards it
+    per ref stage — ref log-probs must match the HBM-resident copy exactly."""
+    t1, _ = build_trainer(tmp_path / "a", max_steps=1)
+    t2, _ = build_trainer(tmp_path / "b", max_steps=1,
+                          extra_overrides=("worker.ref.offload=true",))
+    assert t2.ref_offload and isinstance(
+        jax.tree.leaves(t2.ref_params)[0], np.ndarray
+    )
+    batch = next(iter(t1.train_dataloader))
+    t1.global_step = t2.global_step = 1
+    m1 = t1.train_step(batch)
+    batch2 = next(iter(t2.train_dataloader))
+    m2 = t2.train_step(batch2)
+    np.testing.assert_allclose(m1["actor/kl_loss"], m2["actor/kl_loss"], rtol=1e-5)
+    np.testing.assert_allclose(m1["actor/loss"], m2["actor/loss"], rtol=1e-5)

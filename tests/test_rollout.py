@@ -244,3 +244,60 @@ def test_dense_engine_chunked_prefill_matches(jax_params):
         np.asarray(chunked.rollout_log_probs)[mask],
         np.asarray(full.rollout_log_probs)[mask], rtol=2e-3, atol=2e-3,
     )
+
+
+def test_grouped_generation_matches_repeat(jax_params):
+    """n>1 grouped sampling (prefill once per prompt, prompt-KV fanout) must
+    equal generating each repeated row independently under greedy decoding."""
+    rng = np.random.default_rng(13)
+    b, p, r, n = 2, 10, 6, 3
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    seg = np.ones((b, p), np.int32)
+    seg[0, :2] = 0
+    prompts[0, :2] = 0
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+
+    grouped = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), n=n, **kwargs,
+    )
+    single = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), **kwargs,
+    )
+    assert grouped.responses.shape == (b * n, r)
+    rep = np.repeat(np.asarray(single.responses), n, axis=0)
+    np.testing.assert_array_equal(np.asarray(grouped.responses), rep)
+    mask = np.repeat(np.asarray(single.response_mask), n, axis=0).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(grouped.rollout_log_probs)[mask],
+        np.repeat(np.asarray(single.rollout_log_probs), n, axis=0)[mask],
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_grouped_generation_int8_chunked(jax_params):
+    """Grouped sampling composes with int8 KV and chunked prefill."""
+    rng = np.random.default_rng(17)
+    b, p, r, n = 2, 12, 5, 2
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    grouped = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.ones((b, p), jnp.int32),
+        jnp.asarray(pos), jnp.full((b,), p, jnp.int32), n=n,
+        kv_cache_dtype=jnp.int8, prefill_chunk=4, **kwargs,
+    )
+    plain = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.ones((b, p), jnp.int32),
+        jnp.asarray(pos), jnp.full((b,), p, jnp.int32),
+        kv_cache_dtype=jnp.int8, **kwargs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grouped.responses), np.repeat(np.asarray(plain.responses), n, axis=0)
+    )
