@@ -56,8 +56,8 @@ def train_bench() -> None:
         ),
         donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
     )
-    n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "1"))
-    p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "1024")) // 2
+    n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "2"))
+    p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "4096")) // 2
     s = p + r
     rng = np.random.default_rng(0)
     bs = n_micro * micro_bs

@@ -77,6 +77,55 @@ class TensorboardBackend:
         self.writer.close()
 
 
+class MlflowBackend:
+    """Parity: reference utils/logger/logger.py MlflowLogger (:122-137)."""
+
+    def __init__(self, project: str, name: str):
+        import mlflow
+
+        self.mlflow = mlflow
+        mlflow.set_experiment(project)
+        self.run = mlflow.start_run(run_name=name)
+
+    def log(self, data: Dict[str, Any], step: int) -> None:
+        metrics = {k.replace("/", "."): v for k, v in data.items()
+                   if isinstance(v, (int, float))}
+        self.mlflow.log_metrics(metrics, step=step)
+
+    def log_generations(self, samples, step: int) -> None:
+        text = "\n\n".join(f"score={s}\nprompt: {i}\n{o}" for i, o, _, s in samples[:8])
+        self.mlflow.log_text(text, f"generations/step_{step}.txt")
+
+    def finish(self) -> None:
+        self.mlflow.end_run()
+
+
+class SwanlabBackend:
+    """Parity: reference utils/logger/logger.py SwanlabLogger (:140-154)."""
+
+    def __init__(self, project: str, name: str):
+        import swanlab
+
+        self.swanlab = swanlab
+        self.run = swanlab.init(project=project, experiment_name=name)
+
+    def log(self, data: Dict[str, Any], step: int) -> None:
+        self.swanlab.log(
+            {k: v for k, v in data.items() if isinstance(v, (int, float))}, step=step
+        )
+
+    def log_generations(self, samples, step: int) -> None:
+        rows = [
+            self.swanlab.Text(f"score={s}\n{o}", caption=str(i)[:64])
+            for i, o, _, s in samples[:8]
+        ]
+        if rows:
+            self.swanlab.log({"val/generations": rows}, step=step)
+
+    def finish(self) -> None:
+        self.swanlab.finish()
+
+
 class Tracker:
     def __init__(self, loggers: List[str], project: str, experiment: str, base_dir: str = "."):
         self.backends = []
@@ -95,6 +144,16 @@ class Tracker:
                     self.backends.append(TensorboardBackend(os.path.join(base_dir, "tb", experiment)))
                 except Exception as e:
                     print(f"[tracker] tensorboard unavailable ({e}); skipping")
+            elif name == "mlflow":
+                try:
+                    self.backends.append(MlflowBackend(project, experiment))
+                except Exception as e:
+                    print(f"[tracker] mlflow unavailable ({e}); skipping")
+            elif name == "swanlab":
+                try:
+                    self.backends.append(SwanlabBackend(project, experiment))
+                except Exception as e:
+                    print(f"[tracker] swanlab unavailable ({e}); skipping")
 
     def log(self, data: Dict[str, Any], step: int) -> None:
         for b in self.backends:

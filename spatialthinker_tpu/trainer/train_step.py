@@ -373,8 +373,9 @@ def make_optimizer(
     strategy: str = "adamw",
 ) -> optax.GradientTransformation:
     """AdamW with constant-after-warmup LR (reference torch_functional.py
-    get_constant_schedule_with_warmup); strategy adamw_bf16 keeps first/second
-    moments in bf16 (AnyPrecisionAdamW parity)."""
+    get_constant_schedule_with_warmup). Strategy ``adamw_bf16`` is the full
+    AnyPrecisionAdamW: BOTH moments in bf16 + Kahan-compensated bf16 param
+    updates (reference torch_functional.py:250-329) — see trainer/optim.py."""
     if warmup_steps > 0:
         schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, lr, warmup_steps), optax.constant_schedule(lr)],
@@ -382,7 +383,10 @@ def make_optimizer(
         )
     else:
         schedule = optax.constant_schedule(lr)
-    mu_dtype = jnp.bfloat16 if strategy == "adamw_bf16" else None
-    return optax.adamw(
-        schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay, mu_dtype=mu_dtype
-    )
+    if strategy == "adamw_bf16":
+        from .optim import any_precision_adamw
+
+        return any_precision_adamw(
+            schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay
+        )
+    return optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)

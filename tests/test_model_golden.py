@@ -234,3 +234,67 @@ def test_multimodal_window_attention_larger_grid(hf_model, jax_params):
         vision=vision,
     )
     np.testing.assert_allclose(np.asarray(logits), hf_out, rtol=5e-3, atol=5e-3)
+
+
+def test_bf16_numerics_close_to_fp32(hf_model, jax_params):
+    """bf16 params/compute vs the fp32 golden path: response log-probs within
+    bf16 tolerance (guards silent drift in the production dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spatialthinker_tpu.models.qwen2_5_vl.model import forward_logits
+
+    rng = np.random.default_rng(4)
+    b, s = 2, 16
+    ids = rng.integers(5, 900, size=(b, s), dtype=np.int64)
+    pos = np.tile(np.arange(s)[None, None], (3, b, 1))
+
+    logits32, _ = forward_logits(
+        jax_params, CFG, jnp.asarray(ids), jnp.asarray(pos),
+        segment_ids=jnp.ones((b, s), jnp.int32),
+    )
+    params_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), jax_params)
+    logits16, _ = forward_logits(
+        params_bf16, CFG, jnp.asarray(ids), jnp.asarray(pos),
+        segment_ids=jnp.ones((b, s), jnp.int32),
+    )
+    lp32 = np.asarray(jax.nn.log_softmax(logits32, axis=-1))
+    lp16 = np.asarray(jax.nn.log_softmax(logits16.astype(jnp.float32), axis=-1))
+    # greedy argmax must agree; log-probs within bf16 tolerance
+    np.testing.assert_array_equal(lp32.argmax(-1), lp16.argmax(-1))
+    tok = np.take_along_axis(lp32, ids[..., None], axis=-1)
+    tok16 = np.take_along_axis(lp16, ids[..., None], axis=-1)
+    np.testing.assert_allclose(tok16, tok, atol=0.15, rtol=0.05)
+
+
+def test_3b_param_shapes_match_hf_contract():
+    """eval_shape parity on the REAL 3B config (no weights materialized):
+    every fused leaf reshapes exactly back to the HF tensor inventory
+    (Qwen2.5-VL-3B-Instruct: hidden 2048, 36 layers, 16/2 heads, inter 11008,
+    vocab 151936, vision depth 32 hidden 1280)."""
+    import jax
+
+    from spatialthinker_tpu.models.qwen2_5_vl import get_config, init_params
+
+    cfg = get_config("3b")
+    t, v = cfg.text, cfg.vision
+    assert (t.hidden_size, t.num_hidden_layers, t.intermediate_size) == (2048, 36, 11008)
+    assert (t.num_attention_heads, t.num_key_value_heads, t.head_dim) == (16, 2, 128)
+    assert t.vocab_size == 151936 and t.tie_word_embeddings
+    assert (v.depth, v.hidden_size, v.out_hidden_size) == (32, 1280, 2048)
+
+    shapes = jax.eval_shape(lambda k: init_params(cfg, k), jax.random.key(0))
+    L, e, h, hkv, d, inter = (
+        t.num_hidden_layers, t.hidden_size, t.num_attention_heads,
+        t.num_key_value_heads, t.head_dim, t.intermediate_size,
+    )
+    layers = shapes["text"]["layers"]
+    assert layers["self_attn"]["qkv_proj"].shape == (L, hkv, e, (h // hkv + 2) * d)
+    assert layers["self_attn"]["o_proj"].shape == (L, h * d, e)
+    assert layers["mlp"]["gate_up_proj"].shape == (L, 2, e, inter)
+    assert layers["mlp"]["down_proj"].shape == (L, inter, e)
+    assert shapes["text"]["embed_tokens"].shape == (t.vocab_size, e)
+    assert "lm_head" not in shapes["text"]  # tied embeddings
+
+    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 3.5e9 < n_params < 4.0e9, n_params  # Qwen2.5-VL-3B is ~3.75B

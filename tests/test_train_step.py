@@ -198,3 +198,65 @@ def test_freeze_vision_tower_zeroes_vision_grads():
         params["text"], new_params["text"],
     )
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_any_precision_adamw_kahan_recovers_tiny_updates():
+    """bf16 params + tiny LR: single-step deltas round to zero in bf16, but
+    the Kahan compensation must accumulate them (reference AnyPrecisionAdamW,
+    torch_functional.py:250-329). Both moments live in bf16."""
+    import optax
+
+    from spatialthinker_tpu.trainer.optim import any_precision_adamw
+
+    lr = 1e-5
+    p0 = jnp.full((128,), 1.0, jnp.bfloat16)  # ulp(1.0) in bf16 = 2^-8
+    g = jnp.full((128,), 1.0, jnp.float32)
+
+    opt = any_precision_adamw(lr, weight_decay=0.0)
+    state = opt.init(p0)
+    assert state.mu.dtype == jnp.bfloat16 and state.nu.dtype == jnp.bfloat16
+
+    def run_opt(opt_, state_, p_, steps_):
+        def body(carry, _):
+            p_c, s_c = carry
+            updates, s_c = opt_.update(g, s_c, p_c)
+            return (optax.apply_updates(p_c, updates), s_c), None
+
+        (p_out, _), _ = jax.lax.scan(body, (p_, state_), None, length=steps_)
+        return p_out
+
+    steps = 1000  # cumulative drift 0.01 ~ 2.5 ulp of bf16 at 1.0
+    p = jax.jit(run_opt, static_argnums=(0, 3))(opt, state, p0, steps)
+
+    # fp32 AdamW reference: with constant unit gradient the normalized step is
+    # ~ -lr per iteration
+    expected_drift = lr * steps
+    drift = float(1.0 - np.asarray(p, np.float32).mean())
+    assert drift > 0.5 * expected_drift, (drift, expected_drift)
+
+    # naive bf16 accumulation (no compensation) loses everything
+    opt_naive = any_precision_adamw(lr, weight_decay=0.0, use_kahan_summation=False)
+    pn = jax.jit(run_opt, static_argnums=(0, 3))(opt_naive, opt_naive.init(p0), p0, steps)
+    naive_drift = float(1.0 - np.asarray(pn, np.float32).mean())
+    assert naive_drift < 0.25 * drift, (naive_drift, drift)
+
+
+def test_any_precision_adamw_matches_fp32_adamw_coarsely():
+    """On fp32 params the compensated optimizer tracks optax.adamw closely."""
+    import optax
+
+    from spatialthinker_tpu.trainer.optim import any_precision_adamw
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    ref_opt = optax.adamw(1e-2, weight_decay=1e-2)
+    got_opt = any_precision_adamw(1e-2, weight_decay=1e-2)
+    ref_state, got_state = ref_opt.init(p), got_opt.init(p)
+    p_ref = p_got = p
+    for i in range(20):
+        g = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+        u_ref, ref_state = ref_opt.update(g, ref_state, p_ref)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        u_got, got_state = got_opt.update(g, got_state, p_got)
+        p_got = optax.apply_updates(p_got, u_got)
+    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_ref), atol=5e-3, rtol=5e-3)
