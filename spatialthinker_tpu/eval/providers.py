@@ -88,7 +88,9 @@ class JaxProvider(Provider):
 
 
 class HFProvider(Provider):
-    """Local HF transformers generation (reference parity path; torch CPU/GPU)."""
+    """Local HF transformers generation (reference parity path; torch CPU/GPU).
+    Model family selected from the name, Qwen3-VL included (reference
+    evals.py:134-140)."""
 
     def __init__(self, model_name: str, max_new_tokens: int = 2048, device: str = "cpu",
                  min_pixels: int = 262_144, max_pixels: int = 4_194_304):
@@ -98,7 +100,11 @@ class HFProvider(Provider):
         self.processor = AutoProcessor.from_pretrained(
             model_name, min_pixels=min_pixels, max_pixels=max_pixels
         )
-        self.model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
+        if "qwen3" in model_name.lower():
+            from transformers import Qwen3VLForConditionalGeneration as model_cls
+        else:
+            model_cls = Qwen2_5_VLForConditionalGeneration
+        self.model = model_cls.from_pretrained(
             model_name, torch_dtype=torch.bfloat16
         ).to(device)
         self.model.eval()

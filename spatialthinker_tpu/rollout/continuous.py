@@ -89,29 +89,34 @@ def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
 
 def prefill_slots(
     params, cfg: Qwen25VLConfig, state: SlotState,
-    slot_ids: jnp.ndarray,        # (k,)
-    input_ids: jnp.ndarray,       # (k, P)
-    segment_ids: jnp.ndarray,     # (k, P)
-    position_ids: jnp.ndarray,    # (3, k, P)
-    gen_pos_start: jnp.ndarray,   # (k,)
-    valid: jnp.ndarray,           # (k,) bool — False rows are queue padding
+    slot_ids: jnp.ndarray,        # (u * group_n,)
+    input_ids: jnp.ndarray,       # (u, P) — UNIQUE prompts
+    segment_ids: jnp.ndarray,     # (u, P)
+    position_ids: jnp.ndarray,    # (3, u, P)
+    gen_pos_start: jnp.ndarray,   # (u,)
+    valid: jnp.ndarray,           # (u,) bool — False rows are queue padding
     sampling: SamplingParams,
     vision=None,                  # Optional[VisionInputs] for this prompt batch
     prefill_chunk: int = 0,       # >0: sequence-chunked prefill (token budget)
+    group_n: int = 1,             # samples per prompt (vLLM SamplingParams.n)
 ) -> SlotState:
-    """Run the prompt forward for k sequences and install them in `slot_ids`.
+    """Run the prompt forward for u UNIQUE sequences and install each into
+    ``group_n`` consecutive entries of `slot_ids` (grouped sampling: the
+    prompt — text stack and vision tower — is prefilled once, the prompt KV
+    fans out to n decode lanes, engine.generate n>1 parity).
 
     With ``prefill_chunk`` set, the prompt forward is split into sequence
     chunks of that many tokens per row — each chunk attends the scratch-cache
     prefix — bounding the per-forward activation footprint by
-    k * prefill_chunk tokens (the vLLM enable_chunked_prefill /
+    u * prefill_chunk tokens (the vLLM enable_chunked_prefill /
     max_num_batched_tokens equivalent, reference scripts/config.yaml:55)."""
-    k, p = input_ids.shape
+    u, p = input_ids.shape
+    k = u * group_n
     t = cfg.text
     total = state.cache_k.shape[3]
     max_new = state.responses.shape[1]
 
-    scratch = KVCache.init(t.num_hidden_layers, k, p, t.num_key_value_heads,
+    scratch = KVCache.init(t.num_hidden_layers, u, p, t.num_key_value_heads,
                            t.head_dim, dtype=state.cache_k.dtype)
     seg32 = segment_ids.astype(jnp.int32)
     if prefill_chunk and prefill_chunk < p:
@@ -138,6 +143,26 @@ def prefill_slots(
         )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
+    if group_n > 1:
+        def fanout(x, axis=0):
+            s = x.shape
+            wide = jnp.broadcast_to(
+                jnp.expand_dims(x, axis + 1),
+                (*s[: axis + 1], group_n, *s[axis + 1 :]),
+            )
+            return wide.reshape(*s[:axis], s[axis] * group_n, *s[axis + 1 :])
+
+        scratch_arrays = tuple(fanout(a, axis=1) for a in scratch.arrays())
+        if state.k_scale is not None:
+            scratch = KVCache(scratch_arrays[0], scratch_arrays[1], p,
+                              scratch_arrays[2], scratch_arrays[3])
+        else:
+            scratch = KVCache(scratch_arrays[0], scratch_arrays[1], p)
+        last_logits = fanout(last_logits)
+        seg32 = fanout(seg32)
+        gen_pos_start = fanout(gen_pos_start)
+        valid = fanout(valid)
+
     key, subkey = jax.random.split(state.key)
     first = sample_tokens(last_logits, subkey, sampling)
     first_logp = sampled_token_logp(last_logits, first, sampling)
@@ -152,7 +177,7 @@ def prefill_slots(
             v_scale=state.v_scale.at[:, slot_ids, :, :p].set(scratch.v_scale),
         )
     kv_row = jnp.concatenate(
-        [segment_ids.astype(jnp.int32), jnp.zeros((k, total - p), jnp.int32)], axis=1
+        [seg32, jnp.zeros((k, total - p), jnp.int32)], axis=1
     )
     resp_row = jnp.full((k, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
     logp_row = jnp.zeros((k, max_new), jnp.float32).at[:, 0].set(first_logp)
@@ -338,7 +363,7 @@ def effective_prefill_chunk(
 def generate_continuous(
     params,
     cfg: Qwen25VLConfig,
-    input_ids: np.ndarray,       # (B, P) left-padded
+    input_ids: np.ndarray,       # (B, P) left-padded — UNIQUE prompts
     segment_ids: np.ndarray,     # (B, P)
     position_ids: np.ndarray,    # (3, B, P)
     gen_pos_start: np.ndarray,   # (B,)
@@ -354,18 +379,24 @@ def generate_continuous(
     vision_bucket: int = 0,      # patches per refill batch (0 = auto)
     prefill_chunk_size: int = 0,     # vLLM enable_chunked_prefill equivalent
     max_num_batched_tokens: int = 0,  # token budget per prefill forward
+    group_n: int = 1,            # samples per prompt; output has B*group_n rows
 ) -> ContinuousResult:
-    """Generate B sequences through `slots` concurrent decode lanes with
-    refill. Prefill batch size is fixed at `slots` (queue is padded), so the
-    whole engine compiles exactly two kernels."""
+    """Generate B*group_n sequences through `slots` concurrent decode lanes
+    with refill. Each unique prompt is prefilled once and installed into
+    group_n slots (grouped sampling). Prefill batch size is fixed (queue is
+    padded), so the whole engine compiles exactly two kernels. Output row
+    i*group_n + j is sample j of prompt i (repeat-interleave order)."""
     b, p = input_ids.shape
-    slots = min(slots, b)
+    n_out = b * group_n
+    slots = min(slots, n_out)
+    slots = max(slots - slots % group_n, group_n)  # whole groups only
+    u_batch = slots // group_n  # unique prompts per prefill
     prefill_chunk = effective_prefill_chunk(
-        p, slots, prefill_chunk_size, max_num_batched_tokens
+        p, u_batch, prefill_chunk_size, max_num_batched_tokens
     )
 
     prefill_jit = jax.jit(
-        prefill_slots, static_argnames=("cfg", "sampling", "prefill_chunk"),
+        prefill_slots, static_argnames=("cfg", "sampling", "prefill_chunk", "group_n"),
     )
     decode_jit = jax.jit(
         decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
@@ -376,9 +407,9 @@ def generate_continuous(
     trash = slots
     state = init_slot_state(cfg, slots + 1, p, max_new_tokens, key, kv_cache_dtype)
 
-    responses = np.full((b, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
-    logps_out = np.zeros((b, max_new_tokens), dtype=np.float32)
-    slot_owner = np.full(slots + 1, -1, dtype=np.int64)
+    responses = np.full((n_out, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
+    logps_out = np.zeros((n_out, max_new_tokens), dtype=np.float32)
+    slot_owner = np.full(slots + 1, -1, dtype=np.int64)  # output-row index
     next_prompt = 0
 
     multimodal = patches_list is not None and any(p is not None for p in patches_list)
@@ -389,23 +420,25 @@ def generate_continuous(
             0 if g is None else sum(layout_patch_count(row, cfg.vision) for row in np.asarray(g))
             for g in grids_list
         ]
-        vision_bucket = max(per_prompt) * slots
+        vision_bucket = max(per_prompt) * u_batch
         wlen = window_patch_len(cfg.vision)
         vision_bucket = -(-vision_bucket // wlen) * wlen
 
     def refill(state, free_slot_list):
         nonlocal next_prompt, slot_owner
-        k = slots  # fixed prefill batch -> exactly one compiled kernel
-        targets = np.full(k, trash, dtype=np.int64)
-        rows = np.zeros(k, dtype=np.int64)
-        valid = np.zeros(k, dtype=bool)
-        for j, slot in enumerate(free_slot_list[:k]):
-            if next_prompt >= b:
+        targets = np.full(slots, trash, dtype=np.int64)
+        rows = np.zeros(u_batch, dtype=np.int64)
+        valid = np.zeros(u_batch, dtype=bool)
+        free = list(free_slot_list)
+        for g in range(u_batch):
+            if next_prompt >= b or len(free) < group_n:
                 break
-            targets[j] = slot
-            rows[j] = next_prompt
-            valid[j] = True
-            slot_owner[slot] = next_prompt
+            group_slots = [free.pop(0) for _ in range(group_n)]
+            rows[g] = next_prompt
+            valid[g] = True
+            for j, slot in enumerate(group_slots):
+                targets[g * group_n + j] = slot
+                slot_owner[slot] = next_prompt * group_n + j
             next_prompt += 1
         ids_batch = input_ids[rows].copy()
         seg_batch = segment_ids[rows].copy()
@@ -434,8 +467,9 @@ def generate_continuous(
             sampling,
             vision,
             prefill_chunk=prefill_chunk,
+            group_n=group_n,
         )
-        return state
+        return state, free  # leftover slots stay in the caller's pool
 
     def harvest(state) -> Tuple[SlotState, List[int]]:
         nonlocal responses, logps_out, slot_owner
@@ -456,14 +490,15 @@ def generate_continuous(
             )
         return state, done_slots
 
-    # initial fill covers min(slots, b) prompts
-    state = refill(state, list(range(slots)))
+    # initial fill covers min(slots // group_n, b) prompts
+    state, free_pool = refill(state, list(range(slots)))
     while True:
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
         state, done_slots = harvest(state)
+        free_pool.extend(done_slots)
         pending = next_prompt < b
-        if done_slots and pending:
-            state = refill(state, done_slots)
+        if pending and len(free_pool) >= group_n:
+            state, free_pool = refill(state, free_pool)
         active_left = bool(np.asarray(state.active).any())
         if not active_left and not pending:
             break

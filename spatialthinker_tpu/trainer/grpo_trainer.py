@@ -430,16 +430,19 @@ class GRPOTrainer:
             slots = rollout_cfg.decode_batch_size
             result = generate_continuous(
                 self.params, self.model_cfg,
-                input_ids, segment_ids, position_ids, gen_pos_start,
+                base.tensors["input_ids"], base.tensors["segment_ids"],
+                np.transpose(base.tensors["position_ids"], (1, 0, 2)),
+                base.tensors["gen_pos_start"],
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
                 key=self._next_key(),
                 slots=slots if slots > 0 else min(len(repeated), 32),
-                patches_list=list(repeated.non_tensors["patches"]),
-                grids_list=list(repeated.non_tensors["image_grid_thw"]),
+                patches_list=list(base.non_tensors["patches"]),
+                grids_list=list(base.non_tensors["image_grid_thw"]),
                 kv_cache_dtype=kv_dtype,
                 prefill_chunk_size=rollout_cfg.prefill_chunk_size,
                 max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
+                group_n=n,
             )
         else:
             # grouped sampling needs the UNIQUE-prompt batch to divide the

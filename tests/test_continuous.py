@@ -247,3 +247,47 @@ def test_continuous_single_token_budget(jax_params):
     )
     assert cont.responses.shape == (3, 1)
     assert cont.response_mask.sum() >= 3  # every prompt got its one token
+
+
+def test_continuous_grouped_matches_ungrouped(jax_params):
+    """group_n>1: each unique prompt prefilled once, installed into n slots —
+    greedy output must equal running the repeated prompts ungrouped, in
+    repeat-interleave row order."""
+    rng = np.random.default_rng(23)
+    b, p, r, n = 4, 8, 6, 2
+    ids, seg, pos, gs = _prompts(rng, b, p)
+
+    grouped = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=4, decode_chunk_size=2, group_n=n,
+    )
+    rep = lambda x, axis=0: np.repeat(x, n, axis=axis)
+    ungrouped = generate_continuous(
+        jax_params, GOLD_CFG, rep(ids), rep(seg), rep(pos, axis=1), rep(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=4, decode_chunk_size=2,
+    )
+    assert grouped.responses.shape == (b * n, r)
+    np.testing.assert_array_equal(grouped.responses, ungrouped.responses)
+    np.testing.assert_array_equal(grouped.response_mask, ungrouped.response_mask)
+
+
+def test_continuous_grouped_slot_rounding(jax_params):
+    """slots not divisible by group_n round down to whole groups and still
+    drain the full queue."""
+    rng = np.random.default_rng(29)
+    b, p, r, n = 5, 8, 4, 3
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    grouped = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), slots=7, decode_chunk_size=2, group_n=n,
+    )
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), n=n,
+    )
+    np.testing.assert_array_equal(grouped.responses, np.asarray(dense.responses))
