@@ -1,14 +1,13 @@
 """Benchmark: rollout decode throughput on the flagship model (Qwen2.5-VL-3B
 shapes, random weights) on real TPU hardware.
 
-Prints ONE JSON line. The headline metric is the LONG-CONTEXT shape (prompt
-2048 / gen 256 — the shape training actually decodes at; the flagship config
-is prompt 6144 / response 2048, reachable via BENCH_SHAPE=flagship), with the
-short-context (prompt 128 / gen 128, batch 256) number carried alongside for
-round-over-round comparability:
-  {"metric": "rollout_tokens_per_sec_per_chip_long_ctx", "value": N,
+Prints ONE JSON line. The headline metric is the GRPO TRAINING shape (prompt
+2048 / gen 256, rollout.n=5 grouped sampling — what the trainer actually
+runs), with the short-context (prompt 128 / gen 128) and distinct-prompt
+long-context numbers carried alongside for round-over-round comparability:
+  {"metric": "rollout_tokens_per_sec_per_chip_grpo", "value": N,
    "unit": "tok/s/chip", "vs_baseline": N / H100_VLLM_3B_TOKS,
-   "short_ctx": {...}, "config": {...}}
+   "short_ctx": {...}, "long_ctx": {...}, "config": {...}}
 
 Baseline anchor: the reference rolls out with vLLM on H100-class GPUs
 (BASELINE.md: "rollout tokens/sec/chip >= H100-class on a v5p-8" is the
@@ -16,9 +15,10 @@ north-star). The repo publishes no number, so we anchor against a nominal
 2800 tok/s/GPU for Qwen2.5-VL-3B bf16 decode on one H100 — vs_baseline > 1.0
 means faster than that anchor per chip.
 
-BENCH_MODE=train measures full GRPO update steps/s instead (1B config by
-default — 3B fp32 grads + optimizer state exceed a single v5e's HBM).
-BENCH_SHAPE=short|long|flagship|both (default both = short + long).
+BENCH_MODE=train measures full GRPO update steps/s + MFU instead (0.5B at
+seq 4096 by default — 1B+ optimizer state exceeds a single v5e's HBM).
+BENCH_SHAPE=short|long|grpo|flagship|both (default both = short+long+grpo;
+the headline is the last shape run).
 """
 
 from __future__ import annotations

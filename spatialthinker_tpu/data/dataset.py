@@ -269,7 +269,8 @@ class DataLoader:
 
         order = self._order()
         nb = len(self)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             pending = []  # list of per-batch future lists
             next_pos = self.position
 
@@ -288,6 +289,10 @@ class DataLoader:
                     next_pos += 1
                 self.position += 1
                 yield batch
+        finally:
+            # non-blocking: an abandoned iterator (max_steps hit, exception)
+            # must not stall the trainer waiting on in-flight image prep
+            pool.shutdown(wait=False, cancel_futures=True)
         self.epoch += 1
         self.position = 0
 

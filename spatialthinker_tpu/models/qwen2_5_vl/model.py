@@ -97,6 +97,57 @@ def forward(
     )
 
 
+def prefill_forward(
+    params: Params,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,          # (B, P)
+    position_ids: jnp.ndarray,       # (3, B, P)
+    segment_ids: jnp.ndarray,        # (B, P) int32
+    cache: KVCache,
+    kv_segment_ids: jnp.ndarray,
+    vision: Optional[VisionInputs] = None,
+    prefill_chunk: int = 0,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prompt prefill into ``cache`` — one forward, or sequence-chunked when
+    ``prefill_chunk`` > 0 (vLLM enable_chunked_prefill equivalent: bounds the
+    MLP/activation footprint by B*chunk tokens). The vision tower is not
+    chunkable (images merge into the embeds before the sequence splits), so
+    embeddings are computed once up front. Shared by the dense and continuous
+    rollout engines. Returns (last chunk's hidden states, filled cache)."""
+    p = input_ids.shape[1]
+    if prefill_chunk and prefill_chunk < p:
+        embeds = embed_inputs(params, cfg, input_ids, vision)
+        hidden = None
+        for c in range(0, p, prefill_chunk):
+            e = min(c + prefill_chunk, p)
+            hidden, cache = forward_hidden(
+                params["text"], cfg.text,
+                inputs_embeds=embeds[:, c:e],
+                position_ids=position_ids[:, :, c:e],
+                segment_ids=segment_ids[:, c:e],
+                cache=cache, kv_segment_ids=kv_segment_ids,
+                attend_to_cache=True,
+            )
+        return hidden, cache
+    return forward(
+        params, cfg, input_ids, position_ids,
+        segment_ids=segment_ids, vision=vision, cache=cache,
+        kv_segment_ids=kv_segment_ids,
+    )
+
+
+def fanout_rows(x: jnp.ndarray, n: int, axis: int = 0) -> jnp.ndarray:
+    """Repeat each index along ``axis`` n times (grouped-sampling fanout:
+    row i maps to rows i*n..i*n+n-1). broadcast+reshape rather than
+    jnp.repeat — XLA fuses it into the consuming write without materializing
+    a gathered n-x intermediate (which OOMs for prompt-KV-sized operands)."""
+    s = x.shape
+    wide = jnp.broadcast_to(
+        jnp.expand_dims(x, axis + 1), (*s[: axis + 1], n, *s[axis + 1 :])
+    )
+    return wide.reshape(*s[:axis], s[axis] * n, *s[axis + 1 :])
+
+
 def forward_logits(
     params: Params,
     cfg: Qwen25VLConfig,

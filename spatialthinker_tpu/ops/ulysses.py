@@ -82,8 +82,11 @@ def ulysses_attention(
         seg_full = (
             jax.lax.all_gather(seg_l, sp_axis, axis=1, tiled=True) if seg_l is not None else None
         )
+        # backend auto: the shard-local full-sequence attention picks the
+        # Pallas flash kernel at training lengths — masked XLA SDPA OOMs at
+        # s=8192, which is exactly where sp is worth turning on
         out = attention(
-            q_full, k_full, v_full, segment_ids=seg_full, causal=causal, backend="xla"
+            q_full, k_full, v_full, segment_ids=seg_full, causal=causal, backend="auto"
         )
         return gather_heads_scatter_seq(out, sp_axis)
 

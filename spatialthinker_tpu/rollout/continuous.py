@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.qwen2_5_vl import Qwen25VLConfig, forward
+from ..models.qwen2_5_vl import Qwen25VLConfig
+from ..models.qwen2_5_vl.model import fanout_rows, prefill_forward
 from ..models.qwen2_5_vl.text import (
     KVCache,
     _quantize_kv,
@@ -59,7 +60,10 @@ def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
                     max_new_tokens: int, key: jax.Array,
                     kv_dtype=jnp.bfloat16) -> SlotState:
     t = cfg.text
-    total = prompt_len + max_new_tokens
+    # cache width rounds up to 128 so the Pallas decode kernel always has a
+    # legal S block (a non-multiple width silently falls back to the ~3x
+    # slower XLA path); the pad cells are never marked valid in kv_seg
+    total = -(-(prompt_len + max_new_tokens) // 128) * 128
     shape = (t.num_hidden_layers, slots, t.num_key_value_heads, total, t.head_dim)
     scales = None
     if kv_dtype == jnp.int8:
@@ -119,49 +123,23 @@ def prefill_slots(
     scratch = KVCache.init(t.num_hidden_layers, u, p, t.num_key_value_heads,
                            t.head_dim, dtype=state.cache_k.dtype)
     seg32 = segment_ids.astype(jnp.int32)
-    if prefill_chunk and prefill_chunk < p:
-        from ..models.qwen2_5_vl.model import embed_inputs
-        from ..models.qwen2_5_vl.text import forward_hidden
-
-        embeds = embed_inputs(params, cfg, input_ids, vision)
-        hidden = None
-        for c in range(0, p, prefill_chunk):
-            e = min(c + prefill_chunk, p)
-            hidden, scratch = forward_hidden(
-                params["text"], t,
-                inputs_embeds=embeds[:, c:e],
-                position_ids=position_ids[:, :, c:e],
-                segment_ids=seg32[:, c:e],
-                cache=scratch, kv_segment_ids=seg32,
-                attend_to_cache=True,
-            )
-    else:
-        hidden, scratch = forward(
-            params, cfg, input_ids, position_ids,
-            segment_ids=seg32, cache=scratch,
-            kv_segment_ids=seg32, vision=vision,
-        )
+    hidden, scratch = prefill_forward(
+        params, cfg, input_ids, position_ids, seg32, scratch, seg32,
+        vision=vision, prefill_chunk=prefill_chunk,
+    )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
     if group_n > 1:
-        def fanout(x, axis=0):
-            s = x.shape
-            wide = jnp.broadcast_to(
-                jnp.expand_dims(x, axis + 1),
-                (*s[: axis + 1], group_n, *s[axis + 1 :]),
-            )
-            return wide.reshape(*s[:axis], s[axis] * group_n, *s[axis + 1 :])
-
-        scratch_arrays = tuple(fanout(a, axis=1) for a in scratch.arrays())
+        scratch_arrays = tuple(fanout_rows(a, group_n, axis=1) for a in scratch.arrays())
         if state.k_scale is not None:
             scratch = KVCache(scratch_arrays[0], scratch_arrays[1], p,
                               scratch_arrays[2], scratch_arrays[3])
         else:
             scratch = KVCache(scratch_arrays[0], scratch_arrays[1], p)
-        last_logits = fanout(last_logits)
-        seg32 = fanout(seg32)
-        gen_pos_start = fanout(gen_pos_start)
-        valid = fanout(valid)
+        last_logits = fanout_rows(last_logits, group_n)
+        seg32 = fanout_rows(seg32, group_n)
+        gen_pos_start = fanout_rows(gen_pos_start, group_n)
+        valid = fanout_rows(valid, group_n)
 
     key, subkey = jax.random.split(state.key)
     first = sample_tokens(last_logits, subkey, sampling)
@@ -357,7 +335,12 @@ def effective_prefill_chunk(
         chunk = min(chunk, prefill_chunk_size)
     if chunk >= prompt_len:
         return 0
-    return max(128 if prompt_len >= 128 else 1, chunk // 128 * 128 if chunk >= 128 else chunk)
+    # 128-align by rounding DOWN only — rounding a budget-derived chunk UP
+    # would silently exceed max_num_batched_tokens, the knob that exists to
+    # bound prefill activation memory
+    if chunk >= 128:
+        chunk = chunk // 128 * 128
+    return max(chunk, 1)
 
 
 def generate_continuous(
@@ -402,14 +385,18 @@ def generate_continuous(
         decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
     )
 
-    # slot index `slots` is a TRASH slot: queue-padding prefill rows land there
-    # (never active), so the refill batch size stays fixed at `slots`
+    # slot indices >= `slots` are TRASH slots: queue-padding prefill rows land
+    # on the first one (never active), so the refill batch stays fixed. The
+    # slot count rounds up to a multiple of 8 so the Pallas decode kernel
+    # gets its multi-row batch blocks (an odd slots+1 batch would force the
+    # ~4x slower 1-row-per-program configuration).
     trash = slots
-    state = init_slot_state(cfg, slots + 1, p, max_new_tokens, key, kv_cache_dtype)
+    n_lanes = -(-(slots + 1) // 8) * 8
+    state = init_slot_state(cfg, n_lanes, p, max_new_tokens, key, kv_cache_dtype)
 
     responses = np.full((n_out, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
     logps_out = np.zeros((n_out, max_new_tokens), dtype=np.float32)
-    slot_owner = np.full(slots + 1, -1, dtype=np.int64)  # output-row index
+    slot_owner = np.full(n_lanes, -1, dtype=np.int64)  # output-row index
     next_prompt = 0
 
     multimodal = patches_list is not None and any(p is not None for p in patches_list)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.qwen2_5_vl import Qwen25VLConfig, forward
-from ..models.qwen2_5_vl.model import VisionInputs
+from ..models.qwen2_5_vl.model import VisionInputs, fanout_rows, prefill_forward
 from ..models.qwen2_5_vl.text import KVCache, logits_from_hidden
 from .sampling import SamplingParams, get_response_mask, sample_tokens, sampled_token_logp
 
@@ -121,7 +121,10 @@ def generate(
     b, p = input_ids.shape
     cfgt = cfg.text
     bn = b * n
-    total = p + max_new_tokens
+    # cache width rounds up to 128 so the Pallas decode kernel always has a
+    # legal S block (a non-multiple width silently falls back to the ~3x
+    # slower XLA path); pad cells stay invalid in kv_seg
+    total = -(-(p + max_new_tokens) // 128) * 128
 
     # prefill writes a prompt-width cache for the b unique prompts; with n==1
     # that IS the decode cache (allocated at full width up front)
@@ -131,33 +134,14 @@ def generate(
     )
     seg32 = prompt_segment_ids.astype(jnp.int32)
     prefill_seg = seg32 if n > 1 else jnp.concatenate(
-        [seg32, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+        [seg32, jnp.zeros((b, total - p), jnp.int32)], axis=1
     )
 
     # ---- prefill ----
-    if prefill_chunk and prefill_chunk < p:
-        from ..models.qwen2_5_vl.model import embed_inputs
-        from ..models.qwen2_5_vl.text import forward_hidden
-
-        # the vision tower is not chunkable (images merge before splitting)
-        embeds = embed_inputs(params, cfg, input_ids, vision)
-        hidden = None
-        for c in range(0, p, prefill_chunk):
-            e = min(c + prefill_chunk, p)
-            hidden, cache = forward_hidden(
-                params["text"], cfgt,
-                inputs_embeds=embeds[:, c:e],
-                position_ids=position_ids[:, :, c:e],
-                segment_ids=seg32[:, c:e],
-                cache=cache, kv_segment_ids=prefill_seg,
-                attend_to_cache=True,
-            )
-    else:
-        hidden, cache = forward(
-            params, cfg, input_ids, position_ids,
-            segment_ids=seg32,
-            vision=vision, cache=cache, kv_segment_ids=prefill_seg,
-        )
+    hidden, cache = prefill_forward(
+        params, cfg, input_ids, position_ids, seg32, cache, prefill_seg,
+        vision=vision, prefill_chunk=prefill_chunk,
+    )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
     if n > 1:
@@ -166,27 +150,20 @@ def generate(
             cfgt.num_hidden_layers, bn, total, cfgt.num_key_value_heads,
             cfgt.head_dim, dtype=kv_cache_dtype,
         )
-        def fanout(src):
-            # broadcast+reshape (not jnp.repeat): XLA fuses this into the
-            # cache write without materializing a gathered n-x intermediate
-            s = src.shape
-            wide = jnp.broadcast_to(src[:, :, None], (s[0], s[1], n, *s[2:]))
-            return wide.reshape(s[0], s[1] * n, *s[2:])
-
         arrays = tuple(
-            jax.lax.dynamic_update_slice(dst, fanout(src), (0,) * dst.ndim)
+            jax.lax.dynamic_update_slice(dst, fanout_rows(src, n, axis=1), (0,) * dst.ndim)
             for dst, src in zip(full.arrays(), cache.arrays())
         )
         if kv_cache_dtype == jnp.int8:
             cache = KVCache(arrays[0], arrays[1], p, arrays[2], arrays[3])
         else:
             cache = KVCache(arrays[0], arrays[1], p)
-        last_logits = jnp.repeat(last_logits, n, axis=0)
-        seg32 = jnp.repeat(seg32, n, axis=0)
-        gen_pos_start = jnp.repeat(gen_pos_start, n, axis=0)
+        last_logits = fanout_rows(last_logits, n)
+        seg32 = fanout_rows(seg32, n)
+        gen_pos_start = fanout_rows(gen_pos_start, n)
         b = bn
     kv_seg0 = jnp.concatenate(
-        [seg32, jnp.zeros((b, max_new_tokens), jnp.int32)], axis=1
+        [seg32, jnp.zeros((b, total - p), jnp.int32)], axis=1
     )
 
     key, subkey = jax.random.split(key)

@@ -107,6 +107,13 @@ class GRPOTrainer:
         self.kl_ctrl = get_kl_controller(algo.kl_type, algo.kl_coef, algo.kl_target, algo.kl_horizon)
 
         sh = config.worker.actor.sharding
+        hkv = model_cfg.text.num_key_value_heads
+        if sh.model_size > 1 and hkv % sh.model_size:
+            raise ValueError(
+                f"sharding.model_size={sh.model_size} must divide the model's "
+                f"num_key_value_heads={hkv}: the fused qkv_proj is tensor-parallel "
+                "over KV-head groups (use fsdp_size for further sharding)"
+            )
         self.mesh = mesh if mesh is not None else create_mesh(sh.data_size, sh.fsdp_size, sh.model_size)
         # multi-host: every process runs this same trainer on its row-slice of
         # each global batch; device arrays are assembled from process-local
@@ -924,13 +931,18 @@ class GRPOTrainer:
                 with timer("update_actor"):
                     actor_metrics = self.update_actor(rolled)
 
+        # metrics are GLOBAL in multi-process runs: gather row-level inputs
+        # before reducing (each rank logging its local slice would show
+        # rank-dependent values for metrics the reference reduces globally)
+        g = self._gather_rows
         num_tokens = int(
-            rolled.tensors["response_mask"].sum() + rolled.tensors["segment_ids"].sum()
+            g(rolled.tensors["response_mask"]).sum()
+            + g(rolled.tensors["segment_ids"]).sum()
         )
-        seqlens_all = rolled.tensors["full_segment_ids"].sum(-1).astype(np.int64).tolist()
-        vision_patches = sum(
+        seqlens_all = g(rolled.tensors["full_segment_ids"].sum(-1)).astype(np.int64).tolist()
+        vision_patches = float(g(np.asarray([sum(
             0 if p is None else len(p) for p in rolled.non_tensors.get("patches", [])
-        )
+        )])).sum())
         mfu = compute_mfu(
             self.flops_counter, seqlens_all, timer.timing["update_actor"],
             self.mesh.devices.size, self.config.worker.actor.ppo_epochs,
@@ -941,18 +953,17 @@ class GRPOTrainer:
         metrics = {
             "perf/mfu_actor": mfu,
             **device_memory_metrics(),
-            **{f"reward/{k}": float(np.mean(self._gather_rows(v)))
-               for k, v in reward_metrics.items()},
+            **{f"reward/{k}": float(np.mean(g(v))) for k, v in reward_metrics.items()},
             **compute_data_metrics(
-                token_level_scores=rolled.tensors["token_level_scores"],
-                token_level_rewards=rolled.tensors["token_level_rewards"],
-                advantages=rolled.tensors["advantages"],
-                returns=rolled.tensors["returns"],
-                response_mask=rolled.tensors["response_mask"],
-                prompt_mask=rolled.tensors["segment_ids"],
+                token_level_scores=g(rolled.tensors["token_level_scores"]),
+                token_level_rewards=g(rolled.tensors["token_level_rewards"]),
+                advantages=g(rolled.tensors["advantages"]),
+                returns=g(rolled.tensors["returns"]),
+                response_mask=g(rolled.tensors["response_mask"]),
+                prompt_mask=g(rolled.tensors["segment_ids"]),
                 max_response_length=self.config.data.max_response_length,
                 max_prompt_length=self.config.data.max_prompt_length,
-                values=rolled.tensors.get("values"),
+                values=g(rolled.tensors["values"]) if "values" in rolled.tensors else None,
             ),
             **actor_metrics,
             **critic_metrics,

@@ -54,7 +54,9 @@ def any_precision_adamw(
         if params is None:
             raise ValueError("any_precision_adamw requires params")
         count = state.count + 1
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedule evaluated at the PRE-increment step (optax convention:
+        # first update sees schedule(0), so warmup starts at 0 like adamw)
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 

@@ -291,3 +291,19 @@ def test_continuous_grouped_slot_rounding(jax_params):
         key=jax.random.key(1), n=n,
     )
     np.testing.assert_array_equal(grouped.responses, np.asarray(dense.responses))
+
+
+def test_effective_prefill_chunk_respects_budget():
+    """128-alignment must round DOWN: inflating a budget-derived chunk to 128
+    silently exceeded max_num_batched_tokens (the activation-memory bound)."""
+    from spatialthinker_tpu.rollout.continuous import effective_prefill_chunk
+
+    # budget 8192 over 128 rows -> 64 tokens per row, NOT 128
+    chunk = effective_prefill_chunk(2048, 128, 0, 8192)
+    assert 0 < chunk <= 8192 // 128
+    # aligned case unchanged
+    assert effective_prefill_chunk(2048, 16, 0, 8192) == 512
+    # no budget, chunk cap only
+    assert effective_prefill_chunk(2048, 4, 300, 0) == 256
+    # chunk >= prompt -> unchunked
+    assert effective_prefill_chunk(512, 4, 0, 8192) == 0
