@@ -152,8 +152,16 @@ def gather_response_values(
 
 def pad_rows_to_multiple(packed: PackedRows, multiple: int) -> PackedRows:
     """Pad the row count so it divides the micro-batch/device layout."""
-    pad = (-packed.input_ids.shape[0]) % multiple
-    if pad == 0:
+    rows = packed.input_ids.shape[0]
+    return pad_rows_to_count(packed, rows + (-rows) % multiple)
+
+
+def pad_rows_to_count(packed: PackedRows, count: int) -> PackedRows:
+    """Pad with empty rows (segment ids 0 -> masked everywhere) up to
+    ``count`` — multi-host packed updates negotiate a common row count since
+    FFD yields data-dependent rows per process."""
+    pad = count - packed.input_ids.shape[0]
+    if pad <= 0:
         return packed
     def padrow(x):
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)

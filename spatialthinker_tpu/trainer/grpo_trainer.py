@@ -212,12 +212,6 @@ class GRPOTrainer:
 
         # padding-free (packed) path — used for text-only batches when enabled
         self.padding_free = actor.padding_free
-        if self.padding_free and self.n_proc > 1:
-            # FFD packing yields data-dependent per-host row counts; a global
-            # device batch needs uniform local shapes. Until row-count
-            # negotiation lands, multi-host runs the per-sample layout.
-            print("[trainer] padding_free disabled for multi-process runs")
-            self.padding_free = False
         if self.padding_free:
             from .train_step import compute_packed_log_probs, make_packed_update_fn
 
@@ -347,6 +341,12 @@ class GRPOTrainer:
         from ..parallel.multihost import allgather_host_data
 
         return allgather_host_data(v)
+
+    def _local_row_divisor(self) -> int:
+        """Per-process row counts must make the GLOBAL row count divide the
+        batch-sharded device axes."""
+        sh = self.config.worker.actor.sharding
+        return max(1, sh.data_size * sh.fsdp_size // self.n_proc)
 
     def _negotiated_max(self, local_max: int) -> int:
         """Agree on a max length across processes (jit shapes must match)."""
@@ -558,7 +558,8 @@ class GRPOTrainer:
         # rows must fit the longest sample; make them big enough to hold ~2
         # average samples so FFD can actually pack (row == max gives 1/row)
         target = max(max_total, int(2 * mean_total))
-        row_len = max(256, ((target + 255) // 256) * 256)
+        # jit shapes must agree across processes
+        row_len = self._negotiated_max(max(256, ((target + 255) // 256) * 256))
         return pack_train_rows(
             batch.tensors["input_ids"], seg,
             batch.tensors["position_ids"],
@@ -582,17 +583,25 @@ class GRPOTrainer:
         chunk = max(chunk // self.n_proc, 1)  # global token budget -> local rows
 
         if self.padding_free:
-            from ..data.text_packing import gather_response_values
+            from ..data.text_packing import gather_response_values, pad_rows_to_count
 
             r = batch.tensors["responses"].shape[1]
             outs = []
             for piece in batch.split(chunk):
                 packed, slot_map = self._pack_rows(piece)
+                # multi-host: common row count across processes (jit shapes),
+                # rounded so the global rows divide the batch-sharded devices
+                div = self._local_row_divisor()
+                target = self._negotiated_max(packed.input_ids.shape[0])
+                packed = pad_rows_to_count(packed, target + (-target) % div)
                 vision = self._vision_for_packed(piece, slot_map)
                 if vision is not None:
                     vision = jax.tree.map(jnp.asarray, vision)
-                ptb = PackedTrainBatch(*[jnp.asarray(x) for x in packed])
-                logp_rows = np.asarray(self.packed_logprob_fn(params, ptb, vision))
+                ptb = PackedTrainBatch(*[
+                    self._dev(x, batch_axis=1 if np.asarray(x).ndim == 3 else 0)
+                    for x in packed
+                ])
+                logp_rows = self._host(self.packed_logprob_fn(params, ptb, vision))
                 outs.append(gather_response_values(logp_rows, slot_map, r))
             return np.concatenate(outs, axis=0)
 
@@ -686,7 +695,7 @@ class GRPOTrainer:
 
     def _update_actor_packed(self, batch: RolloutBatch) -> Dict[str, float]:
         """Padding-free policy update: mini-batches are bin-packed into rows."""
-        from ..data.text_packing import pad_rows_to_multiple
+        from ..data.text_packing import pad_rows_to_count
         from .train_step import PackedTrainBatch
 
         actor_cfg = self.config.worker.actor
@@ -707,10 +716,17 @@ class GRPOTrainer:
                     "advantages": mini.tensors["advantages"],
                 },
             )
-            n_micro = max((packed.input_ids.shape[0] + micro_rows - 1) // micro_rows, 1)
-            packed = pad_rows_to_multiple(packed, n_micro)
+            # multi-host: FFD rows are data-dependent per process — negotiate
+            # a common row count (padding rows are fully masked) so the global
+            # device batch has uniform local shapes; per-micro rows round up
+            # so each micro step's global rows divide the batch-sharded devices
+            rows_target = self._negotiated_max(packed.input_ids.shape[0])
+            n_micro = max((rows_target + micro_rows - 1) // micro_rows, 1)
+            div = self._local_row_divisor()
+            per = -(-rows_target // n_micro)   # rows per micro step (ceil)
+            per = -(-per // div) * div         # ... rounded to the device divisor
+            packed = pad_rows_to_count(packed, per * n_micro)
             rows = packed.input_ids.shape[0]
-            per = rows // n_micro
 
             def micro_shape(x):
                 x = np.asarray(x)
@@ -718,7 +734,10 @@ class GRPOTrainer:
                     return x.reshape(3, n_micro, per, x.shape[-1]).transpose(1, 0, 2, 3)
                 return x.reshape(n_micro, per, *x.shape[1:])
 
-            ptb = PackedTrainBatch(*[jnp.asarray(micro_shape(x)) for x in packed])
+            ptb = PackedTrainBatch(*[
+                self._dev(micro_shape(x), batch_axis=2 if np.asarray(x).ndim == 3 else 1)
+                for x in packed
+            ])
             packs = [
                 self._vision_for_packed(mini, slot_map, row_lo=g * per, row_hi=(g + 1) * per)
                 for g in range(n_micro)

@@ -50,7 +50,7 @@ def main():
         "worker.actor.global_batch_size=8",
         "worker.actor.micro_batch_size_per_device_for_update=1",
         "worker.actor.micro_batch_size_per_device_for_experience=2",
-        "worker.actor.padding_free=false",
+        "worker.actor.padding_free=true",  # exercises negotiated packed rows
         "worker.actor.optim.lr=1e-3",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",
