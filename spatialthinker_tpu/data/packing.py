@@ -98,4 +98,9 @@ def stack_vision_packs(packs: Sequence[Optional[VisionInputs]], cfg: VisionConfi
             )
         else:
             fixed.append(p)
-    return VisionInputs(*[np.stack([getattr(p, f) for p in fixed]) for f in VisionInputs._fields])
+    stacked = {
+        f: np.stack([getattr(p, f) for p in fixed])
+        for f in VisionInputs._fields
+        if all(getattr(p, f) is not None for p in fixed)
+    }
+    return VisionInputs(**stacked)

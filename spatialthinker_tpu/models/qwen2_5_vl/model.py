@@ -19,23 +19,34 @@ Params = Dict[str, Any]
 
 
 class VisionInputs(NamedTuple):
-    """Static-shape packed vision inputs (host-prepared, see vision.prepare_vision_aux)."""
+    """Static-shape packed vision inputs (host-prepared, see vision.prepare_vision_aux).
+
+    ``index_offset`` (B,) — when present, row b's merged vision embeddings
+    start at that index of the packed embeds instead of the batch-wide running
+    count. Multi-host packs carry per-host padding between the host slices, so
+    the start of each row's patches is precomputed host-side."""
 
     patches: jnp.ndarray        # (N, C*T*P*P)
     pos_ids: jnp.ndarray        # (N, 2)
     seg_full: jnp.ndarray       # (N,)
     seg_window: jnp.ndarray     # (N,)
     reverse_index: jnp.ndarray  # (N/unit,)
+    index_offset: Optional[jnp.ndarray] = None  # (B,)
 
 
 def merge_multimodal_embeds(
     text_embeds: jnp.ndarray,   # (B, S, E)
     vision_embeds: jnp.ndarray,  # (Nv, E) packed across the whole batch, natural order
     image_token_mask: jnp.ndarray,  # (B, S) bool
+    index_offset: Optional[jnp.ndarray] = None,  # (B,) row start into vision_embeds
 ) -> jnp.ndarray:
     b, s, e = text_embeds.shape
     flat_mask = image_token_mask.reshape(-1)
-    idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    if index_offset is None:
+        idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    else:
+        within = jnp.cumsum(image_token_mask.astype(jnp.int32), axis=1) - 1
+        idx = (index_offset[:, None].astype(jnp.int32) + within).reshape(-1)
     idx = jnp.clip(idx, 0, vision_embeds.shape[0] - 1)
     gathered = jnp.take(vision_embeds, idx, axis=0).reshape(b, s, e)
     return jnp.where(flat_mask.reshape(b, s, 1), gathered.astype(text_embeds.dtype), text_embeds)
@@ -65,7 +76,9 @@ def embed_inputs(
             remat=remat,
         )
         image_mask = input_ids == cfg.image_token_id
-        embeds = merge_multimodal_embeds(embeds, vision_embeds, image_mask)
+        embeds = merge_multimodal_embeds(
+            embeds, vision_embeds, image_mask, index_offset=vision.index_offset
+        )
     return embeds
 
 

@@ -379,10 +379,73 @@ class GRPOTrainer:
         return out
 
     def _pack_vision(self, batch: RolloutBatch):
-        return pack_vision_batch(
+        vision = pack_vision_batch(
             list(batch.non_tensors["patches"]),
             list(batch.non_tensors["image_grid_thw"]),
             self.model_cfg.vision,
+        )
+        if self.n_proc == 1:
+            return vision
+        pad_to = self._vision_pad_to([0 if vision is None else vision.patches.shape[0]])
+        if pad_to is None:
+            return None  # consistent: no host has images
+        adjusted = self._globalize_vision_np(vision, batch, pad_to)
+        return type(adjusted)(**{
+            name: None if x is None else self._dev(x)
+            for name, x in adjusted._asdict().items()
+        })
+
+    def _vision_pad_to(self, local_sizes) -> Optional[int]:
+        """Negotiate the per-process vision-pack width: whole windows,
+        divisible for device sharding, identical on every process."""
+        import math
+
+        from ..models.qwen2_5_vl.vision import window_patch_len
+        from ..parallel.multihost import allgather_host_data
+
+        vcfg = self.model_cfg.vision
+        local_max = max(local_sizes) if local_sizes else 0
+        sizes = allgather_host_data(np.asarray([local_max], np.int64))
+        if sizes.max() == 0:
+            return None
+        align = math.lcm(
+            window_patch_len(vcfg), vcfg.spatial_merge_unit * self._local_row_divisor()
+        )
+        return int(-(-sizes.max() // align) * align)
+
+    def _globalize_vision_np(self, vision, batch: RolloutBatch, pad_to: int):
+        """Adjust a per-host vision pack (numpy) to its slice of one GLOBAL
+        pack of per-process width ``pad_to``: segment ids and layout indices
+        offset into the host's slice, plus each batch row's start into the
+        global merged embeds (per-host padding breaks the batch-wide running
+        count the single-host merge uses)."""
+        from ..data.packing import empty_vision_pack, patch_dim
+        from ..models.qwen2_5_vl.model import VisionInputs
+
+        vcfg = self.model_cfg.vision
+        unit = vcfg.spatial_merge_unit
+        if vision is None:
+            vision = empty_vision_pack(vcfg, pad_to, patch_dim(vcfg))
+        elif vision.patches.shape[0] != pad_to:
+            vision = pack_vision_batch(
+                list(batch.non_tensors["patches"]),
+                list(batch.non_tensors["image_grid_thw"]),
+                vcfg, pad_to=pad_to,
+            )
+        h = jax.process_index()
+        seg_off = h * (pad_to + 1)  # ids unique across host slices; 0 stays 0
+        merged_base = h * (pad_to // unit)
+        counts = (batch.tensors["input_ids"] == self.model_cfg.image_token_id).sum(1)
+        row_start = merged_base + np.concatenate(
+            [[0], np.cumsum(counts)[:-1]]
+        ).astype(np.int32)
+        return VisionInputs(
+            patches=vision.patches,
+            pos_ids=vision.pos_ids,
+            seg_full=np.where(vision.seg_full > 0, vision.seg_full + seg_off, 0).astype(np.int32),
+            seg_window=np.where(vision.seg_window > 0, vision.seg_window + seg_off, 0).astype(np.int32),
+            reverse_index=(vision.reverse_index + merged_base).astype(np.int32),
+            index_offset=row_start,
         )
 
     @staticmethod
@@ -459,12 +522,7 @@ class GRPOTrainer:
             batch_devs = max(1, sh.data_size * sh.fsdp_size)
             grouped = n > 1 and (len(base) * self.n_proc) % batch_devs == 0
             eng = base if grouped else repeated
-            vision = self._pack_vision(eng)
-            if vision is not None and self.n_proc > 1:
-                raise NotImplementedError(
-                    "multimodal rollouts across processes need a globally "
-                    "negotiated vision pack; run multimodal on one host"
-                )
+            vision = self._pack_vision(eng)  # multi-host: globalized pack
             eng_pos = np.transpose(eng.tensors["position_ids"], (1, 0, 2))
             result = self.generate_fn(
                 self.params,
@@ -582,7 +640,7 @@ class GRPOTrainer:
         chunk = max(micro * max(n_dev // self.config.worker.actor.sharding.model_size, 1), 1)
         chunk = max(chunk // self.n_proc, 1)  # global token budget -> local rows
 
-        if self.padding_free:
+        if self._use_packed(batch):
             from ..data.text_packing import gather_response_values, pad_rows_to_count
 
             r = batch.tensors["responses"].shape[1]
@@ -678,7 +736,10 @@ class GRPOTrainer:
         return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
 
     def _micro_vision_packs(self, mini: RolloutBatch, n_micro: int):
-        """One vision pack per micro-batch, common bucket, stacked for scan."""
+        """One vision pack per micro-batch, common bucket, stacked for scan.
+        Multi-process: every micro's pack is globalized to one negotiated
+        width (the update forward must see the same global pack layout the
+        log-prob forwards do)."""
         from ..data.packing import stack_vision_packs
 
         pieces = mini.split(len(mini) // n_micro)
@@ -690,6 +751,21 @@ class GRPOTrainer:
             )
             for p in pieces
         ]
+        if self.n_proc > 1:
+            pad_to = self._vision_pad_to(
+                [0 if v is None else v.patches.shape[0] for v in packs]
+            )
+            if pad_to is None:
+                return None
+            adjusted = [
+                self._globalize_vision_np(v, piece, pad_to)
+                for v, piece in zip(packs, pieces)
+            ]
+            vision = stack_vision_packs(adjusted, self.model_cfg.vision)
+            return type(vision)(**{
+                name: None if x is None else self._dev(x, batch_axis=1)
+                for name, x in vision._asdict().items()
+            })
         vision = stack_vision_packs(packs, self.model_cfg.vision)
         return jax.tree.map(jnp.asarray, vision) if vision is not None else None
 
@@ -752,8 +828,18 @@ class GRPOTrainer:
                 metrics_acc[k].append(float(v))
         return reduce_metrics(metrics_acc)
 
+    def _use_packed(self, batch: RolloutBatch) -> bool:
+        """Packed multimodal rows need slot-ordered per-micro vision packs,
+        whose global offsets are not negotiated yet — multimodal multi-host
+        batches take the per-sample layout instead."""
+        if not self.padding_free:
+            return False
+        if self.n_proc == 1:
+            return True
+        return all(p is None for p in batch.non_tensors.get("patches", [None]))
+
     def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
-        if self.padding_free:
+        if self._use_packed(batch):
             return self._update_actor_packed(batch)
         actor_cfg = self.config.worker.actor
         metrics_acc: Dict[str, List[float]] = defaultdict(list)

@@ -14,6 +14,7 @@ def main():
     nprocs = int(sys.argv[2])
     port = int(sys.argv[3])
     outfile = sys.argv[4]
+    multimodal = len(sys.argv) > 5 and sys.argv[5] == "mm"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     local_devices = 8 // nprocs  # 8 global devices either way
@@ -41,8 +42,11 @@ def main():
     from tests.fake_tokenizer import FakeTokenizer
 
     VOCAB = 1024
-    cfg = build_config([
-        "data.max_prompt_length=32",
+    cfg = build_config(([
+        "data.min_pixels=3136",  # keep images at 56x56 -> (1,4,4) grids
+        "data.max_pixels=3136",
+    ] if multimodal else []) + [
+        "data.max_prompt_length=64" if multimodal else "data.max_prompt_length=32",
         "data.max_response_length=8",
         "data.rollout_batch_size=4",
         "worker.rollout.n=2",
@@ -50,7 +54,10 @@ def main():
         "worker.actor.global_batch_size=8",
         "worker.actor.micro_batch_size_per_device_for_update=1",
         "worker.actor.micro_batch_size_per_device_for_experience=2",
-        "worker.actor.padding_free=true",  # exercises negotiated packed rows
+        # text mode exercises negotiated packed rows; multimodal multi-host
+        # takes the per-sample layout (see GRPOTrainer._use_packed), so the
+        # single-process reference must use it too for bitwise comparison
+        "worker.actor.padding_free=false" if multimodal else "worker.actor.padding_free=true",
         "worker.actor.optim.lr=1e-3",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",
@@ -63,10 +70,26 @@ def main():
     model_cfg = qwen25_vl_tiny(VOCAB)
     params = init_params(model_cfg, jax.random.key(0))
 
-    rows = [
-        {"problem": f"What is {i} plus {i}?", "answer": str(2 * i)}
-        for i in range(8)
-    ]
+    if multimodal:
+        import numpy as np
+
+        img_rng = np.random.default_rng(7)
+        rows = [
+            {
+                "problem": f"What color is object {i}?",
+                "answer": "red",
+                # image only on half the rows: hosts end up with DIFFERENT
+                # patch counts, exercising the negotiated global vision pack
+                **({"image": img_rng.integers(0, 255, size=(56, 56, 3), dtype=np.uint8)}
+                   if i % 2 == 0 else {}),
+            }
+            for i in range(8)
+        ]
+    else:
+        rows = [
+            {"problem": f"What is {i} plus {i}?", "answer": str(2 * i)}
+            for i in range(8)
+        ]
     ds = RLHFDataset.from_rows(rows, tok, cfg.data, model_cfg)
     shard = (rank, nprocs) if nprocs > 1 else None
     loader = DataLoader(ds, cfg.data.rollout_batch_size, shuffle=True, seed=0,

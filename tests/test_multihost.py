@@ -22,11 +22,12 @@ def _env():
     return env
 
 
-def _run_workers(nprocs, port, tag, tmp_path):
+def _run_workers(nprocs, port, tag, tmp_path, mode=""):
     outs = [str(tmp_path / f"{tag}_{r}.json") for r in range(nprocs)]
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(r), str(nprocs), str(port), outs[r]],
+            [sys.executable, WORKER, str(r), str(nprocs), str(port), outs[r]]
+            + ([mode] if mode else []),
             env=_env(), cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
@@ -50,6 +51,23 @@ def test_two_process_train_step_matches_single(tmp_path):
         assert np.isfinite(duo[0][key])
         np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
         # and the 2-process run reproduces the single-process numerics
+        np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
+    )
+
+
+def test_two_process_multimodal_train_step(tmp_path):
+    """Multimodal across processes: hosts hold different patch counts, the
+    vision pack is globally negotiated (padded slices, per-host offsets, per-
+    row merge starts) and the 2-process step reproduces single-process
+    numerics."""
+    single = _run_workers(1, 0, "mm_single", tmp_path, mode="mm")[0]
+    duo = _run_workers(2, 29531, "mm_duo", tmp_path, mode="mm")
+
+    for key in ("actor/loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(duo[0][key])
+        np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
     np.testing.assert_allclose(
         duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
