@@ -298,3 +298,30 @@ def test_3b_param_shapes_match_hf_contract():
 
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert 3.5e9 < n_params < 4.0e9, n_params  # Qwen2.5-VL-3B is ~3.75B
+
+
+def test_7b_param_shapes_and_group_padding():
+    """7B contract: 28 query heads / 4 kv heads gives GQA group 7 — the
+    decode kernel pads groups to 8 (tested in test_decode_attention); here we
+    pin the config + fused-leaf shapes + ~8.3B total params via eval_shape."""
+    import jax
+
+    from spatialthinker_tpu.models.qwen2_5_vl import get_config, init_params
+
+    cfg = get_config("7b")
+    t = cfg.text
+    assert (t.hidden_size, t.num_hidden_layers, t.intermediate_size) == (3584, 28, 18944)
+    assert (t.num_attention_heads, t.num_key_value_heads, t.head_dim) == (28, 4, 128)
+    assert t.num_attention_heads % t.num_key_value_heads == 0
+    assert not t.tie_word_embeddings
+
+    shapes = jax.eval_shape(lambda k: init_params(cfg, k), jax.random.key(0))
+    L, e, h, hkv, d = (
+        t.num_hidden_layers, t.hidden_size, t.num_attention_heads,
+        t.num_key_value_heads, t.head_dim,
+    )
+    attn = shapes["text"]["layers"]["self_attn"]
+    assert attn["qkv_proj"].shape == (L, hkv, e, (h // hkv + 2) * d)
+    assert shapes["text"]["lm_head"].shape == (e, t.vocab_size)
+    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 8.0e9 < n_params < 8.8e9, n_params  # Qwen2.5-VL-7B is ~8.3B
