@@ -42,27 +42,34 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    q_seg_ref,    # (1, block_q) SMEM
-    kv_seg_ref,   # (1, Skv) SMEM
-    q_ref,        # (block_q, D)
+def _fwd_kernel_gqa(
+    q_seg_ref,    # (1, block_q)
+    kv_seg_ref,   # (1, Skv)
+    q_ref,        # (G, block_q, D) — every query head of one kv group
     k_ref,        # (Skv, D)
     v_ref,        # (Skv, D)
-    o_ref,        # (block_q, D)
-    lse_ref,      # (1, block_q) — logsumexp per query row
-    m_scratch,    # (block_q, 128) fp32
-    l_scratch,    # (block_q, 128) fp32
-    acc_scratch,  # (block_q, D) fp32
+    o_ref,        # (G, block_q, D)
+    lse_ref,      # (G, 1, block_q)
+    m_scratch,    # (G * block_q, 128) fp32
+    l_scratch,    # (G * block_q, 128) fp32
+    acc_scratch,  # (G * block_q, D) fp32
     *,
     scale: float,
     block_k: int,
     causal: bool,
     block_q: int,
-    causal_offset: int = 0,  # absolute kv position of q row 0 (chunked prefill)
+    groups: int,
+    causal_offset: int = 0,
 ):
+    """GQA-batched forward: ONE program per (batch, kv head, q block) carries
+    all `groups` query heads of the group — the KV DMA is shared 1x instead of
+    fetched per head, and the per-(b,h,iq) grid's program-launch overhead
+    (measured ~4x the useful work at 3B prefill shapes) amortizes G-fold. The
+    q@k / p@v contractions batch over G into single (G*block_q, ...) MXU dots."""
     q_blk = pl.program_id(2)
     skv = k_ref.shape[0]
     num_kv_blocks = skv // block_k
+    g, bq, d = q_ref.shape
 
     if causal:
         last_kv_block = jnp.minimum(
@@ -76,7 +83,7 @@ def _fwd_kernel(
     l_scratch[...] = jnp.zeros_like(l_scratch)
     acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[...].astype(jnp.float32) * scale
+    q = q_ref[...]  # (G, bq, d) bf16; scale folded in after the dot
     q_seg = q_seg_ref[0, :]
     q_pos = (
         causal_offset
@@ -85,61 +92,62 @@ def _fwd_kernel(
     )
 
     def body(kv_blk, _):
-        k = k_ref[pl.ds(kv_blk * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(kv_blk * block_k, block_k), :]
         v = v_ref[pl.ds(kv_blk * block_k, block_k), :]
         kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            q, k, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (G, bq, bk)
         mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
         if causal:
             kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             mask = mask & (kv_pos <= q_pos)
-        s = jnp.where(mask, s, NEG_INF)
+        s = jnp.where(mask[None], s, NEG_INF)
 
-        m_prev = m_scratch[:, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        # fully-masked rows keep m == NEG_INF; exp(s - m) would be exp(0)=1,
-        # so mask p explicitly
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        correction = jnp.exp(m_prev - m_new)
+        m_prev = m_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        p = jnp.where(mask[None], jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
 
-        l_prev = l_scratch[:, 0:1]
-        l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
-
-        acc_scratch[...] = acc_scratch[...] * correction + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        l_new = l_scratch[...].reshape(g, bq, 128)[:, :, 0:1] * corr + jnp.sum(
+            p, axis=2, keepdims=True
+        )
+        acc = acc_scratch[...].reshape(g, bq, d) * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        m_scratch[...] = jnp.broadcast_to(m_new, (g, bq, 128)).reshape(g * bq, 128)
+        l_scratch[...] = jnp.broadcast_to(l_new, (g, bq, 128)).reshape(g * bq, 128)
+        acc_scratch[...] = acc.reshape(g * bq, d)
         return ()
 
     jax.lax.fori_loop(0, last_kv_block, body, ())
 
-    m = m_scratch[:, 0:1]
-    l = l_scratch[:, 0:1]
+    m = m_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
+    l = l_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
     safe_l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
-    # rows with l == 0 are fully masked; park their lse at NEG_INF so the
-    # backward p = exp(s - lse) underflows to 0 there as well
+    o_ref[...] = (acc_scratch[...].reshape(g, bq, d) / safe_l).astype(o_ref.dtype)
     lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(safe_l))
-    lse_ref[0, :] = lse[:, 0]
+    lse_ref[...] = lse.reshape(g, 1, bq)
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_offset=0):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     groups = hq // hkv
-    grid = (b, hq, sq // block_q)
+    # the G-batched scores block (groups, bq, bk) f32 dominates VMEM; shrink
+    # the q block until it fits comfortably alongside the full-skv k/v refs
+    bq = min(block_q, sq)
+    while groups * bq * block_k * 4 > 4 * 1024 * 1024 and bq > 128 and sq % (bq // 2) == 0:
+        bq //= 2
+    grid = (b, hkv, sq // bq)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q,
-        causal_offset=causal_offset,
+        _fwd_kernel_gqa, scale=scale, block_k=block_k, causal=causal, block_q=bq,
+        groups=groups, causal_offset=causal_offset,
     )
     # BHSD layout inside the kernel: mosaic tiling wants (seq, head_dim) as
     # the trailing block dims
@@ -151,24 +159,24 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_o
         grid=grid,
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((None, 1, block_q), lambda b_, h, iq: (b_, 0, iq)),
-            pl.BlockSpec((None, 1, skv), lambda b_, h, iq: (b_, 0, 0)),
-            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
-            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
-            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
+            pl.BlockSpec((None, 1, bq), lambda b_, j, iq: (b_, 0, iq)),
+            pl.BlockSpec((None, 1, skv), lambda b_, j, iq: (b_, 0, 0)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, j, iq: (b_, j, 0, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, j, iq: (b_, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
-            pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
+            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, iq: (b_, j, 0, iq)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q_t.shape, q.dtype),
             jax.ShapeDtypeStruct((b, hq, 1, sq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((groups * bq, 128), jnp.float32),
+            pltpu.VMEM((groups * bq, 128), jnp.float32),
+            pltpu.VMEM((groups * bq, d), jnp.float32),
         ],
     )(q_seg.reshape(b, 1, sq), kv_seg.reshape(b, 1, skv), q_t, k_t, v_t)
     return out.transpose(0, 2, 1, 3), lse.reshape(b, hq, sq)
