@@ -187,23 +187,27 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_o
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(
-    q_seg_ref, kv_seg_ref,           # SMEM
-    q_ref, k_ref, v_ref,             # (block_q, D), (Skv, D), (Skv, D)
-    do_ref,                          # (block_q, D)
-    lse_ref,                         # (1, block_q)
-    delta_ref,                       # (1, block_q) — rowsum(dO * O)
-    dq_ref,                          # (block_q, D)
-    dq_scratch,                      # (block_q, D) fp32
+def _bwd_dq_kernel_gqa(
+    q_seg_ref, kv_seg_ref,           # (1, block_q), (1, Skv)
+    q_ref, k_ref, v_ref,             # (G, block_q, D), (Skv, D), (Skv, D)
+    do_ref,                          # (G, block_q, D)
+    lse_ref,                         # (G, 1, block_q)
+    delta_ref,                       # (G, 1, block_q) — rowsum(dO * O)
+    dq_ref,                          # (G, block_q, D)
+    dq_scratch,                      # (G * block_q, D) fp32
     *,
     scale: float,
     block_k: int,
     causal: bool,
     block_q: int,
+    groups: int,
 ):
+    """GQA-batched dQ: all G query heads of a kv group per program — shared
+    KV DMA, batched (G*block_q, ...) MXU dots (see _fwd_kernel_gqa)."""
     q_blk = pl.program_id(2)
     skv = k_ref.shape[0]
     num_kv_blocks = skv // block_k
+    g, bq, d = q_ref.shape
     last_kv_block = (
         jnp.minimum(num_kv_blocks, ((q_blk + 1) * block_q + block_k - 1) // block_k)
         if causal
@@ -211,10 +215,10 @@ def _bwd_dq_kernel(
     )
 
     dq_scratch[...] = jnp.zeros_like(dq_scratch)
-    q = q_ref[...].astype(jnp.float32) * scale
+    q = q_ref[...].astype(jnp.float32) * scale        # (G, bq, d)
     do = do_ref[...].astype(jnp.float32)
-    lse = lse_ref[0, :][:, None]
-    delta = delta_ref[0, :][:, None]
+    lse = lse_ref[...].reshape(g, bq)[:, :, None]
+    delta = delta_ref[...].reshape(g, bq)[:, :, None]
     q_seg = q_seg_ref[0, :]
     q_pos = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
@@ -223,140 +227,175 @@ def _bwd_dq_kernel(
         v = v_ref[pl.ds(kv_blk * block_k, block_k), :].astype(jnp.float32)
         kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, bq, bk)
         mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
         if causal:
-            kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
             mask = mask & (kv_pos <= q_pos)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.where(mask[None], jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
         ds = p * (dp - delta)
         dq_scratch[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            ds, k, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).reshape(g * bq, d)
         return ()
 
     jax.lax.fori_loop(0, last_kv_block, body, ())
-    dq_ref[...] = (dq_scratch[...] * scale).astype(dq_ref.dtype)
+    dq_ref[...] = (dq_scratch[...].reshape(g, bq, d) * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(
-    q_seg_ref, kv_seg_ref,
-    q_ref,                           # (Sq, D) — full q for this head
+def _bwd_dkv_kernel_gqa(
+    q_seg_ref, kv_seg_ref,           # (1, block_q), (1, Skv)
+    q_ref,                           # (G, block_q, D)
     k_ref, v_ref,                    # (block_k, D)
-    do_ref,                          # (Sq, D)
-    lse_ref,                         # (1, Sq)
-    delta_ref,                       # (1, Sq)
-    dk_ref, dv_ref,                  # (block_k, D)
-    dk_scratch, dv_scratch,          # fp32
+    do_ref,                          # (G, block_q, D)
+    lse_ref,                         # (G, 1, block_q)
+    delta_ref,                       # (G, 1, block_q)
+    dk_ref, dv_ref,                  # (block_k, D) — group-summed in kernel
+    dk_scratch, dv_scratch,          # (block_k, D) fp32
     *,
     scale: float,
     block_q: int,
     causal: bool,
     block_k: int,
+    groups: int,
 ):
+    """GQA-batched dK/dV with the group reduction IN kernel: the per-query-
+    head gradients are contracted over (G, block_q) directly into (block_k, D)
+    — no (B, Hq, Skv, D) per-head gradient buffers, no post-reduce. Grid is
+    (b, hkv, kv_blocks, q_blocks) with q innermost; scratch accumulates across
+    q blocks and flushes on the last one."""
     kv_blk = pl.program_id(2)
-    sq = q_ref.shape[0]
-    num_q_blocks = sq // block_q
+    q_blk = pl.program_id(3)
+    num_q_blocks = pl.num_programs(3)
+    g, bq, d = q_ref.shape
+
+    @pl.when(q_blk == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
     first_q_block = (kv_blk * block_k) // block_q if causal else 0
 
-    dk_scratch[...] = jnp.zeros_like(dk_scratch)
-    dv_scratch[...] = jnp.zeros_like(dv_scratch)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
-    kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    @pl.when(q_blk >= first_q_block)
+    def _accumulate():
+        k = k_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
+        q = q_ref[...].astype(jnp.float32) * scale     # (G, bq, d)
+        do = do_ref[...].astype(jnp.float32)
+        lse = lse_ref[...].reshape(g, bq)[:, :, None]
+        delta = delta_ref[...].reshape(g, bq)[:, :, None]
+        q_seg = q_seg_ref[0, :]
 
-    def body(q_blk, _):
-        q = q_ref[pl.ds(q_blk * block_q, block_q), :].astype(jnp.float32) * scale
-        do = do_ref[pl.ds(q_blk * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(q_blk * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(q_blk * block_q, block_q)][:, None]
-        q_seg = q_seg_ref[0, pl.ds(q_blk * block_q, block_q)]
-
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, bq, bk)
         mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
         if causal:
-            q_pos = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            q_pos = q_blk * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
             mask = mask & (kv_pos <= q_pos)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        p = jnp.where(mask[None], jnp.exp(s - lse), 0.0)
 
+        # contract over (G*bq) rows at once: group-summed gradients, one dot
+        # each (reshape to 2D — Mosaic supports single contracting dims only)
         dv_scratch[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.reshape(g * bq, -1), do.reshape(g * bq, d),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
         ds = p * (dp - delta)
         dk_scratch[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.reshape(g * bq, -1), q.reshape(g * bq, d),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        return ()
 
-    jax.lax.fori_loop(first_q_block, num_q_blocks, body, ())
-    # dk gets the scale folded back (q was pre-scaled)
-    dk_ref[...] = dk_scratch[...].astype(dk_ref.dtype)
-    dv_ref[...] = dv_scratch[...].astype(dv_ref.dtype)
+    @pl.when(q_blk == num_q_blocks - 1)
+    def _flush():
+        dk_ref[...] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scratch[...].astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, block_k):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     groups = hq // hkv
+    # keep the (G, bq, bk) fp32 score block in VMEM (see _flash_fwd)
+    bq = min(block_q, sq)
+    while groups * bq * block_k * 4 > 4 * 1024 * 1024 and bq > 128 and sq % (bq // 2) == 0:
+        bq //= 2
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, Sq, Hq)
     delta = delta.transpose(0, 2, 1).reshape(b, hq, 1, sq)
     lse_in = lse.reshape(b, hq, 1, sq)
 
-    dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, block_k=block_k, causal=causal, block_q=block_q
-    )
     q_t = q.transpose(0, 2, 1, 3)
     k_t = k.transpose(0, 2, 1, 3)
     v_t = v.transpose(0, 2, 1, 3)
     g_t = g.transpose(0, 2, 1, 3)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel_gqa, scale=scale, block_k=block_k, causal=causal,
+        block_q=bq, groups=groups,
+    )
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b, hq, sq // block_q),
+        grid=(b, hkv, sq // bq),
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((None, 1, block_q), lambda b_, h, iq: (b_, 0, iq)),
-            pl.BlockSpec((None, 1, skv), lambda b_, h, iq: (b_, 0, 0)),
-            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
-            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
-            pl.BlockSpec((None, None, skv, d), lambda b_, h, iq: (b_, h // groups, 0, 0)),
-            pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
-            pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
-            pl.BlockSpec((None, None, 1, block_q), lambda b_, h, iq: (b_, h, 0, iq)),
+            pl.BlockSpec((None, 1, bq), lambda b_, j, iq: (b_, 0, iq)),
+            pl.BlockSpec((None, 1, skv), lambda b_, j, iq: (b_, 0, 0)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, j, iq: (b_, j, 0, 0)),
+            pl.BlockSpec((None, None, skv, d), lambda b_, j, iq: (b_, j, 0, 0)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
+            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, iq: (b_, j, 0, iq)),
+            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, iq: (b_, j, 0, iq)),
         ],
-        out_specs=pl.BlockSpec((None, None, block_q, d), lambda b_, h, iq: (b_, h, iq, 0)),
+        out_specs=pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(q_t.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((groups * bq, d), jnp.float32)],
     )(q_seg.reshape(b, 1, sq), kv_seg.reshape(b, 1, skv), q_t, k_t, v_t, g_t, lse_in, delta)
     dq = dq.transpose(0, 2, 1, 3)
 
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, scale=scale, block_q=block_q, causal=causal, block_k=block_k
+        _bwd_dkv_kernel_gqa, scale=scale, block_q=bq, causal=causal,
+        block_k=block_k, groups=groups,
     )
-    dk_per_head, dv_per_head = pl.pallas_call(
+    dk_t, dv_t = pl.pallas_call(
         dkv_kernel,
-        grid=(b, hq, skv // block_k),
+        grid=(b, hkv, skv // block_k, sq // bq),
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((None, 1, sq), lambda b_, h, ik: (b_, 0, 0)),
-            pl.BlockSpec((None, 1, skv), lambda b_, h, ik: (b_, 0, 0)),
-            pl.BlockSpec((None, None, sq, d), lambda b_, h, ik: (b_, h, 0, 0)),
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h // groups, ik, 0)),
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h // groups, ik, 0)),
-            pl.BlockSpec((None, None, sq, d), lambda b_, h, ik: (b_, h, 0, 0)),
-            pl.BlockSpec((None, None, 1, sq), lambda b_, h, ik: (b_, h, 0, 0)),
-            pl.BlockSpec((None, None, 1, sq), lambda b_, h, ik: (b_, h, 0, 0)),
+            pl.BlockSpec((None, 1, bq), lambda b_, j, ik, iq: (b_, 0, iq)),
+            pl.BlockSpec((None, 1, skv), lambda b_, j, ik, iq: (b_, 0, 0)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, ik, iq: (b_, j, iq, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, j, ik, iq: (b_, j, ik, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, j, ik, iq: (b_, j, ik, 0)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, ik, iq: (b_, j, iq, 0)),
+            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, ik, iq: (b_, j, 0, iq)),
+            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, ik, iq: (b_, j, 0, iq)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h, ik, 0)),
-            pl.BlockSpec((None, None, block_k, d), lambda b_, h, ik: (b_, h, ik, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, j, ik, iq: (b_, j, ik, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, j, ik, iq: (b_, j, ik, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, skv, d), k.dtype),
-            jax.ShapeDtypeStruct((b, hq, skv, d), v.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -364,9 +403,8 @@ def _flash_bwd(q, k, v, q_seg, kv_seg, out, lse, g, causal, scale, block_q, bloc
         ],
     )(q_seg.reshape(b, 1, sq), kv_seg.reshape(b, 1, skv), q_t, k_t, v_t, g_t, lse_in, delta)
 
-    # reduce query-head gradients onto kv heads (GQA); back to B S H D
-    dk = dk_per_head.reshape(b, hkv, groups, skv, d).sum(axis=2).transpose(0, 2, 1, 3).astype(k.dtype)
-    dv = dv_per_head.reshape(b, hkv, groups, skv, d).sum(axis=2).transpose(0, 2, 1, 3).astype(v.dtype)
+    dk = dk_t.transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv_t.transpose(0, 2, 1, 3).astype(v.dtype)
     return dq, dk, dv
 
 
