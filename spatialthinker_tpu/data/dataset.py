@@ -71,6 +71,13 @@ class RLHFDataset:
         limit_images: int = 0,
     ):
         self.tokenizer = tokenizer
+        # __getitem__ runs concurrently on DataLoader pool threads; the HF
+        # fast-tokenizer Rust backend is not thread-safe ("Already borrowed"
+        # RuntimeError under concurrent encode). Encoding is cheap next to
+        # image patchify, so a lock beats thread-local tokenizer copies.
+        import threading
+
+        self._tokenizer_lock = threading.Lock()
         self.config = config
         self.model_config = model_config
         self.system_prompt = system_prompt
@@ -134,7 +141,8 @@ class RLHFDataset:
             prompt_text = prompt.replace(IMAGE_PLACEHOLDER, "")
 
         chat_text = build_chat_text(prompt_text, merged_counts, system_prompt=self.system_prompt)
-        input_ids = np.asarray(self.tokenizer.encode(chat_text), dtype=np.int32)
+        with self._tokenizer_lock:
+            input_ids = np.asarray(self.tokenizer.encode(chat_text), dtype=np.int32)
 
         # truncate from the left (keep generation-prompt tail) if over budget
         max_len = self.config.max_prompt_length

@@ -98,9 +98,17 @@ def stack_vision_packs(packs: Sequence[Optional[VisionInputs]], cfg: VisionConfi
             )
         else:
             fixed.append(p)
-    stacked = {
-        f: np.stack([getattr(p, f) for p in fixed])
-        for f in VisionInputs._fields
-        if all(getattr(p, f) is not None for p in fixed)
-    }
+    stacked = {}
+    for f in VisionInputs._fields:
+        present = [getattr(p, f) is not None for p in fixed]
+        if any(present) and not all(present):
+            # a mixed batch (some packs carry the field, some don't) cannot be
+            # stacked; silently dropping the field would mis-merge vision
+            # embeds with no error
+            raise ValueError(
+                f"stack_vision_packs: field {f!r} present in only "
+                f"{sum(present)}/{len(fixed)} packs — packs must be homogeneous"
+            )
+        if all(present):
+            stacked[f] = np.stack([getattr(p, f) for p in fixed])
     return VisionInputs(**stacked)

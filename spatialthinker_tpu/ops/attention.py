@@ -116,11 +116,12 @@ def attention(
     if backend in ("auto", "flash") and _flash_eligible(q, k, causal, segment_ids, q_offset, causal_offset):
         from .flash_attention import flash_attention
 
+        blk = _flash_block(sq, k.shape[1])
         try:
             return flash_attention(
                 q, k, v, segment_ids=segment_ids, kv_segment_ids=kv_seg,
                 causal=causal, scale=scale, causal_offset=causal_offset or 0,
-                **({"block_q": 256, "block_k": 256} if causal_offset is not None else {}),
+                block_q=blk, block_k=blk,
             )
         except Exception:
             if backend == "flash":
@@ -139,25 +140,41 @@ def attention(
     return xla_attention(q, k, v, mask=mask, scale=scale)
 
 
-def _flash_eligible(q, k, causal, segment_ids, q_offset, causal_offset=None) -> bool:
-    """Flash kernel handles long self-attention on TPU: seq multiple of block,
-    same q/kv length (or a static chunked-prefill offset), no traced decode
-    offset. Measured on v5e (b=2, 16 q-heads, d=128): ~parity at 1024, 1.5x at
-    2048, 2.5x at 4096; XLA fails outright at 8192 where flash runs — so the
-    self-attention threshold is 1024. The static-offset (chunked prefill) path
-    has no threshold: the fallback's fp32 score tensor is the memory hog the
-    chunking exists to avoid."""
+def _flash_block(sq: int, skv: int) -> Optional[int]:
+    """Largest kernel block dividing both lengths (None = no legal block).
+    The trainer buckets prompts to 512 and responses/packed rows to 256, so
+    training forwards are 256-aligned (e.g. 2304 = 2048 + 256) — 512-only
+    blocks would silently push the GRPO-shape forwards onto masked XLA SDPA."""
+    for blk in (512, 256, 128):
+        if sq % blk == 0 and skv % blk == 0:
+            return blk
+    return None
+
+
+def _flash_shape_eligible(q, k, causal, segment_ids, q_offset, causal_offset=None) -> bool:
+    """Shape-only eligibility (backend-independent, so tests pin it on CPU):
+    a legal block exists, same q/kv length (or a static chunked-prefill
+    offset), no traced decode offset. Measured on v5e (b=2, 16 q-heads,
+    d=128): ~parity at 1024, 1.5x at 2048, 2.5x at 4096; XLA fails outright
+    at 8192 where flash runs — so the self-attention threshold is 1024. The
+    static-offset (chunked prefill) path has no threshold: the fallback's
+    fp32 score tensor is the memory hog the chunking exists to avoid."""
     if q_offset is not None:
-        return False
-    if jax.default_backend() != "tpu":
         return False
     b, sq, hq, d = q.shape
     if d % 8 != 0:
         return False
     skv = k.shape[1]
+    if _flash_block(sq, skv) is None:
+        return False
     if causal_offset is not None:
-        # cross-length chunked prefill: 256-blocks over both lengths
-        return sq % 256 == 0 and skv % 256 == 0
+        return True
     if sq != skv:
         return False
-    return sq >= 1024 and sq % 512 == 0
+    return sq >= 1024
+
+
+def _flash_eligible(q, k, causal, segment_ids, q_offset, causal_offset=None) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    return _flash_shape_eligible(q, k, causal, segment_ids, q_offset, causal_offset)

@@ -25,9 +25,11 @@ from .mesh import FSDP_AXIS, MODEL_AXIS
 # WITHOUT the leading stacked-layer dim (specs below are for the per-layer
 # shape; stacked leaves get None prepended automatically).
 _TEXT_RULES: Tuple[Tuple[str, P], ...] = (
-    # fused QKV (E, Hkv, (h/hkv+2)*d): column-parallel over the KV-GROUP dim,
-    # so each model shard owns whole GQA groups (q heads + their k/v) and
-    # attention stays shard-local; caps model_size at num_key_value_heads
+    # fused QKV (Hkv, E, G) with G = (h/hkv+2)*d, group-major (the stored byte
+    # order IS the batched-dot layout — see text.fused_qkv): column-parallel
+    # over the leading KV-GROUP dim, so each model shard owns whole GQA groups
+    # (q heads + their k/v) and attention stays shard-local; caps model_size
+    # at num_key_value_heads
     ("self_attn/qkv_proj", P(MODEL_AXIS, FSDP_AXIS, None)),
     ("self_attn/qkv_bias", P(MODEL_AXIS, None)),
     ("self_attn/o_proj", P(MODEL_AXIS, FSDP_AXIS)),

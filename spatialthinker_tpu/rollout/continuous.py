@@ -337,7 +337,9 @@ def effective_prefill_chunk(
         return 0
     # 128-align by rounding DOWN only — rounding a budget-derived chunk UP
     # would silently exceed max_num_batched_tokens, the knob that exists to
-    # bound prefill activation memory
+    # bound prefill activation memory. 128 matches the flash kernel's minimum
+    # block (ops/attention._flash_block), so every aligned chunk stays on the
+    # Pallas path instead of materializing masked-SDPA score tensors.
     if chunk >= 128:
         chunk = chunk // 128 * 128
     return max(chunk, 1)
