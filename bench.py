@@ -3,11 +3,13 @@ shapes, random weights) on real TPU hardware.
 
 Prints ONE JSON line. The headline metric is the GRPO TRAINING shape (prompt
 2048 / gen 256, rollout.n=5 grouped sampling — what the trainer actually
-runs), with the short-context (prompt 128 / gen 128) and distinct-prompt
-long-context numbers carried alongside for round-over-round comparability:
+runs); the short-context, distinct-prompt long-context, and flagship
+(prompt 6144 / gen 2048, the reference scripts' sequence budget) numbers are
+carried alongside, plus a GRPO update-step entry (tok/s + MFU):
   {"metric": "rollout_tokens_per_sec_per_chip_grpo", "value": N,
    "unit": "tok/s/chip", "vs_baseline": N / H100_VLLM_3B_TOKS,
-   "short_ctx": {...}, "long_ctx": {...}, "config": {...}}
+   "short_ctx": {...}, "long_ctx": {...}, "flagship_ctx": {...},
+   "train": {...}, "config": {...}}
 
 Baseline anchor: the reference rolls out with vLLM on H100-class GPUs
 (BASELINE.md: "rollout tokens/sec/chip >= H100-class on a v5p-8" is the
@@ -15,10 +17,13 @@ north-star). The repo publishes no number, so we anchor against a nominal
 2800 tok/s/GPU for Qwen2.5-VL-3B bf16 decode on one H100 — vs_baseline > 1.0
 means faster than that anchor per chip.
 
-BENCH_MODE=train measures full GRPO update steps/s + MFU instead (0.5B at
-seq 4096 by default — 1B+ optimizer state exceeds a single v5e's HBM).
-BENCH_SHAPE=short|long|grpo|flagship|both (default both = short+long+grpo;
-the headline is the last shape run).
+Rollout weights are W8A8 int8 by default (rollout.quantization=int8, the
+framework's vLLM-quantization-parity knob; BENCH_WQ=none for bf16) — recorded
+in each shape's config.
+
+BENCH_MODE=train measures ONLY the update-step entry. BENCH_SHAPE selects a
+single rollout shape (short|long|grpo|flagship) or "all" (default:
+short+long+grpo+flagship+train; headline = grpo).
 """
 
 from __future__ import annotations
@@ -31,11 +36,14 @@ import time
 H100_VLLM_3B_TOKS = 2800.0  # nominal anchor, see module docstring
 
 PRESET = os.environ.get("BENCH_PRESET", "3b")
-SHAPE = os.environ.get("BENCH_SHAPE", "both")
+SHAPE = os.environ.get("BENCH_SHAPE", "all")
+WQ = os.environ.get("BENCH_WQ", "int8")
 
 
-def train_bench() -> None:
-    """GRPO update steps/s on a ~0.5B model, single chip (1B+ needs a sharded mesh: AdamW keeps fp32 second moments)."""
+def train_bench() -> dict:
+    """GRPO update tok/s + MFU. Default preset 1b (~1.2B params: the largest
+    Qwen-shaped config whose Kahan-bf16 AdamW state fits one 16GB chip at seq
+    4096; fp32-moment AdamW already exceeds HBM at 1B+)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,7 +52,8 @@ def train_bench() -> None:
     from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
     from spatialthinker_tpu.trainer.train_step import TrainBatch, make_optimizer, make_update_fn
 
-    cfg = get_config(os.environ.get("BENCH_PRESET", "0.5b"))
+    preset = os.environ.get("BENCH_TRAIN_PRESET", "1b")
+    cfg = get_config(preset)
     params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
     opt = make_optimizer(1e-6, strategy="adamw_bf16")
     opt_state = opt.init(params)
@@ -91,25 +100,22 @@ def train_bench() -> None:
     from spatialthinker_tpu.utils.flops_counter import FlopsCounter, compute_mfu
 
     mfu = compute_mfu(FlopsCounter(cfg), [s] * bs, elapsed / iters, n_chips=1)
-    print(
-        json.dumps(
-            {
-                "metric": "grpo_update_tokens_per_sec_per_chip",
-                "value": round(tokens / elapsed, 2),
-                "unit": "tok/s/chip",
-                "vs_baseline": round((iters / elapsed) * 3600, 1),  # update steps/hr
-                "mfu": round(mfu, 4),
-                "config": {"preset": os.environ.get("BENCH_PRESET", "0.5b"),
-                           "seq": s, "micro_bs": micro_bs, "n_micro": n_micro},
-            }
-        )
-    )
+    return {
+        "metric": "grpo_update_tokens_per_sec_per_chip",
+        "value": round(tokens / elapsed, 2),
+        "unit": "tok/s/chip",
+        "vs_baseline": round((iters / elapsed) * 3600, 1),  # update steps/hr
+        "mfu": round(mfu, 4),
+        "config": {"preset": preset, "seq": s, "micro_bs": micro_bs, "n_micro": n_micro},
+    }
 
 
 # (batch, prompt, gen, kv_dtype, prefill_chunk, group_n) — memory-validated on
-# a 16GB v5e. "grpo" is the training workload: rollout.n samples per prompt,
-# prompt prefilled ONCE with KV fanout (engine.generate n>1); batch counts
-# UNIQUE prompts there (26 x 5 = 130 decode lanes).
+# a 16GB v5e with int8 weights. "grpo" is the training workload: rollout.n
+# samples per prompt, prompt prefilled ONCE with KV fanout (engine.generate
+# n>1); batch counts UNIQUE prompts there (26 x 5 = 130 decode lanes).
+# "flagship" is the reference scripts' full sequence budget
+# (/root/reference/scripts/spatialthinker_3b_grpo.sh:33-34).
 SHAPES = {
     "short": (256, 128, 128, "bfloat16", 0, 1),
     "long": (
@@ -121,8 +127,14 @@ SHAPES = {
         1,
     ),
     "grpo": (26, 2048, 256, "int8", 512, 5),
-    "flagship": (16, 6144, 2048, "int8", 512, 1),
+    "flagship": (
+        int(os.environ.get("BENCH_FLAGSHIP_BATCH", "32")),
+        6144, 2048, "int8", 512, 1,
+    ),
 }
+# decode dominates the flagship shape (2048 steps); 2 timed iters keep the
+# whole suite inside the driver budget without moving the number
+SHAPE_ITERS = {"flagship": 2}
 
 
 def _measure(gen, params, cfg, shape, iters: int) -> float:
@@ -173,6 +185,11 @@ def main() -> None:
     # random bf16 init directly on device (values irrelevant for throughput)
     params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
     jax.block_until_ready(params)
+    if WQ == "int8":
+        from spatialthinker_tpu.ops.quant import quantize_params
+
+        # rebind: the bf16 decoder stacks are freed, HBM holds int8 + scales
+        params = jax.jit(quantize_params)(params)
     gen = jax.jit(
         generate,
         static_argnames=(
@@ -181,16 +198,22 @@ def main() -> None:
     )
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
-    names = ["short", "long", "grpo"] if SHAPE == "both" else [SHAPE]
-    results = {
-        name: round(_measure(gen, params, cfg, SHAPES[name], iters) / n_chips, 2)
-        for name in names
-    }
-    headline = names[-1]  # grpo (or the single requested shape)
+    import sys
+
+    names = ["short", "long", "grpo", "flagship"] if SHAPE == "all" else [SHAPE]
+    results = {}
+    for name in names:
+        results[name] = round(
+            _measure(gen, params, cfg, SHAPES[name], SHAPE_ITERS.get(name, iters))
+            / n_chips, 2,
+        )
+        # progress to stderr: a late-shape failure must not lose earlier numbers
+        print(f"[bench] {name}: {results[name]} tok/s/chip", file=sys.stderr, flush=True)
+    headline = "grpo" if "grpo" in names else names[-1]
 
     def shape_cfg(name):
         b, p, r, kv_name, chunk, group_n = SHAPES[name]
-        return {"batch": b, "prompt": p, "gen": r, "kv": kv_name,
+        return {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "wq": WQ,
                 "prefill_chunk": chunk, "n": group_n}
 
     out = {
@@ -201,17 +224,21 @@ def main() -> None:
         "vs_baseline": round(results[headline] / H100_VLLM_3B_TOKS, 4),
         "config": shape_cfg(headline),
     }
-    for name in names[:-1]:
-        out[f"{name}_ctx"] = {
-            "value": results[name],
-            "vs_baseline": round(results[name] / H100_VLLM_3B_TOKS, 4),
-            "config": shape_cfg(name),
-        }
+    for name in names:
+        if name != headline:
+            out[f"{name}_ctx"] = {
+                "value": results[name],
+                "vs_baseline": round(results[name] / H100_VLLM_3B_TOKS, 4),
+                "config": shape_cfg(name),
+            }
+    if SHAPE == "all" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        del params  # free rollout weights before the train-bench allocates
+        out["train"] = train_bench()
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if os.environ.get("BENCH_MODE") == "train":
-        train_bench()
+        print(json.dumps(train_bench()))
     else:
         main()

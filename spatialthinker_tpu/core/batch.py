@@ -257,3 +257,48 @@ def unpad(batch: RolloutBatch, pad_size: int) -> RolloutBatch:
     if pad_size == 0:
         return batch
     return batch.slice(0, len(batch) - pad_size)
+
+
+def trim_prompt_padding(batch: RolloutBatch, bucket: int = 512,
+                        negotiated_max: Optional[int] = None) -> RolloutBatch:
+    """Left-padded prompts are padded to the config max; trim to the batch's
+    longest prompt rounded up to `bucket` (TPU padding-free equivalent:
+    static shapes per bucket, far less wasted compute than always-max).
+    Safe because position ids / segment ids travel with the tokens.
+    ``negotiated_max`` carries the cross-process max (jit shapes agree)."""
+    seg = batch.tensors["segment_ids"]
+    max_len = negotiated_max if negotiated_max is not None else int(seg.sum(-1).max())
+    p = seg.shape[1]
+    keep = min(p, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
+    if keep >= p:
+        return batch
+    out = RolloutBatch(
+        tensors=dict(batch.tensors), non_tensors=batch.non_tensors, meta=batch.meta
+    )
+    out.tensors["input_ids"] = batch.tensors["input_ids"][:, p - keep:]
+    out.tensors["segment_ids"] = seg[:, p - keep:]
+    out.tensors["position_ids"] = batch.tensors["position_ids"][:, :, p - keep:]
+    return out
+
+
+def trim_response_padding(batch: RolloutBatch, bucket: int = 256,
+                          negotiated_max: Optional[int] = None) -> RolloutBatch:
+    """Right-trim the response buffer to the longest valid response rounded
+    up to `bucket` (responses usually hit EOS well before max_new_tokens);
+    ``negotiated_max`` carries the cross-process max (jit shapes agree)."""
+    mask = batch.tensors["response_mask"]
+    r = mask.shape[1]
+    max_len = negotiated_max if negotiated_max is not None else int(mask.sum(-1).max())
+    keep = min(r, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
+    if keep >= r:
+        return batch
+    out = RolloutBatch(
+        tensors=dict(batch.tensors), non_tensors=batch.non_tensors, meta=batch.meta
+    )
+    p = batch.tensors["input_ids"].shape[1]
+    for key in ("responses", "response_mask", "token_level_scores", "rollout_log_probs"):
+        if key in out.tensors:
+            out.tensors[key] = out.tensors[key][:, :keep]
+    for key in ("full_input_ids", "full_segment_ids"):
+        out.tensors[key] = out.tensors[key][:, : p + keep]
+    return out

@@ -162,6 +162,11 @@ class RolloutConfig:
     # decode engine capacity knobs (replace gpu_memory_utilization etc.)
     max_num_batched_tokens: int = 8192
     kv_cache_dtype: str = "bfloat16"
+    # rollout weight/activation quantization (vLLM `quantization` parity):
+    # "int8" runs the decoder-stack matmuls W8A8 on the int8 MXU (2x bf16
+    # FLOPs, half the decode weight HBM read); old/ref log-probs are still
+    # recomputed by the bf16 training graph (ops/quant.py)
+    quantization: str = "none"      # {none, int8}
     page_size: int = 128            # tokens per KV page (paged attention granularity)
     decode_batch_size: int = -1     # -1: infer from batch
     prefill_chunk_size: int = 2048
@@ -254,6 +259,32 @@ class PPOConfig:
         # one SPMD mesh serves train AND decode: the vLLM-style decode TP knob
         # (reference rollout.tensor_parallel_size) must agree with the mesh's
         # model axis — reject silently-divergent values instead of ignoring them
+        for role, sh in (("actor", self.worker.actor.sharding),
+                         ("critic", self.worker.critic.sharding),
+                         ("ref", self.worker.ref.sharding)):
+            if sh.host_offload_params:
+                # the reference offloads FSDP params between stages
+                # (fsdp_workers.py:252-280) because its actor is idle while
+                # vLLM generates; here ONE param pytree serves rollout AND
+                # training — there is no idle window to offload into. The
+                # frozen reference copy IS offloadable: worker.ref.offload.
+                raise ValueError(
+                    f"worker.{role}.sharding.host_offload_params is not supported: "
+                    "train and decode share one param pytree (no idle stage to "
+                    "offload across); use worker.ref.offload=true for the frozen "
+                    "reference copy and sharding.host_offload_optimizer for the "
+                    "optimizer state"
+                )
+        if self.worker.rollout.quantization not in ("none", "int8"):
+            raise ValueError(
+                f"rollout.quantization={self.worker.rollout.quantization!r}: "
+                "supported values are 'none' and 'int8' (W8A8 on the int8 MXU)"
+            )
+        if self.worker.rollout.kv_cache_dtype not in ("bfloat16", "int8"):
+            raise ValueError(
+                f"rollout.kv_cache_dtype={self.worker.rollout.kv_cache_dtype!r}: "
+                "supported values are 'bfloat16' and 'int8'"
+            )
         tp = self.worker.rollout.tensor_parallel_size
         if tp != 1 and tp != self.worker.actor.sharding.model_size:
             raise ValueError(

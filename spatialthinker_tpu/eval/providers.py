@@ -24,11 +24,18 @@ class Provider:
 
 
 class JaxProvider(Provider):
-    """Evaluate with the TPU-native model + rollout engine (greedy by default)."""
+    """Evaluate with the TPU-native model + rollout engine (greedy by default).
+
+    Shapes are BUCKETED so a 30-benchmark sweep compiles a handful of kernels
+    instead of one per ragged batch: prompts trim to ``prompt_bucket``
+    multiples (the trainer's trim_prompt_padding, core/batch.py), rows pad
+    cyclically up to the largest batch seen, and the vision pack width rounds
+    up to whole-window buckets."""
 
     def __init__(self, params, model_cfg, tokenizer, max_new_tokens: int = 2048,
                  temperature: float = 0.0, max_prompt_length: int = 6144,
-                 min_pixels: int = 262_144, max_pixels: int = 4_194_304):
+                 min_pixels: int = 262_144, max_pixels: int = 4_194_304,
+                 prompt_bucket: int = 512):
         import jax
 
         from ..core.config import DataConfig
@@ -50,24 +57,45 @@ class JaxProvider(Provider):
         self._dataset_cls = RLHFDataset
         self._collate = collate_fn
         self._key = jax.random.key(0)
+        self._prompt_bucket = prompt_bucket
+        self._row_bucket = 0  # grows to the largest batch seen; never shrinks
 
     def generate(self, prompts: List[str], images: List[List[Any]]) -> List[str]:
         import jax
         import jax.numpy as jnp
 
+        from ..core.batch import pad_to_divisor, trim_prompt_padding
         from ..data.packing import pack_vision_batch
+        from ..models.qwen2_5_vl.vision import window_patch_len
 
+        n_real = len(prompts)
         rows = [
             {"problem": ("<image>" * len(imgs)) + p, "answer": "", "image": imgs}
             for p, imgs in zip(prompts, images)
         ]
         ds = self._dataset_cls.from_rows(rows, self.tokenizer, self._data_cfg, self.model_cfg)
         batch = self._collate([ds[i] for i in range(len(rows))])
+        # prompt-length bucket: trim the always-max left padding
+        batch = trim_prompt_padding(batch, bucket=self._prompt_bucket)
+        # row bucket: the final partial batch pads (cyclic self-repeat) up to
+        # the full batch size every earlier call compiled for
+        self._row_bucket = max(self._row_bucket, n_real)
+        batch, _ = pad_to_divisor(batch, self._row_bucket)
+        # vision bucket: whole-window multiples of 16 windows
         vision = pack_vision_batch(
             list(batch.non_tensors["patches"]),
             list(batch.non_tensors["image_grid_thw"]),
             self.model_cfg.vision,
         )
+        if vision is not None:
+            gran = window_patch_len(self.model_cfg.vision) * 16
+            pad_to = -(-vision.patches.shape[0] // gran) * gran
+            if pad_to != vision.patches.shape[0]:
+                vision = pack_vision_batch(
+                    list(batch.non_tensors["patches"]),
+                    list(batch.non_tensors["image_grid_thw"]),
+                    self.model_cfg.vision, pad_to=pad_to,
+                )
         self._key, sub = jax.random.split(self._key)
         result = self._engine(
             self.params, self.model_cfg,
@@ -80,10 +108,10 @@ class JaxProvider(Provider):
             key=sub,
             vision=jax.tree.map(jnp.asarray, vision) if vision is not None else None,
         )
-        responses = np.asarray(result.responses)
+        responses = np.asarray(result.responses)[:n_real]
         lengths = np.asarray(result.response_mask).sum(-1)
         return self.tokenizer.batch_decode(
-            [responses[i, : lengths[i]] for i in range(len(rows))], skip_special_tokens=True
+            [responses[i, : lengths[i]] for i in range(n_real)], skip_special_tokens=True
         )
 
 

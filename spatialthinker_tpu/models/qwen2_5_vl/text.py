@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ...ops.attention import attention
 from ...ops.decode_attention import decode_attention
+from ...ops.quant import linear
 from .config import TextConfig
 from .rope import apply_rotary, compute_cos_sin, make_inv_freq
 
@@ -48,9 +49,11 @@ def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     XLA materialize a transposed copy of the whole stack at runtime: a 3GB HLO
     temp at 3B). The separate leading 2 (instead of a flat 2I column dim)
     keeps the tensor-parallel sharding on I local to each shard
-    (silu(gate)*up never crosses shards)."""
-    gu = jnp.einsum("...e,tei->...ti", x, p["gate_up_proj"])
-    return jnp.dot(jax.nn.silu(gu[..., 0, :]) * gu[..., 1, :], p["down_proj"])
+    (silu(gate)*up never crosses shards). Matmuls go through ops.quant.linear
+    so an int8-quantized rollout tree (ops/quant.py) dispatches to the W8A8
+    MXU path with no second code path."""
+    gu = linear(x, p["gate_up_proj"], contract_axis=1)  # "...e,tei->...ti"
+    return linear(jax.nn.silu(gu[..., 0, :]) * gu[..., 1, :], p["down_proj"], contract_axis=0)
 
 
 def fused_qkv(attn_p: Params, normed: jnp.ndarray, h: int, hkv: int, d: int):
@@ -63,7 +66,7 @@ def fused_qkv(attn_p: Params, normed: jnp.ndarray, h: int, hkv: int, d: int):
     (E, Hkv, G) makes XLA keep a transposed runtime copy of the whole stack.
     Sharded on the Hkv axis for TP."""
     qper = h // hkv
-    fused = jnp.einsum("...e,gef->...gf", normed, attn_p["qkv_proj"]) + attn_p["qkv_bias"]
+    fused = linear(normed, attn_p["qkv_proj"], contract_axis=1) + attn_p["qkv_bias"]
     lead = fused.shape[:-2]
     q = fused[..., : qper * d].reshape(*lead, h, d)
     k = fused[..., qper * d : (qper + 1) * d]
@@ -121,6 +124,29 @@ def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]).astype(dtype)
 
 
+def attention_inputs(p: Params, cfg: TextConfig, x: jnp.ndarray, cos, sin):
+    """Shared head of every decoder layer (training, dense-cache decode, AND
+    the continuous engine's per-slot decode — rollout/continuous._decode_layer):
+    rms-norm -> fused QKV -> mRoPE. The engines differ only in how they WRITE
+    k/v into their cache; keeping this sequence in one place keeps the two
+    decode paths numerically pinned to the training forward."""
+    normed = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+    q, k, v = fused_qkv(
+        p["self_attn"], normed, cfg.num_attention_heads, cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    q, k = apply_rotary(q, k, cos, sin)
+    return q, k, v
+
+
+def finish_layer(p: Params, cfg: TextConfig, x: jnp.ndarray, out: jnp.ndarray):
+    """Shared tail of every decoder layer: o_proj residual + SwiGLU MLP
+    residual. ``out`` is the attention output (B, S, H, D)."""
+    b, s = out.shape[:2]
+    x = x + linear(out.reshape(b, s, -1), p["self_attn"]["o_proj"], contract_axis=0)
+    return x + swiglu_mlp(p["mlp"], rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps))
+
+
 def _layer(
     p: Params,
     cfg: TextConfig,
@@ -140,13 +166,8 @@ def _layer(
     at ``layer_idx`` (aliased by XLA), and decode attention reads the stack
     through the Pallas kernel without materializing a layer slice.
     Returns (x, updated cache_arrays or None)."""
-    attn_p = p["self_attn"]
     b, s, _ = x.shape
-    h, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-
-    normed = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
-    q, k, v = fused_qkv(attn_p, normed, h, hkv, d)
-    q, k = apply_rotary(q, k, cos, sin)
+    q, k, v = attention_inputs(p, cfg, x, cos, sin)
 
     if cache_arrays is None:
         if sp is not None:
@@ -235,9 +256,7 @@ def _layer(
                 q[:, 0], new_arrays[0], new_arrays[1], kv_seg, layer_idx, *scales
             )[:, None]
 
-    x = x + jnp.dot(out.reshape(b, s, h * d), attn_p["o_proj"])
-    x = x + swiglu_mlp(p["mlp"], rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps))
-    return x, new_arrays
+    return finish_layer(p, cfg, x, out), new_arrays
 
 
 def _layer_kv(ck, cv, layer_idx, dtype, k_scale=None, v_scale=None, end=None):

@@ -117,6 +117,11 @@ def attention(
         from .flash_attention import flash_attention
 
         blk = _flash_block(sq, k.shape[1])
+        if causal_offset is not None:
+            # cross-length chunked prefill holds the FULL kv prefix in VMEM
+            # alongside the scores block; 512-blocks overflow the 16MB scoped
+            # vmem at long prefixes (measured: chunk 512 x prefix 5120 OOMs)
+            blk = min(blk, 256)
         try:
             return flash_attention(
                 q, k, v, segment_ids=segment_ids, kv_segment_ids=kv_seg,

@@ -29,12 +29,12 @@ from ..models.qwen2_5_vl.model import fanout_rows, prefill_forward
 from ..models.qwen2_5_vl.text import (
     KVCache,
     _quantize_kv,
-    fused_qkv,
+    attention_inputs,
+    finish_layer,
     logits_from_hidden,
     rms_norm,
-    swiglu_mlp,
 )
-from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq, rotate_half
+from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq
 from ..ops.decode_attention import decode_attention
 from .sampling import SamplingParams, sample_tokens, sampled_token_logp
 
@@ -185,22 +185,19 @@ def prefill_slots(
 def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_pos, kv_seg):
     """One decoder layer for a single token per slot, writing KV at a per-slot
     position (text._layer assumes a uniform cache length; this one scatters).
-    ``cache_arrays`` is the FULL stacked (k, v[, k_scale, v_scale]) carried
-    through the layer scan — the per-slot token write is an in-place scatter
-    at ``layer_idx`` and attention reads the stack through the Pallas decode
-    kernel (per-token-head int8 dequant in registers, as in text.KVCache)."""
+    The rms/qkv/rope head and o_proj/mlp tail are text.attention_inputs /
+    text.finish_layer — the per-slot KV scatter is this engine's only
+    difference. ``cache_arrays`` is the FULL stacked (k, v[, k_scale,
+    v_scale]) carried through the layer scan — the per-slot token write is an
+    in-place scatter at ``layer_idx`` and attention reads the stack through
+    the Pallas decode kernel (per-token-head int8 dequant in registers)."""
     t = cfg
     s = x.shape[0]
-    h, hkv, d = t.num_attention_heads, t.num_key_value_heads, t.head_dim
-    attn_p = layer_p["self_attn"]
     quantized = cache_arrays[0].dtype == jnp.int8
 
-    normed = rms_norm(x, layer_p["input_layernorm"], t.rms_norm_eps)
-    q, knew, vnew = fused_qkv(attn_p, normed[:, None, :], h, hkv, d)
-    cos_b = cos[:, :, None, :]
-    sin_b = sin[:, :, None, :]
-    q = q * cos_b + rotate_half(q) * sin_b
-    knew = knew * cos_b + rotate_half(knew) * sin_b
+    # slots ride the batch dim with a length-1 sequence: (S, 1, ...)
+    x2 = x[:, None, :]
+    q, knew, vnew = attention_inputs(layer_p, t, x2, cos, sin)
 
     slot_idx = jnp.arange(s)
     if quantized:
@@ -225,9 +222,7 @@ def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_pos,
     out = decode_attention(
         q[:, 0].astype(x.dtype), cache_k, cache_v, kv_seg, layer_idx, *scales
     )
-    x = x + jnp.dot(out.reshape(s, t.hidden_size), attn_p["o_proj"])
-    x = x + swiglu_mlp(layer_p["mlp"], rms_norm(x, layer_p["post_attention_layernorm"], t.rms_norm_eps))
-    return x, new_arrays
+    return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_arrays
 
 
 def decode_chunk(

@@ -1,0 +1,692 @@
+"""Paged continuous-batching rollout: a global KV page pool, host-managed
+page tables with refcounted prompt-page sharing, and preempt-and-requeue
+admission — the memory-management half of vLLM
+(/root/reference/verl/workers/rollout/vllm_rollout_spmd.py:69-85 sizes the
+pool from gpu_memory_utilization; the vLLM scheduler pages/preempts so
+concurrency follows ACTUAL memory use, not worst case).
+
+How it differs from rollout/continuous.py (dense slots):
+- a slot OCCUPIES only the pages it has filled; admission is bounded by the
+  page pool (HBM budget), not by slots x worst-case reservation — the reason
+  dense long-context batch caps out;
+- pages hold COMPACTED tokens (no left padding): prefill gathers each
+  prompt's valid tail out of the scratch cache while scattering into pages;
+- grouped sampling (GRPO rollout.n) SHARES the prompt's full pages across
+  the n lanes via refcounts (vLLM prefix-sharing parity) — at n=5 the
+  prompt's KV is stored once, not five times; only the partial tail page is
+  per-lane (decode writes into it);
+- on pool exhaustion the YOUNGEST group is preempted: its pages free, its
+  prompt requeues, and it recomputes later (vLLM recompute preemption). The
+  oldest group is never preempted, so forward progress is guaranteed.
+
+Device programs stay static-shape: prefill installs at fixed-size scatter
+index arrays (unused entries target the reserved dummy page 0), decode is
+the same carry-scan as the dense engine with per-slot (page, offset) writes,
+and attention is the Pallas page-table kernel in ops/paged_attention.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen2_5_vl import Qwen25VLConfig
+from ..models.qwen2_5_vl.model import prefill_forward
+from ..models.qwen2_5_vl.text import (
+    KVCache,
+    _quantize_kv,
+    attention_inputs,
+    finish_layer,
+    logits_from_hidden,
+    rms_norm,
+)
+from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq
+from ..ops.paged_attention import paged_attention
+from .sampling import SamplingParams, get_response_mask, sample_tokens, sampled_token_logp
+
+
+class PagedState(NamedTuple):
+    k_pool: jnp.ndarray      # (L, N, Hkv, page, D) int8 | bf16
+    v_pool: jnp.ndarray
+    page_table: jnp.ndarray  # (S, P_max) int32 — dummy page 0 beyond length
+    length: jnp.ndarray      # (S,) int32 — COMPACTED valid cells (prompt+gen)
+    cur_tokens: jnp.ndarray  # (S,) int32
+    gen_pos: jnp.ndarray     # (S,) int32 — rope position of the next fed token
+    steps: jnp.ndarray       # (S,) int32
+    finished: jnp.ndarray    # (S,) bool
+    active: jnp.ndarray      # (S,) bool
+    responses: jnp.ndarray   # (S, R) int32
+    logps: jnp.ndarray       # (S, R) fp32
+    key: jax.Array
+    k_scale: Optional[jnp.ndarray] = None  # (L, N, Hkv, page) — int8 mode
+    v_scale: Optional[jnp.ndarray] = None
+
+
+def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
+                     page_size: int, p_max: int, max_new_tokens: int,
+                     key: jax.Array, kv_dtype=jnp.bfloat16) -> PagedState:
+    t = cfg.text
+    pool_shape = (t.num_hidden_layers, total_pages, t.num_key_value_heads,
+                  page_size, t.head_dim)
+    scales = None
+    if kv_dtype == jnp.int8:
+        scales = jnp.zeros(pool_shape[:-1], jnp.bfloat16)
+    return PagedState(
+        k_pool=jnp.zeros(pool_shape, kv_dtype),
+        v_pool=jnp.zeros(pool_shape, kv_dtype),
+        k_scale=scales,
+        v_scale=scales,
+        page_table=jnp.zeros((slots, p_max), jnp.int32),
+        length=jnp.zeros((slots,), jnp.int32),
+        cur_tokens=jnp.zeros((slots,), jnp.int32),
+        gen_pos=jnp.zeros((slots,), jnp.int32),
+        steps=jnp.zeros((slots,), jnp.int32),
+        finished=jnp.ones((slots,), bool),
+        active=jnp.zeros((slots,), bool),
+        responses=jnp.full((slots, max_new_tokens), cfg.pad_token_id, jnp.int32),
+        logps=jnp.zeros((slots, max_new_tokens), jnp.float32),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefill: dense scratch cache -> compacted pages
+# ---------------------------------------------------------------------------
+
+
+class PrefillInstall(NamedTuple):
+    """Host-computed scatter plan (fixed shapes per refill-batch geometry)."""
+
+    full_src_row: jnp.ndarray   # (T_full,) scratch row per full page
+    full_src_pos: jnp.ndarray   # (T_full, page) scratch positions
+    full_dst: jnp.ndarray       # (T_full,) pool page id (0 = unused/dummy)
+    tail_src_row: jnp.ndarray   # (T_tail,) scratch row per lane tail page
+    tail_src_pos: jnp.ndarray   # (T_tail, page)
+    tail_dst: jnp.ndarray       # (T_tail,)
+    table_rows: jnp.ndarray     # (u*group_n, P_max) page-table rows
+    lengths: jnp.ndarray        # (u,) prompt lengths (compacted)
+
+
+def prefill_paged(
+    params, cfg: Qwen25VLConfig, state: PagedState,
+    slot_ids: jnp.ndarray,        # (u * group_n,)
+    input_ids: jnp.ndarray,       # (u, P) left-padded UNIQUE prompts
+    segment_ids: jnp.ndarray,     # (u, P)
+    position_ids: jnp.ndarray,    # (3, u, P)
+    gen_pos_start: jnp.ndarray,   # (u,)
+    valid: jnp.ndarray,           # (u,) bool
+    install: PrefillInstall,
+    sampling: SamplingParams,
+    vision=None,
+    prefill_chunk: int = 0,
+    group_n: int = 1,
+) -> PagedState:
+    """Prompt forward for u unique prompts; the prompt KV scatters COMPACTED
+    into pool pages (full pages shared by the group's n lanes, tail pages
+    per lane) and each lane's slot state initializes."""
+    u, p = input_ids.shape
+    t = cfg.text
+    quantized = state.k_scale is not None
+    max_new = state.responses.shape[1]
+
+    scratch = KVCache.init(t.num_hidden_layers, u, p, t.num_key_value_heads,
+                           t.head_dim, dtype=state.k_pool.dtype)
+    seg32 = segment_ids.astype(jnp.int32)
+    hidden, scratch = prefill_forward(
+        params, cfg, input_ids, position_ids, seg32, scratch, seg32,
+        vision=vision, prefill_chunk=prefill_chunk,
+    )
+    last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
+
+    def scatter(pool, scratch_arr, src_row, src_pos, dst, scale: bool):
+        # gather (T, page) tokens out of the scratch cache, then one page
+        # scatter; advanced-index result (T, page, L, Hkv[, D]) reorders to
+        # pool layout
+        if scale:
+            g = scratch_arr[:, src_row[:, None], :, src_pos]
+            g = jnp.transpose(g, (2, 0, 3, 1))
+        else:
+            g = scratch_arr[:, src_row[:, None], :, src_pos, :]
+            g = jnp.transpose(g, (2, 0, 3, 1, 4))
+        return pool.at[:, dst].set(g.astype(pool.dtype))
+
+    k_pool = scatter(state.k_pool, scratch.k, install.full_src_row,
+                     install.full_src_pos, install.full_dst, False)
+    k_pool = scatter(k_pool, scratch.k, install.tail_src_row,
+                     install.tail_src_pos, install.tail_dst, False)
+    v_pool = scatter(state.v_pool, scratch.v, install.full_src_row,
+                     install.full_src_pos, install.full_dst, False)
+    v_pool = scatter(v_pool, scratch.v, install.tail_src_row,
+                     install.tail_src_pos, install.tail_dst, False)
+    scale_updates = {}
+    if quantized:
+        ks = scatter(state.k_scale, scratch.k_scale, install.full_src_row,
+                     install.full_src_pos, install.full_dst, True)
+        ks = scatter(ks, scratch.k_scale, install.tail_src_row,
+                     install.tail_src_pos, install.tail_dst, True)
+        vs = scatter(state.v_scale, scratch.v_scale, install.full_src_row,
+                     install.full_src_pos, install.full_dst, True)
+        vs = scatter(vs, scratch.v_scale, install.tail_src_row,
+                     install.tail_src_pos, install.tail_dst, True)
+        scale_updates = dict(k_scale=ks, v_scale=vs)
+
+    from ..models.qwen2_5_vl.model import fanout_rows
+
+    if group_n > 1:
+        last_logits = fanout_rows(last_logits, group_n)
+        gen_pos_start = fanout_rows(gen_pos_start, group_n)
+        valid = fanout_rows(valid, group_n)
+    lengths = (
+        fanout_rows(install.lengths, group_n) if group_n > 1 else install.lengths
+    )
+
+    key, subkey = jax.random.split(state.key)
+    first = sample_tokens(last_logits, subkey, sampling)
+    first_logp = sampled_token_logp(last_logits, first, sampling)
+    finished0 = (first == cfg.eos_token_id) | ~valid
+
+    k = u * group_n
+    resp_row = jnp.full((k, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
+    logp_row = jnp.zeros((k, max_new), jnp.float32).at[:, 0].set(first_logp)
+
+    return state._replace(
+        k_pool=k_pool,
+        v_pool=v_pool,
+        **scale_updates,
+        page_table=state.page_table.at[slot_ids].set(install.table_rows),
+        length=state.length.at[slot_ids].set(lengths.astype(jnp.int32)),
+        cur_tokens=state.cur_tokens.at[slot_ids].set(first),
+        gen_pos=state.gen_pos.at[slot_ids].set(gen_pos_start.astype(jnp.int32)),
+        steps=state.steps.at[slot_ids].set(1),
+        finished=state.finished.at[slot_ids].set(finished0),
+        active=state.active.at[slot_ids].set(valid),
+        responses=state.responses.at[slot_ids].set(resp_row),
+        logps=state.logps.at[slot_ids].set(logp_row),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode over pages
+# ---------------------------------------------------------------------------
+
+
+def _paged_decode_layer(layer_p, cfg, x, cos, sin, pools, layer_idx,
+                        page_table, write_page, write_off, lengths_new):
+    """One decoder layer, one token per slot: per-slot (page, offset) KV
+    write into the pools + page-table attention. Head/tail shared with every
+    other engine (text.attention_inputs / text.finish_layer)."""
+    t = cfg
+    s = x.shape[0]
+    quantized = len(pools) == 4
+
+    x2 = x[:, None, :]
+    q, knew, vnew = attention_inputs(layer_p, t, x2, cos, sin)
+
+    if quantized:
+        kq, ks = _quantize_kv(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
+        vq, vs = _quantize_kv(vnew)
+        k_pool = pools[0].at[layer_idx, write_page, :, write_off].set(kq[:, 0])
+        v_pool = pools[1].at[layer_idx, write_page, :, write_off].set(vq[:, 0])
+        ks_pool = pools[2].at[layer_idx, write_page, :, write_off].set(ks[:, 0])
+        vs_pool = pools[3].at[layer_idx, write_page, :, write_off].set(vs[:, 0])
+        new_pools = (k_pool, v_pool, ks_pool, vs_pool)
+        scales = (ks_pool, vs_pool)
+    else:
+        k_pool = pools[0].at[layer_idx, write_page, :, write_off].set(
+            knew[:, 0].astype(pools[0].dtype)
+        )
+        v_pool = pools[1].at[layer_idx, write_page, :, write_off].set(
+            vnew[:, 0].astype(pools[1].dtype)
+        )
+        new_pools = (k_pool, v_pool)
+        scales = (None, None)
+
+    out = paged_attention(
+        q[:, 0].astype(x.dtype), k_pool, v_pool, page_table, lengths_new,
+        layer_idx, *scales,
+    )
+    return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_pools
+
+
+def decode_chunk_paged(
+    params, cfg: Qwen25VLConfig, state: PagedState, sampling: SamplingParams,
+    chunk: int,
+) -> PagedState:
+    """Advance every unfinished slot `chunk` tokens. The host guarantees each
+    running slot's page table covers length+chunk cells before calling."""
+    t = cfg.text
+    inv_freq = jnp.asarray(make_inv_freq(t.head_dim, t.rope_theta), jnp.float32)
+    text_params = params["text"]
+    page = state.k_pool.shape[3]
+
+    def one_step(state, _):
+        s = state.cur_tokens.shape[0]
+        run = state.active & ~state.finished
+        slot_idx = jnp.arange(s)
+        # write cell = current length; inactive slots write the dummy page 0
+        write_page = jnp.where(
+            run, state.page_table[slot_idx, state.length // page], 0
+        )
+        write_off = state.length % page
+        lengths_new = jnp.where(run, state.length + 1, state.length)
+
+        pos = jnp.broadcast_to(state.gen_pos[None, :, None], (3, s, 1))
+        cos, sin = compute_cos_sin(pos, inv_freq, t.mrope_section, dtype=jnp.bfloat16)
+        x = jnp.take(text_params["embed_tokens"], state.cur_tokens, axis=0)
+        quantized = state.k_scale is not None
+
+        def body(carry, layer_p):
+            x, pools, idx = carry
+            x, pools = _paged_decode_layer(
+                layer_p, t, x, cos, sin, pools, idx,
+                state.page_table, write_page, write_off, lengths_new,
+            )
+            return (x, pools, idx + 1), None
+
+        pools0 = (
+            (state.k_pool, state.v_pool, state.k_scale, state.v_scale)
+            if quantized else (state.k_pool, state.v_pool)
+        )
+        init = (x, pools0, jnp.zeros((), jnp.int32))
+        (x_out, pools, _), _ = jax.lax.scan(body, init, text_params["layers"])
+        scale_updates = dict(k_scale=pools[2], v_scale=pools[3]) if quantized else {}
+        hidden = rms_norm(x_out[:, None, :], text_params["norm"], t.rms_norm_eps)
+        logits = logits_from_hidden(text_params, hidden, t)[:, 0, :]
+
+        key, subkey = jax.random.split(state.key)
+        sampled = sample_tokens(logits, subkey, sampling)
+        logp = sampled_token_logp(logits, sampled, sampling)
+
+        max_new = state.responses.shape[1]
+        write_step = jnp.clip(state.steps, 0, max_new - 1)
+        responses = jnp.where(
+            run[:, None] & (jnp.arange(max_new)[None] == write_step[:, None]),
+            sampled[:, None], state.responses,
+        )
+        logps = jnp.where(
+            run[:, None] & (jnp.arange(max_new)[None] == write_step[:, None]),
+            logp[:, None], state.logps,
+        )
+        newly_finished = run & (
+            (sampled == cfg.eos_token_id) | (state.steps + 1 >= max_new)
+        )
+        return state._replace(
+            k_pool=pools[0],
+            v_pool=pools[1],
+            **scale_updates,
+            length=lengths_new,
+            cur_tokens=jnp.where(run, sampled, state.cur_tokens),
+            gen_pos=jnp.where(run, state.gen_pos + 1, state.gen_pos),
+            steps=jnp.where(run, state.steps + 1, state.steps),
+            finished=state.finished | newly_finished,
+            responses=responses,
+            logps=logps,
+            key=key,
+        ), None
+
+    state, _ = jax.lax.scan(one_step, state, None, length=chunk)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# host orchestration: allocator, refill, preemption
+# ---------------------------------------------------------------------------
+
+
+class PageAllocator:
+    """Host-side page pool: free list + refcounts (page 0 reserved dummy)."""
+
+    def __init__(self, total_pages: int):
+        self.free: List[int] = list(range(total_pages - 1, 0, -1))
+        self.refcount = np.zeros(total_pages, dtype=np.int32)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if len(self.free) < n:
+            return None
+        pages = [self.free.pop() for _ in range(n)]
+        self.refcount[pages] = 1
+        return pages
+
+    def ref(self, pages: List[int], n: int) -> None:
+        self.refcount[pages] += n
+
+    def release(self, pages: List[int]) -> None:
+        self.refcount[pages] -= 1
+        for p in pages:
+            if self.refcount[p] == 0:
+                self.free.append(p)
+
+    @property
+    def n_free(self) -> int:
+        return len(self.free)
+
+
+class PagedResult(NamedTuple):
+    responses: np.ndarray
+    response_mask: np.ndarray
+    rollout_log_probs: np.ndarray
+    stats: dict
+
+
+def generate_paged(
+    params,
+    cfg: Qwen25VLConfig,
+    input_ids: np.ndarray,       # (B, P) left-padded UNIQUE prompts
+    segment_ids: np.ndarray,
+    position_ids: np.ndarray,    # (3, B, P)
+    gen_pos_start: np.ndarray,
+    *,
+    max_new_tokens: int,
+    sampling: SamplingParams,
+    key: jax.Array,
+    slots: int = 32,
+    page_size: int = 128,
+    total_pages: int = 0,        # 0 = worst case (slots x pages-per-slot)
+    decode_chunk_size: int = 32,
+    kv_cache_dtype=jnp.bfloat16,
+    patches_list=None,
+    grids_list=None,
+    vision_bucket: int = 0,
+    prefill_chunk_size: int = 0,
+    max_num_batched_tokens: int = 0,
+    group_n: int = 1,
+) -> PagedResult:
+    """Generate B*group_n sequences through `slots` decode lanes over a
+    `total_pages` KV page pool. Output row i*group_n + j is sample j of
+    prompt i (repeat-interleave order). ``stats`` reports page-pool telemetry
+    (peak pages, preemptions)."""
+    from .continuous import effective_prefill_chunk
+
+    b, p = input_ids.shape
+    n_out = b * group_n
+    slots = min(slots, n_out)
+    slots = max(slots - slots % group_n, group_n)
+    u_batch = slots // group_n
+    prefill_chunk = effective_prefill_chunk(
+        p, u_batch, prefill_chunk_size, max_num_batched_tokens
+    )
+    p_max = -(-(p + max_new_tokens) // page_size) + 1   # table width (pages)
+    pages_per_slot_worst = p_max
+    if total_pages <= 0:
+        total_pages = slots * pages_per_slot_worst + 1  # +1 dummy
+    n_lanes = slots + 1  # +1 trash lane for queue-padding prefill rows
+    trash = slots
+
+    prefill_jit = jax.jit(
+        prefill_paged, static_argnames=("cfg", "sampling", "prefill_chunk", "group_n"),
+    )
+    decode_jit = jax.jit(
+        decode_chunk_paged, static_argnames=("cfg", "sampling", "chunk"),
+    )
+
+    state = init_paged_state(
+        cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
+        kv_cache_dtype,
+    )
+    allocator = PageAllocator(total_pages)
+
+    responses = np.full((n_out, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
+    logps_out = np.zeros((n_out, max_new_tokens), dtype=np.float32)
+    mask_out = np.zeros((n_out, max_new_tokens), dtype=np.int32)
+
+    # host bookkeeping per slot
+    slot_owner = np.full(n_lanes, -1, dtype=np.int64)     # output-row index
+    slot_shared: List[List[int]] = [[] for _ in range(n_lanes)]  # refcounted prompt pages
+    slot_own: List[List[int]] = [[] for _ in range(n_lanes)]     # per-lane pages
+    slot_capacity = np.zeros(n_lanes, dtype=np.int64)     # cells covered by table
+    slot_birth = np.full(n_lanes, -1, dtype=np.int64)     # install order (for LIFO preempt)
+    host_table = np.zeros((n_lanes, p_max), dtype=np.int32)
+    prompt_lens = segment_ids.sum(-1).astype(np.int64)
+    t_full = u_batch * (-(-p // page_size))               # static scatter sizes
+    t_tail = u_batch * group_n
+
+    work: List[int] = list(range(b))                      # prompt queue (FIFO)
+    stats = {"preemptions": 0, "peak_pages": 0, "total_pages": total_pages - 1}
+    birth_counter = 0
+
+    multimodal = patches_list is not None and any(x is not None for x in patches_list)
+    if multimodal and vision_bucket <= 0:
+        from ..models.qwen2_5_vl.vision import layout_patch_count, window_patch_len
+
+        per_prompt = [
+            0 if g is None else sum(layout_patch_count(row, cfg.vision) for row in np.asarray(g))
+            for g in grids_list
+        ]
+        vision_bucket = max(per_prompt) * u_batch
+        wlen = window_patch_len(cfg.vision)
+        vision_bucket = -(-vision_bucket // wlen) * wlen
+
+    def pages_for_prompt(length: int) -> Tuple[int, int]:
+        return int(length) // page_size, int(length) % page_size
+
+    def try_reserve(length: int) -> Optional[Tuple[List[int], List[List[int]]]]:
+        """Shared full pages + per-lane tail pages for one prompt group."""
+        n_full, tail = pages_for_prompt(length)
+        need = n_full + (group_n if tail else 0)
+        if allocator.n_free < need:
+            return None
+        shared = allocator.alloc(n_full) or []
+        if n_full:
+            allocator.ref(shared, group_n - 1)  # one ref per lane
+        tails = [allocator.alloc(1) if tail else [] for _ in range(group_n)]
+        return shared, tails
+
+    def refill(state, free_slot_list):
+        nonlocal birth_counter
+        targets = np.full(slots, trash, dtype=np.int64)
+        rows = np.zeros(u_batch, dtype=np.int64)
+        valid = np.zeros(u_batch, dtype=bool)
+        full_src_row = np.zeros(t_full, dtype=np.int64)
+        full_src_pos = np.zeros((t_full, page_size), dtype=np.int64)
+        full_dst = np.zeros(t_full, dtype=np.int64)
+        tail_src_row = np.zeros(t_tail, dtype=np.int64)
+        tail_src_pos = np.zeros((t_tail, page_size), dtype=np.int64)
+        tail_dst = np.zeros(t_tail, dtype=np.int64)
+        table_rows = np.zeros((u_batch * group_n, p_max), dtype=np.int32)
+        lengths = np.zeros(u_batch, dtype=np.int64)
+        free = list(free_slot_list)
+        fi = 0
+        for g in range(u_batch):
+            if not work or len(free) < group_n:
+                break
+            prompt_idx = work[0]
+            ell = int(prompt_lens[prompt_idx])
+            reserved = try_reserve(ell)
+            if reserved is None:
+                break  # pool pressure: admit later
+            work.pop(0)
+            shared, tails = reserved
+            n_full, tail = pages_for_prompt(ell)
+            rows[g] = prompt_idx
+            valid[g] = True
+            lengths[g] = ell
+            pad = p - ell
+            for tpage in range(n_full):
+                full_src_row[fi] = g
+                full_src_pos[fi] = pad + tpage * page_size + np.arange(page_size)
+                full_dst[fi] = shared[tpage]
+                fi += 1
+            for j in range(group_n):
+                slot = free.pop(0)
+                lane = g * group_n + j
+                targets[lane] = slot
+                slot_owner[slot] = prompt_idx * group_n + j
+                slot_shared[slot] = list(shared)
+                slot_own[slot] = list(tails[j])
+                slot_birth[slot] = birth_counter
+                row = np.zeros(p_max, dtype=np.int32)
+                row[:n_full] = shared
+                if tail:
+                    row[n_full] = tails[j][0]
+                    ti = lane
+                    tail_src_row[ti] = g
+                    tail_src_pos[ti] = np.clip(
+                        pad + n_full * page_size + np.arange(page_size), 0, p - 1
+                    )
+                    tail_dst[ti] = tails[j][0]
+                host_table[slot] = row
+                slot_capacity[slot] = (n_full + (1 if tail else 0)) * page_size
+            birth_counter += 1
+        if not valid.any():
+            return state, free, False
+        ids_batch = input_ids[rows].copy()
+        seg_batch = segment_ids[rows].copy()
+        ids_batch[~valid] = 0
+        seg_batch[~valid] = 0
+        vision = None
+        if multimodal:
+            from ..data.packing import pack_vision_batch
+
+            vision = pack_vision_batch(
+                [patches_list[int(r)] if v else None for r, v in zip(rows, valid)],
+                [grids_list[int(r)] if v else None for r, v in zip(rows, valid)],
+                cfg.vision, pad_to=vision_bucket,
+            )
+            if vision is not None:
+                vision = jax.tree.map(jnp.asarray, vision)
+        # table rows in lane order (trash lanes keep zeros)
+        for lane in range(u_batch * group_n):
+            slot = targets[lane]
+            if slot != trash:
+                table_rows[lane] = host_table[slot]
+        install = PrefillInstall(
+            full_src_row=jnp.asarray(full_src_row),
+            full_src_pos=jnp.asarray(full_src_pos),
+            full_dst=jnp.asarray(full_dst),
+            tail_src_row=jnp.asarray(tail_src_row),
+            tail_src_pos=jnp.asarray(tail_src_pos),
+            tail_dst=jnp.asarray(tail_dst),
+            table_rows=jnp.asarray(table_rows),
+            lengths=jnp.asarray(lengths),
+        )
+        state = prefill_jit(
+            params, cfg, state,
+            jnp.asarray(targets),
+            jnp.asarray(ids_batch),
+            jnp.asarray(seg_batch),
+            jnp.asarray(position_ids[:, rows]),
+            jnp.asarray(gen_pos_start[rows]),
+            jnp.asarray(valid),
+            install,
+            sampling,
+            vision,
+            prefill_chunk=prefill_chunk,
+            group_n=group_n,
+        )
+        used = int(allocator.refcount[1:].astype(bool).sum())
+        stats["peak_pages"] = max(stats["peak_pages"], used)
+        return state, free, True
+
+    def release_slot(slot: int) -> None:
+        if slot_shared[slot]:
+            allocator.release(slot_shared[slot])
+            slot_shared[slot] = []
+        for pg in slot_own[slot]:
+            allocator.release([pg])
+        slot_own[slot] = []
+        slot_capacity[slot] = 0
+        slot_birth[slot] = -1
+
+    def preempt_youngest(active_mask: np.ndarray, state: PagedState) -> PagedState:
+        """Free the youngest group's pages, requeue its prompt (recompute)."""
+        births = np.where(active_mask, slot_birth, -1)
+        youngest = int(births.max())
+        oldest_active = int(
+            np.min(np.where(active_mask, slot_birth, np.iinfo(np.int64).max))
+        )
+        if youngest < 0 or youngest == oldest_active:
+            raise RuntimeError(
+                "KV page pool too small for a single sequence at max length: "
+                f"raise the pool budget or lower max_new_tokens (pool={total_pages - 1} "
+                f"pages x {page_size} tokens)"
+            )
+        victim_slots = [
+            s for s in range(len(active_mask))
+            if active_mask[s] and slot_birth[s] == youngest
+        ]
+        prompt_idx = int(slot_owner[victim_slots[0]]) // group_n
+        for s in victim_slots:
+            release_slot(s)
+            slot_owner[s] = -1
+        work.insert(0, prompt_idx)
+        stats["preemptions"] += 1
+        dev_idx = jnp.asarray(victim_slots)
+        return state._replace(
+            active=state.active.at[dev_idx].set(False),
+            finished=state.finished.at[dev_idx].set(True),
+        )
+
+    def ensure_capacity(state: PagedState) -> PagedState:
+        """Grow running slots' page tables to cover the next decode chunk;
+        preempt (youngest-group recompute) on pool exhaustion."""
+        while True:
+            active = np.asarray(state.active)
+            finished = np.asarray(state.finished)
+            lengths_np = np.asarray(state.length)
+            run = active & ~finished
+            table_dirty = False
+            ok = True
+            for s in np.nonzero(run)[0]:
+                budget = min(int(lengths_np[s]) + decode_chunk_size,
+                             int(prompt_lens[slot_owner[s] // group_n]) + max_new_tokens)
+                while slot_capacity[s] < budget:
+                    got = allocator.alloc(1)
+                    if got is None:
+                        ok = False
+                        break
+                    pg = got[0]
+                    slot_own[s].append(pg)
+                    host_table[s, int(slot_capacity[s]) // page_size] = pg
+                    slot_capacity[s] += page_size
+                    table_dirty = True
+                if not ok:
+                    break
+            if table_dirty:
+                state = state._replace(page_table=jnp.asarray(host_table[: state.page_table.shape[0]]))
+            if ok:
+                used = int(allocator.refcount[1:].astype(bool).sum())
+                stats["peak_pages"] = max(stats["peak_pages"], used)
+                return state
+            state = preempt_youngest(run, lengths_np, state)
+
+    def harvest(state) -> Tuple[PagedState, List[int]]:
+        finished = np.asarray(state.finished)
+        active = np.asarray(state.active)
+        done_slots = [int(i) for i in np.nonzero(finished & active)[0]]
+        if done_slots:
+            resp_rows = np.asarray(state.responses[jnp.asarray(done_slots)])
+            logp_rows = np.asarray(state.logps[jnp.asarray(done_slots)])
+            for row, slot in enumerate(done_slots):
+                owner = slot_owner[slot]
+                if owner >= 0:
+                    responses[owner] = resp_rows[row]
+                    logps_out[owner] = logp_rows[row]
+                    slot_owner[slot] = -1
+                release_slot(slot)
+            state = state._replace(
+                active=state.active.at[jnp.asarray(done_slots)].set(False)
+            )
+        return state, done_slots
+
+    state, free_pool, _ = refill(state, list(range(slots)))
+    while True:
+        state = ensure_capacity(state)
+        state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
+        state, done_slots = harvest(state)
+        free_pool.extend(done_slots)
+        if work and len(free_pool) >= group_n:
+            state, free_pool, _ = refill(state, free_pool)
+        active_left = bool(np.asarray(state.active).any())
+        if not active_left and not work:
+            break
+
+    mask = np.asarray(get_response_mask(jnp.asarray(responses), cfg.eos_token_id))
+    responses_out = np.where(mask == 1, responses, cfg.pad_token_id)
+    return PagedResult(
+        responses=responses_out, response_mask=mask,
+        rollout_log_probs=logps_out * mask, stats=stats,
+    )

@@ -22,9 +22,13 @@ from ..models.qwen2_5_vl.model import VisionInputs
 from .train_step import TrainBatch
 
 
-def init_critic_params(cfg: Qwen25VLConfig, key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+def init_critic_params(cfg: Qwen25VLConfig, key: jax.Array, dtype=jnp.float32,
+                       base_params: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Backbone + scalar value head. ``base_params`` initializes the backbone
+    from loaded weights (critic.model.model_path, reference fsdp_workers
+    builds the critic from its own model config) instead of random init."""
     k1, k2 = jax.random.split(key)
-    params = init_params(cfg, k1, dtype)
+    params = base_params if base_params is not None else init_params(cfg, k1, dtype)
     e = cfg.text.hidden_size
     params["value_head"] = {
         "weight": (jax.random.normal(k2, (e, 1), jnp.float32) * 0.02).astype(dtype),

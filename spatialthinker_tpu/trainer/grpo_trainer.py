@@ -31,7 +31,13 @@ from ..algos import (
     compute_rloo_outcome_advantage,
     get_kl_controller,
 )
-from ..core.batch import RolloutBatch, pad_to_divisor, unpad
+from ..core.batch import (
+    RolloutBatch,
+    pad_to_divisor,
+    trim_prompt_padding,
+    trim_response_padding,
+    unpad,
+)
 from ..core.config import PPOConfig
 from ..data.packing import pack_vision_batch
 from ..models.qwen2_5_vl import Qwen25VLConfig
@@ -165,11 +171,11 @@ class GRPOTrainer:
         self.ref_params = None
         if self.use_ref:
             if self.ref_offload:
-                if self.n_proc > 1:
-                    raise ValueError(
-                        "ref.offload needs fully-addressable params (single process)"
-                    )
-                self.ref_params = jax.device_get(self.params)
+                from ..parallel.offload import offload_to_host
+
+                # per-process addressable-shard copies: works multi-host,
+                # where jax.device_get on the global array would raise
+                self.ref_params = offload_to_host(self.params)
             else:
                 self.ref_params = jax.tree.map(lambda x: jnp.copy(x), self.params)
 
@@ -182,7 +188,20 @@ class GRPOTrainer:
             warmup_steps=int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0)),
             strategy=opt_cfg.strategy,
         )
-        self.opt_state = self.optimizer.init(self.params)
+        # jitted init: moment leaves propagate the params' mesh shardings
+        # (eager init leaves everything uncommitted on one device, which
+        # breaks after an offload round-trip pins them there)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        self.opt_state = self._replicate_stragglers(self.opt_state)
+        # optimizer-state host offload (reference host_offload_optimizer,
+        # fsdp_workers.py:252-280): the state lives on the host except inside
+        # the update stage, so rollout/logprob stages see its HBM freed —
+        # trades two PCIe round-trips per step for a full optimizer footprint
+        self.offload_opt = actor.sharding.host_offload_optimizer
+        if self.offload_opt:
+            from ..parallel.offload import offload_to_host
+
+            self.opt_state = offload_to_host(self.opt_state)
 
         self.update_fn = jax.jit(
             make_update_fn(
@@ -244,19 +263,55 @@ class GRPOTrainer:
             from .critic import compute_values, init_critic_params, make_critic_update_fn
 
             critic_cfg = config.worker.critic
+            # critic.model selects the critic's OWN architecture/weights
+            # (reference: the critic worker builds from critic.model config);
+            # defaults to sharing the actor's model config
+            self.critic_model_cfg = model_cfg
+            critic_base = None
+            cm = critic_cfg.model
+            if cm.model_path and cm.model_path != config.worker.actor.model.model_path:
+                from ..models.qwen2_5_vl import get_config as get_model_config
+                from ..models.qwen2_5_vl import init_params as init_model_params
+
+                cdtype = getattr(jnp, cm.param_dtype)
+                if os.path.isdir(cm.model_path) and any(
+                    f.endswith(".safetensors") for f in os.listdir(cm.model_path)
+                ):
+                    from ..models.qwen2_5_vl.params import load_params
+
+                    self.critic_model_cfg, critic_base = load_params(cm.model_path, dtype=cdtype)
+                else:
+                    self.critic_model_cfg = get_model_config(cm.model_path)
+                    critic_base = init_model_params(
+                        self.critic_model_cfg, jax.random.key(config.trainer.seed + 1),
+                        dtype=cdtype,
+                    )
+                if self.critic_model_cfg.vision != model_cfg.vision:
+                    raise ValueError(
+                        f"critic.model.model_path={cm.model_path!r} has a different "
+                        "vision tower than the actor: vision packs are prepared once "
+                        "per batch with the actor's layout — pick a critic from the "
+                        "same vision family"
+                    )
             self.critic_params = shard_params(
                 self.mesh,
-                init_critic_params(model_cfg, jax.random.key(config.trainer.seed + 1)),
+                init_critic_params(
+                    self.critic_model_cfg, jax.random.key(config.trainer.seed + 1),
+                    base_params=critic_base,
+                ),
             )
             self.critic_optimizer = make_optimizer(
                 critic_cfg.optim.lr,
                 weight_decay=critic_cfg.optim.weight_decay,
                 strategy=critic_cfg.optim.strategy,
             )
-            self.critic_opt_state = self.critic_optimizer.init(self.critic_params)
+            self.critic_opt_state = self._replicate_stragglers(
+                jax.jit(self.critic_optimizer.init)(self.critic_params)
+            )
+            cmc = self.critic_model_cfg
             self.critic_update_fn = jax.jit(
                 make_critic_update_fn(
-                    model_cfg, self.critic_optimizer,
+                    cmc, self.critic_optimizer,
                     cliprange_value=critic_cfg.cliprange_value,
                     max_grad_norm=critic_cfg.max_grad_norm,
                     remat=critic_cfg.sharding.remat,
@@ -264,7 +319,7 @@ class GRPOTrainer:
                 donate_argnums=(0, 1),
             )
             self.values_fn = jax.jit(
-                lambda p, b, v: compute_values(p, model_cfg, b, v, remat=False)
+                lambda p, b, v: compute_values(p, cmc, b, v, remat=False)
             )
         self.generate_fn = jax.jit(
             generate,
@@ -273,6 +328,14 @@ class GRPOTrainer:
                 "prefill_chunk", "n",
             ),
         )
+        # rollout W8A8 quantization (vLLM `quantization` parity): re-quantize
+        # the decoder-stack matmul weights each rollout phase (the optimizer
+        # just rewrote them); one stack read, negligible next to a prefill
+        self.quantize_fn = None
+        if config.worker.rollout.quantization == "int8":
+            from ..ops.quant import quantize_params
+
+            self.quantize_fn = jax.jit(quantize_params)
 
         self.sampling = SamplingParams(
             temperature=config.worker.rollout.temperature,
@@ -301,6 +364,32 @@ class GRPOTrainer:
     def _next_key(self):
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
+
+    def _replicate_stragglers(self, tree):
+        """Pin any leaf XLA left on a subset of the mesh (e.g. the optimizer
+        `count` scalar) to a replicated mesh sharding: offload/restore commits
+        shardings, and a committed single-device leaf can't meet the
+        mesh-sharded params inside one jit."""
+        full = set(self.mesh.devices.flat)
+
+        def fix(x):
+            if isinstance(x, jax.Array) and set(x.sharding.device_set) != full:
+                spec = P(*([None] * x.ndim))
+                return jax.device_put(x, jax.sharding.NamedSharding(self.mesh, spec))
+            return x
+
+        return jax.tree.map(fix, tree)
+
+    def _rollout_key(self, tag: int, index: int = 0):
+        """Deterministic rollout sampling stream (vLLM SamplingParams.seed
+        parity, reference rollout/config.py seed): keyed by
+        (rollout.seed, global_step, stage tag, batch index) — stateless, so
+        resume reproduces the same rollouts without checkpointing a second
+        PRNG stream. Tags: 0 train rollout, 1 remax baseline, 2 validation."""
+        base = jax.random.key(self.config.worker.rollout.seed)
+        k = jax.random.fold_in(base, self.global_step)
+        k = jax.random.fold_in(k, tag)
+        return jax.random.fold_in(k, index)
 
     def _dev(self, x, batch_axis: int = 0):
         """Host-local numpy -> device array; multi-host: a GLOBAL array whose
@@ -356,27 +445,10 @@ class GRPOTrainer:
 
         return int(allgather_host_data(np.asarray([local_max], np.int64)).max())
 
-    @staticmethod
-    def trim_prompt_padding(batch: RolloutBatch, bucket: int = 512,
-                            negotiated_max: Optional[int] = None) -> RolloutBatch:
-        """Left-padded prompts are padded to the config max; trim to the batch's
-        longest prompt rounded up to `bucket` (TPU padding-free equivalent:
-        static shapes per bucket, far less wasted compute than always-max).
-        Safe because position ids / segment ids travel with the tokens.
-        ``negotiated_max`` carries the cross-process max (jit shapes agree)."""
-        seg = batch.tensors["segment_ids"]
-        max_len = negotiated_max if negotiated_max is not None else int(seg.sum(-1).max())
-        p = seg.shape[1]
-        keep = min(p, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
-        if keep >= p:
-            return batch
-        out = RolloutBatch(
-            tensors=dict(batch.tensors), non_tensors=batch.non_tensors, meta=batch.meta
-        )
-        out.tensors["input_ids"] = batch.tensors["input_ids"][:, p - keep :]
-        out.tensors["segment_ids"] = seg[:, p - keep :]
-        out.tensors["position_ids"] = batch.tensors["position_ids"][:, :, p - keep :]
-        return out
+    # shared with the eval harness (core/batch.py) — kept as staticmethods for
+    # the established call sites
+    trim_prompt_padding = staticmethod(trim_prompt_padding)
+    trim_response_padding = staticmethod(trim_response_padding)
 
     def _pack_vision(self, batch: RolloutBatch):
         vision = pack_vision_batch(
@@ -448,37 +520,19 @@ class GRPOTrainer:
             index_offset=row_start,
         )
 
-    @staticmethod
-    def trim_response_padding(batch: RolloutBatch, bucket: int = 256,
-                              negotiated_max: Optional[int] = None) -> RolloutBatch:
-        """Right-trim the response buffer to the longest valid response rounded
-        up to `bucket` (responses usually hit EOS well before max_new_tokens);
-        ``negotiated_max`` carries the cross-process max (jit shapes agree)."""
-        mask = batch.tensors["response_mask"]
-        r = mask.shape[1]
-        max_len = negotiated_max if negotiated_max is not None else int(mask.sum(-1).max())
-        keep = min(r, max(bucket, ((max_len + bucket - 1) // bucket) * bucket))
-        if keep >= r:
-            return batch
-        out = RolloutBatch(
-            tensors=dict(batch.tensors), non_tensors=batch.non_tensors, meta=batch.meta
-        )
-        p = batch.tensors["input_ids"].shape[1]
-        for key in ("responses", "response_mask", "token_level_scores", "rollout_log_probs"):
-            if key in out.tensors:
-                out.tensors[key] = out.tensors[key][:, :keep]
-        for key in ("full_input_ids", "full_segment_ids"):
-            out.tensors[key] = out.tensors[key][:, : p + keep]
-        return out
-
     # ------------------------------------------------------------- generation
 
-    def generate_sequences(self, batch: RolloutBatch, sampling: SamplingParams) -> RolloutBatch:
+    def generate_sequences(self, batch: RolloutBatch, sampling: SamplingParams,
+                           key=None) -> RolloutBatch:
         """Decode n samples per prompt, attach responses + masks + full seqs.
         The dense engine prefills each UNIQUE prompt once and fans the prompt
         KV out to n decode lanes (engine.generate n>1); host-side tensors are
         repeated to match the [prompt0 x n, ...] row order."""
         n = sampling.n
+        key = key if key is not None else self._rollout_key(0)
+        gen_params = self.params
+        if self.quantize_fn is not None:
+            gen_params = self.quantize_fn(self.params)
         base = self.trim_prompt_padding(
             batch,
             negotiated_max=self._negotiated_max(
@@ -499,13 +553,13 @@ class GRPOTrainer:
 
             slots = rollout_cfg.decode_batch_size
             result = generate_continuous(
-                self.params, self.model_cfg,
+                gen_params, self.model_cfg,
                 base.tensors["input_ids"], base.tensors["segment_ids"],
                 np.transpose(base.tensors["position_ids"], (1, 0, 2)),
                 base.tensors["gen_pos_start"],
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
-                key=self._next_key(),
+                key=key,
                 slots=slots if slots > 0 else min(len(repeated), 32),
                 patches_list=list(base.non_tensors["patches"]),
                 grids_list=list(base.non_tensors["image_grid_thw"]),
@@ -525,7 +579,7 @@ class GRPOTrainer:
             vision = self._pack_vision(eng)  # multi-host: globalized pack
             eng_pos = np.transpose(eng.tensors["position_ids"], (1, 0, 2))
             result = self.generate_fn(
-                self.params,
+                gen_params,
                 self.model_cfg,
                 self._dev(eng.tensors["input_ids"]),
                 self._dev(eng.tensors["segment_ids"]),
@@ -533,7 +587,7 @@ class GRPOTrainer:
                 self._dev(eng.tensors["gen_pos_start"]),
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
-                key=self._next_key(),
+                key=key,
                 vision=vision,
                 kv_cache_dtype=kv_dtype,
                 prefill_chunk=effective_prefill_chunk(
@@ -839,6 +893,17 @@ class GRPOTrainer:
         return all(p is None for p in batch.non_tensors.get("patches", [None]))
 
     def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
+        if self.offload_opt:
+            from ..parallel.offload import offload_to_host, restore_from_host
+
+            self.opt_state = restore_from_host(self.opt_state)
+            try:
+                return self._update_actor_inner(batch)
+            finally:
+                self.opt_state = offload_to_host(self.opt_state)
+        return self._update_actor_inner(batch)
+
+    def _update_actor_inner(self, batch: RolloutBatch) -> Dict[str, float]:
         if self._use_packed(batch):
             return self._update_actor_packed(batch)
         actor_cfg = self.config.worker.actor
@@ -943,7 +1008,10 @@ class GRPOTrainer:
 
             if self.adv_estimator == "remax":
                 with timer("gen_baseline"):
-                    greedy = self.generate_sequences(batch, self.sampling.override(temperature=0.0, n=1))
+                    greedy = self.generate_sequences(
+                        batch, self.sampling.override(temperature=0.0, n=1),
+                        key=self._rollout_key(1),
+                    )
                     base_rewards, _ = self.reward_fn(greedy)
                     baselines = base_rewards.sum(-1)
                     rolled.tensors["reward_baselines"] = np.repeat(baselines, self.sampling.n, axis=0)
@@ -986,7 +1054,9 @@ class GRPOTrainer:
                 with timer("ref"):
                     ref_params = self.ref_params
                     if self.ref_offload:  # re-shard the host copy for this stage
-                        ref_params = shard_params(self.mesh, self.ref_params)
+                        from ..parallel.offload import restore_from_host
+
+                        ref_params = restore_from_host(self.ref_params)
                     rolled.tensors["ref_log_probs"] = self.compute_log_probs_batched(
                         rolled, ref_params
                     )
@@ -1083,33 +1153,44 @@ class GRPOTrainer:
 
     def _validate(self) -> Dict[str, float]:
         all_scores: Dict[str, List[float]] = defaultdict(list)
-        samples = []
+        candidates = []
         # off-size final val batches break sharding divisibility at larger
         # meshes: cyclically pad to the batch-sharded device count and unpad
         # after decode (reference pads via pad_dataproto_to_divisor in
         # ray_trainer._validate)
         sh = self.config.worker.actor.sharding
         divisor = max(1, sh.data_size * sh.fsdp_size // self.n_proc)
-        for batch in self.val_dataloader:
+        for batch_idx, batch in enumerate(self.val_dataloader):
             batch, pad_size = pad_to_divisor(batch, divisor)
-            rolled = self.generate_sequences(batch, self.val_sampling)
+            rolled = self.generate_sequences(
+                batch, self.val_sampling, key=self._rollout_key(2, batch_idx)
+            )
             rolled = unpad(rolled, pad_size * self.val_sampling.n)
             reward_tensor, metrics = self.val_reward_fn(rolled)
             for k, v in metrics.items():
                 all_scores[k].extend(self._gather_rows(v).tolist())
-            cap = self.config.trainer.val_generations_to_log
-            if len(samples) < cap:
-                take = min(cap - len(samples), len(rolled))
-                lengths = rolled.tensors["response_mask"].sum(-1)
-                texts = self.tokenizer.batch_decode(
-                    [rolled.tensors["responses"][i, : lengths[i]] for i in range(take)],
-                    skip_special_tokens=True,
+            lengths = rolled.tensors["response_mask"].sum(-1)
+            for i in range(len(rolled)):
+                candidates.append(
+                    (str(rolled.non_tensors["problem"][i]),
+                     rolled.tensors["responses"][i, : lengths[i]],
+                     str(rolled.non_tensors["ground_truth"][i]),
+                     float(reward_tensor[i].sum()))
                 )
-                for i, text in enumerate(texts):
-                    samples.append(
-                        (str(rolled.non_tensors["problem"][i]), text,
-                         str(rolled.non_tensors["ground_truth"][i]), float(reward_tensor[i].sum()))
-                    )
+        # deterministic subsample of the WHOLE validation set (reference
+        # gen_logger.py:31-103: sort by input, fixed-seed shuffle, take N) —
+        # logging the first rows of the first batches biases the table toward
+        # whatever the loader yields first. Decode only the selected rows.
+        cap = self.config.trainer.val_generations_to_log
+        candidates.sort(key=lambda s: s[0])
+        order = np.random.RandomState(42).permutation(len(candidates))[:cap]
+        texts = self.tokenizer.batch_decode(
+            [candidates[j][1] for j in order], skip_special_tokens=True
+        )
+        samples = [
+            (candidates[j][0], text, candidates[j][2], candidates[j][3])
+            for j, text in zip(order, texts)
+        ]
         self.tracker.log_generations(samples, self.global_step)
         out = {f"val/{k}_reward" if k != "overall" else "val/reward_score": float(np.mean(v))
                for k, v in all_scores.items()}
@@ -1120,9 +1201,13 @@ class GRPOTrainer:
     def save_checkpoint(self):
         params = self.params
         opt_state = self.opt_state
+        if self.offload_opt:  # orbax serializes the on-device tree structure
+            from ..parallel.offload import restore_from_host
+
+            opt_state = restore_from_host(self.opt_state)
         if self.use_critic:
             params = {"actor": self.params, "critic": self.critic_params}
-            opt_state = {"actor": self.opt_state, "critic": self.critic_opt_state}
+            opt_state = {"actor": opt_state, "critic": self.critic_opt_state}
         self.ckpt.save(
             self.global_step,
             params=params,
@@ -1135,13 +1220,20 @@ class GRPOTrainer:
         path = self.config.trainer.load_checkpoint_path
         if not path:
             return
+        opt_state = self.opt_state
+        if self.offload_opt:  # the checkpoint template needs the device tree
+            from ..parallel.offload import restore_from_host
+
+            opt_state = restore_from_host(self.opt_state)
         params_like = self.params
-        opt_like = self.opt_state
+        opt_like = opt_state
         if self.use_critic:
             params_like = {"actor": self.params, "critic": self.critic_params}
-            opt_like = {"actor": self.opt_state, "critic": self.critic_opt_state}
+            opt_like = {"actor": opt_state, "critic": self.critic_opt_state}
         state = self.ckpt.load(path, params_like=params_like, opt_state_like=opt_like)
         if state is None:
+            if self.offload_opt:
+                del opt_state
             return
         if self.use_critic:
             self.params = state["params"]["actor"]
@@ -1151,6 +1243,10 @@ class GRPOTrainer:
         else:
             self.params = state["params"]
             self.opt_state = state["opt_state"]
+        if self.offload_opt:
+            from ..parallel.offload import offload_to_host
+
+            self.opt_state = offload_to_host(self.opt_state)
         self.global_step = state["step"]
         if state.get("dataloader_state") and hasattr(self.train_dataloader, "load_state_dict"):
             self.train_dataloader.load_state_dict(state["dataloader_state"])

@@ -1,0 +1,119 @@
+"""W8A8 rollout quantization (ops/quant.py): numerics of the quantized dot,
+param-tree structure, engine parity on the tiny model, and config wiring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialthinker_tpu.models.qwen2_5_vl import get_config
+from spatialthinker_tpu.models.qwen2_5_vl.model import init_params
+from spatialthinker_tpu.ops.quant import (
+    is_quantized,
+    linear,
+    quantize_params,
+    quantize_weight,
+    quantized_dot,
+)
+
+
+def test_quantized_dot_close_to_exact():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 96, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
+    exact = np.asarray(jnp.dot(x, w))
+    q = np.asarray(quantized_dot(x, quantize_weight(w, 0), 0, out_dtype=jnp.float32))
+    # symmetric 8-bit weight+activation: ~1% relative error on gaussian data
+    err = np.linalg.norm(q - exact) / np.linalg.norm(exact)
+    assert err < 0.02, err
+
+
+def test_quantized_dot_middle_contract_axis():
+    """The fused-QKV layout: w (Hkv, E, G) contracted on E (axis 1)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 32, 16)).astype(np.float32) * 0.05)
+    exact = np.asarray(jnp.einsum("bse,gef->bsgf", x, w))
+    q = np.asarray(quantized_dot(x, quantize_weight(w, 1), 1, out_dtype=jnp.float32))
+    assert q.shape == exact.shape
+    err = np.linalg.norm(q - exact) / np.linalg.norm(exact)
+    assert err < 0.02, err
+    # bf16 path of the same entry point matches einsum exactly
+    lin = np.asarray(linear(x, w, contract_axis=1))
+    np.testing.assert_allclose(lin, exact, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_structure():
+    cfg = get_config("tiny")
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    qparams = quantize_params(params)
+    jax.jit(quantize_params)(params)  # jittable (the trainer jits it)
+
+    layers = qparams["text"]["layers"]
+    for group, name in (
+        ("self_attn", "qkv_proj"), ("self_attn", "o_proj"),
+        ("mlp", "gate_up_proj"), ("mlp", "down_proj"),
+    ):
+        node = layers[group][name]
+        assert is_quantized(node)
+        assert node["qvalue"].dtype == jnp.int8
+        orig = params["text"]["layers"][group][name]
+        assert node["qvalue"].shape == orig.shape
+    # everything else untouched (same arrays, not copies)
+    assert qparams["text"]["embed_tokens"] is params["text"]["embed_tokens"]
+    assert qparams["vision"] is params["vision"]
+    assert layers["self_attn"]["qkv_bias"] is params["text"]["layers"]["self_attn"]["qkv_bias"]
+    # original tree is untouched (no in-place mutation)
+    assert not is_quantized(params["text"]["layers"]["self_attn"]["qkv_proj"])
+
+
+def test_quantized_generate_close_and_contract():
+    """Tiny-model rollout with the int8 tree: same output contract, logits of
+    the prefill step highly correlated with bf16 (the behavior-policy drift
+    the importance ratio absorbs is small)."""
+    from spatialthinker_tpu.models.qwen2_5_vl.model import forward
+    from spatialthinker_tpu.models.qwen2_5_vl.text import logits_from_hidden
+    from spatialthinker_tpu.rollout.engine import generate
+    from spatialthinker_tpu.rollout.sampling import SamplingParams
+
+    cfg = get_config("tiny")
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    qparams = quantize_params(params)
+
+    rng = np.random.default_rng(2)
+    b, p = 2, 16
+    ids = jnp.asarray(rng.integers(1, 900, size=(b, p), dtype=np.int32))
+    seg = jnp.ones((b, p), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None, None], (3, b, p))
+
+    hid_bf, _ = forward(params, cfg, ids, pos, segment_ids=seg)
+    hid_q, _ = forward(qparams, cfg, ids, pos, segment_ids=seg)
+    log_bf = np.asarray(logits_from_hidden(params["text"], hid_bf[:, -1:], cfg.text)).ravel()
+    log_q = np.asarray(logits_from_hidden(qparams["text"], hid_q[:, -1:], cfg.text)).ravel()
+    corr = np.corrcoef(log_bf, log_q)[0, 1]
+    assert corr > 0.98, corr
+
+    sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
+    out = generate(
+        qparams, cfg, ids, seg, pos, jnp.full((b,), p, jnp.int32),
+        max_new_tokens=8, sampling=sampling, key=jax.random.key(3),
+    )
+    assert out.responses.shape == (b, 8)
+    assert out.response_mask.shape == (b, 8)
+    # pad after EOS contract holds
+    resp = np.asarray(out.responses)
+    mask = np.asarray(out.response_mask)
+    assert ((resp == cfg.pad_token_id) | (mask == 1)).all()
+
+
+def test_rollout_quantization_config_wiring():
+    from spatialthinker_tpu.core.config import PPOConfig, _merge_into
+
+    cfg = PPOConfig()
+    _merge_into(cfg, {"worker": {"rollout": {"quantization": "int8"}}})
+    cfg.post_init()  # accepts int8
+    bad = PPOConfig()
+    _merge_into(bad, {"worker": {"rollout": {"quantization": "fp8"}}})
+    with pytest.raises(ValueError, match="quantization"):
+        bad.post_init()
