@@ -159,8 +159,11 @@ class RolloutConfig:
     top_k: int = -1
     seed: int = 1
     limit_images: int = 0
-    # decode engine capacity knobs (replace gpu_memory_utilization etc.)
+    # decode engine capacity knobs. The continuous engine sizes its KV page
+    # pool from the chip's free HBM x gpu_memory_utilization (vLLM parity);
+    # page_size=0 falls back to dense worst-case slot reservation.
     max_num_batched_tokens: int = 8192
+    gpu_memory_utilization: float = 0.9
     kv_cache_dtype: str = "bfloat16"
     # rollout weight/activation quantization (vLLM `quantization` parity):
     # "int8" runs the decoder-stack matmuls W8A8 on the int8 MXU (2x bf16

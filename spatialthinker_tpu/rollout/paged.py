@@ -651,7 +651,7 @@ def generate_paged(
                 used = int(allocator.refcount[1:].astype(bool).sum())
                 stats["peak_pages"] = max(stats["peak_pages"], used)
                 return state
-            state = preempt_youngest(run, lengths_np, state)
+            state = preempt_youngest(run, state)
 
     def harvest(state) -> Tuple[PagedState, List[int]]:
         finished = np.asarray(state.finished)

@@ -358,12 +358,34 @@ class GRPOTrainer:
         self.global_step = 0
         self.rng_key = jax.random.key(config.trainer.seed)
         self.flops_counter = FlopsCounter(model_cfg)
+        self._last_rollout_stats: Dict[str, float] = {}
 
     # ------------------------------------------------------------------ utils
 
     def _next_key(self):
         self.rng_key, sub = jax.random.split(self.rng_key)
         return sub
+
+    def _paged_pool_size(self, page_size: int, kv_dtype) -> int:
+        """KV page-pool size from the chip's free HBM x gpu_memory_utilization
+        (vLLM sizes its cache the same way, vllm_rollout_spmd.py:69-85). When
+        the backend exposes no memory stats (CPU tests), returns 0 — the
+        engine falls back to worst-case sizing."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            stats = {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use")
+        if not limit:
+            return 0
+        t = self.model_cfg.text
+        elem = 1 if kv_dtype == jnp.int8 else 2
+        cell = 2 * t.num_hidden_layers * t.num_key_value_heads * t.head_dim * elem
+        if kv_dtype == jnp.int8:  # bf16 scales per (k, v) token-head
+            cell += 2 * t.num_hidden_layers * t.num_key_value_heads * 2
+        free = int(limit * self.config.worker.rollout.gpu_memory_utilization) - int(in_use or 0)
+        return max(free // (cell * page_size), 0)
 
     def _replicate_stragglers(self, tree):
         """Pin any leaf XLA left on a subset of the mesh (e.g. the optimizer
@@ -549,14 +571,14 @@ class GRPOTrainer:
         rollout_cfg = self.config.worker.rollout
         kv_dtype = jnp.int8 if rollout_cfg.kv_cache_dtype == "int8" else jnp.bfloat16
         if rollout_cfg.name == "continuous":
-            from ..rollout.continuous import generate_continuous
-
             slots = rollout_cfg.decode_batch_size
-            result = generate_continuous(
+            args = (
                 gen_params, self.model_cfg,
                 base.tensors["input_ids"], base.tensors["segment_ids"],
                 np.transpose(base.tensors["position_ids"], (1, 0, 2)),
                 base.tensors["gen_pos_start"],
+            )
+            common = dict(
                 max_new_tokens=self.config.data.max_response_length,
                 sampling=sampling.override(n=1),
                 key=key,
@@ -568,6 +590,25 @@ class GRPOTrainer:
                 max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
                 group_n=n,
             )
+            if rollout_cfg.page_size > 0:
+                # paged KV: pool sized from free HBM x gpu_memory_utilization
+                # (vLLM parity); slots only OCCUPY the pages they fill, so
+                # long-context admission follows actual memory use and the
+                # youngest group preempts (recompute) on pool pressure
+                from ..rollout.paged import generate_paged
+
+                result = generate_paged(
+                    *args, **common,
+                    page_size=rollout_cfg.page_size,
+                    total_pages=self._paged_pool_size(rollout_cfg.page_size, kv_dtype),
+                )
+                self._last_rollout_stats = {
+                    f"rollout/kv_{k}": float(v) for k, v in result.stats.items()
+                }
+            else:
+                from ..rollout.continuous import generate_continuous
+
+                result = generate_continuous(*args, **common)
         else:
             # grouped sampling needs the UNIQUE-prompt batch to divide the
             # batch-sharded device count; fall back to per-sample prefill when
@@ -1127,6 +1168,7 @@ class GRPOTrainer:
 
         metrics = {
             "perf/mfu_actor": mfu,
+            **self._last_rollout_stats,  # paged-KV telemetry (peak pages, preemptions)
             **device_memory_metrics(),
             **{f"reward/{k}": float(np.mean(g(v))) for k, v in reward_metrics.items()},
             **compute_data_metrics(
