@@ -61,7 +61,11 @@ def train_bench() -> dict:
         make_update_fn(
             cfg, opt, clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
             use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
-            max_grad_norm=1.0, remat=True, chunk_size=256, grad_accum_dtype=jnp.bfloat16,
+            max_grad_norm=1.0,
+            # "full" remat: the "dots" policy's saved gate_up stack is 6GB at
+            # 1B/seq-4096 — full recompute is what fits 1B+ on one 16GB chip
+            remat=os.environ.get("BENCH_REMAT", "full"),
+            chunk_size=256, grad_accum_dtype=jnp.bfloat16,
         ),
         donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
     )

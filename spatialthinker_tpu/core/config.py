@@ -86,6 +86,10 @@ class ShardingConfig:
     fsdp_size: int = -1         # parameter-shard axis
     model_size: int = 1         # tensor-parallel axis (megatron-style TP)
     remat: bool = True          # jax.checkpoint on decoder layers
+    # "dots" saves matmul outputs (less recompute); "full" saves only layer
+    # inputs — the saved gate_up stack alone is L*B*S*2I bf16, so "full" is
+    # the fits-or-OOMs knob for single-chip 1B+ training
+    remat_policy: str = "dots"  # {dots, full}
     host_offload_params: bool = False
     host_offload_optimizer: bool = False
 
@@ -265,6 +269,12 @@ class PPOConfig:
         for role, sh in (("actor", self.worker.actor.sharding),
                          ("critic", self.worker.critic.sharding),
                          ("ref", self.worker.ref.sharding)):
+            if sh.remat_policy not in ("dots", "full"):
+                raise ValueError(
+                    f"worker.{role}.sharding.remat_policy={sh.remat_policy!r}: "
+                    "supported values are 'dots' (save matmul outputs) and "
+                    "'full' (save layer inputs only)"
+                )
             if sh.host_offload_params:
                 # the reference offloads FSDP params between stages
                 # (fsdp_workers.py:252-280) because its actor is idle while

@@ -308,9 +308,16 @@ def forward_hidden(
             return x, None
 
         if remat:
-            body = jax.checkpoint(
-                body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            # "dots" saves matmul outputs across the layer scan (less
+            # recompute, but the saved gate_up stack is L*B*S*2I bf16 — 6GB at
+            # 1B/seq-4096); "full" (or remat="full") saves only layer inputs
+            # and recomputes the body in backward — the fit-or-OOM knob for
+            # single-chip 1B+ training (sharding.remat_policy).
+            policy = (
+                None if remat == "full"
+                else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             )
+            body = jax.checkpoint(body, policy=policy)
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:

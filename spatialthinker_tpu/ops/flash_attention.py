@@ -44,10 +44,10 @@ def _interpret() -> bool:
 
 def _fwd_kernel_gqa(
     q_seg_ref,    # (1, block_q)
-    kv_seg_ref,   # (1, Skv)
+    kv_seg_ref,   # (1, block_k)
     q_ref,        # (G, block_q, D) — every query head of one kv group
-    k_ref,        # (Skv, D)
-    v_ref,        # (Skv, D)
+    k_ref,        # (block_k, D)
+    v_ref,        # (block_k, D)
     o_ref,        # (G, block_q, D)
     lse_ref,      # (G, 1, block_q)
     m_scratch,    # (G * block_q, 128) fp32
@@ -61,46 +61,49 @@ def _fwd_kernel_gqa(
     groups: int,
     causal_offset: int = 0,
 ):
-    """GQA-batched forward: ONE program per (batch, kv head, q block) carries
-    all `groups` query heads of the group — the KV DMA is shared 1x instead of
-    fetched per head, and the per-(b,h,iq) grid's program-launch overhead
-    (measured ~4x the useful work at 3B prefill shapes) amortizes G-fold. The
-    q@k / p@v contractions batch over G into single (G*block_q, ...) MXU dots."""
+    """GQA-batched forward: ONE program per (batch, kv head, q block, kv block)
+    carries all `groups` query heads of the group — the KV DMA is shared 1x
+    instead of fetched per head, and the q@k / p@v contractions batch over G
+    into single (G*block_q, ...) MXU dots. KV streams through the GRID
+    (innermost dim) with the online-softmax state in scratch — VMEM holds one
+    (block_k, D) kv tile at a time, so eligibility never depends on the total
+    kv length (an in-kernel full-skv ref overflows scoped VMEM past ~6k)."""
     q_blk = pl.program_id(2)
-    skv = k_ref.shape[0]
-    num_kv_blocks = skv // block_k
+    kv_blk = pl.program_id(3)
+    num_kv_blocks = pl.num_programs(3)
     g, bq, d = q_ref.shape
 
+    @pl.when(kv_blk == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
     if causal:
-        last_kv_block = jnp.minimum(
-            num_kv_blocks,
-            (causal_offset + (q_blk + 1) * block_q + block_k - 1) // block_k,
-        )
+        # skip blocks strictly above the causal diagonal (their programs still
+        # launch; the DMA-and-compute is what's saved)
+        run = kv_blk * block_k <= causal_offset + (q_blk + 1) * block_q - 1
     else:
-        last_kv_block = num_kv_blocks
+        run = True
 
-    m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
-    l_scratch[...] = jnp.zeros_like(l_scratch)
-    acc_scratch[...] = jnp.zeros_like(acc_scratch)
-
-    q = q_ref[...]  # (G, bq, d) bf16; scale folded in after the dot
-    q_seg = q_seg_ref[0, :]
-    q_pos = (
-        causal_offset
-        + q_blk * block_q
-        + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    )
-
-    def body(kv_blk, _):
-        k = k_ref[pl.ds(kv_blk * block_k, block_k), :]
-        v = v_ref[pl.ds(kv_blk * block_k, block_k), :]
-        kv_seg = kv_seg_ref[0, pl.ds(kv_blk * block_k, block_k)]
+    @pl.when(run)
+    def _accumulate():
+        q = q_ref[...]  # (G, bq, d) bf16; scale folded in after the dot
+        q_seg = q_seg_ref[0, :]
+        kv_seg = kv_seg_ref[0, :]
+        k = k_ref[...]
+        v = v_ref[...]
 
         s = jax.lax.dot_general(
             q, k, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (G, bq, bk)
         mask = (q_seg[:, None] == kv_seg[None, :]) & (q_seg[:, None] != 0)
         if causal:
+            q_pos = (
+                causal_offset
+                + q_blk * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            )
             kv_pos = kv_blk * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
@@ -122,16 +125,15 @@ def _fwd_kernel_gqa(
         m_scratch[...] = jnp.broadcast_to(m_new, (g, bq, 128)).reshape(g * bq, 128)
         l_scratch[...] = jnp.broadcast_to(l_new, (g, bq, 128)).reshape(g * bq, 128)
         acc_scratch[...] = acc.reshape(g * bq, d)
-        return ()
 
-    jax.lax.fori_loop(0, last_kv_block, body, ())
-
-    m = m_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
-    l = l_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
-    safe_l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc_scratch[...].reshape(g, bq, d) / safe_l).astype(o_ref.dtype)
-    lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(safe_l))
-    lse_ref[...] = lse.reshape(g, 1, bq)
+    @pl.when(kv_blk == num_kv_blocks - 1)
+    def _flush():
+        m = m_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
+        l = l_scratch[...].reshape(g, bq, 128)[:, :, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (acc_scratch[...].reshape(g, bq, d) / safe_l).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(safe_l))
+        lse_ref[...] = lse.reshape(g, 1, bq)
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_offset=0):
@@ -139,11 +141,11 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_o
     _, skv, hkv, _ = k.shape
     groups = hq // hkv
     # the G-batched scores block (groups, bq, bk) f32 dominates VMEM; shrink
-    # the q block until it fits comfortably alongside the full-skv k/v refs
+    # the q block until it fits comfortably
     bq = min(block_q, sq)
     while groups * bq * block_k * 4 > 4 * 1024 * 1024 and bq > 128 and sq % (bq // 2) == 0:
         bq //= 2
-    grid = (b, hkv, sq // bq)
+    grid = (b, hkv, sq // bq, skv // block_k)
 
     kernel = functools.partial(
         _fwd_kernel_gqa, scale=scale, block_k=block_k, causal=causal, block_q=bq,
@@ -159,15 +161,15 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k, causal_o
         grid=grid,
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((None, 1, bq), lambda b_, j, iq: (b_, 0, iq)),
-            pl.BlockSpec((None, 1, skv), lambda b_, j, iq: (b_, 0, 0)),
-            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
-            pl.BlockSpec((None, None, skv, d), lambda b_, j, iq: (b_, j, 0, 0)),
-            pl.BlockSpec((None, None, skv, d), lambda b_, j, iq: (b_, j, 0, 0)),
+            pl.BlockSpec((None, 1, bq), lambda b_, j, iq, ik: (b_, 0, iq)),
+            pl.BlockSpec((None, 1, block_k), lambda b_, j, iq, ik: (b_, 0, ik)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq, ik: (b_, j, iq, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, j, iq, ik: (b_, j, ik, 0)),
+            pl.BlockSpec((None, None, block_k, d), lambda b_, j, iq, ik: (b_, j, ik, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq: (b_, j, iq, 0)),
-            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, iq: (b_, j, 0, iq)),
+            pl.BlockSpec((None, groups, bq, d), lambda b_, j, iq, ik: (b_, j, iq, 0)),
+            pl.BlockSpec((None, groups, 1, bq), lambda b_, j, iq, ik: (b_, j, 0, iq)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q_t.shape, q.dtype),

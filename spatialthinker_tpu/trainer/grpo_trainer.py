@@ -215,7 +215,7 @@ class GRPOTrainer:
                 kl_penalty=actor.kl_penalty,
                 entropy_coeff=actor.entropy_coeff,
                 max_grad_norm=actor.max_grad_norm,
-                remat=actor.sharding.remat,
+                remat=actor.sharding.remat_policy if actor.sharding.remat else False,
                 freeze_vision_tower=actor.model.freeze_vision_tower,
                 temperature=config.worker.rollout.temperature,
                 sp=self.sp,
@@ -245,7 +245,7 @@ class GRPOTrainer:
                     kl_penalty=actor.kl_penalty,
                     entropy_coeff=actor.entropy_coeff,
                     max_grad_norm=actor.max_grad_norm,
-                    remat=actor.sharding.remat,
+                    remat=actor.sharding.remat_policy if actor.sharding.remat else False,
                     temperature=rollout_temp,
                     sp=self.sp,
                 ),
@@ -314,7 +314,7 @@ class GRPOTrainer:
                     cmc, self.critic_optimizer,
                     cliprange_value=critic_cfg.cliprange_value,
                     max_grad_norm=critic_cfg.max_grad_norm,
-                    remat=critic_cfg.sharding.remat,
+                    remat=critic_cfg.sharding.remat_policy if critic_cfg.sharding.remat else False,
                 ),
                 donate_argnums=(0, 1),
             )
@@ -483,7 +483,13 @@ class GRPOTrainer:
         pad_to = self._vision_pad_to([0 if vision is None else vision.patches.shape[0]])
         if pad_to is None:
             return None  # consistent: no host has images
-        adjusted = self._globalize_vision_np(vision, batch, pad_to)
+        if vision is not None and vision.patches.shape[0] != pad_to:
+            vision = pack_vision_batch(
+                list(batch.non_tensors["patches"]),
+                list(batch.non_tensors["image_grid_thw"]),
+                self.model_cfg.vision, pad_to=pad_to,
+            )
+        adjusted = self._globalize_vision_np(vision, batch.tensors["input_ids"], pad_to)
         return type(adjusted)(**{
             name: None if x is None else self._dev(x)
             for name, x in adjusted._asdict().items()
@@ -507,12 +513,14 @@ class GRPOTrainer:
         )
         return int(-(-sizes.max() // align) * align)
 
-    def _globalize_vision_np(self, vision, batch: RolloutBatch, pad_to: int):
-        """Adjust a per-host vision pack (numpy) to its slice of one GLOBAL
-        pack of per-process width ``pad_to``: segment ids and layout indices
-        offset into the host's slice, plus each batch row's start into the
-        global merged embeds (per-host padding breaks the batch-wide running
-        count the single-host merge uses)."""
+    def _globalize_vision_np(self, vision, input_ids: np.ndarray, pad_to: int):
+        """Adjust a per-host vision pack (numpy, already ``pad_to`` wide or
+        None) to its slice of one GLOBAL pack of per-process width ``pad_to``:
+        segment ids and layout indices offset into the host's slice, plus each
+        row's start into the global merged embeds (per-host padding breaks the
+        batch-wide running count the single-host merge uses). ``input_ids``
+        are the rows the forward will see — per-sample OR packed layout (the
+        image-token order of the pack must match the rows' row-major order)."""
         from ..data.packing import empty_vision_pack, patch_dim
         from ..models.qwen2_5_vl.model import VisionInputs
 
@@ -520,16 +528,11 @@ class GRPOTrainer:
         unit = vcfg.spatial_merge_unit
         if vision is None:
             vision = empty_vision_pack(vcfg, pad_to, patch_dim(vcfg))
-        elif vision.patches.shape[0] != pad_to:
-            vision = pack_vision_batch(
-                list(batch.non_tensors["patches"]),
-                list(batch.non_tensors["image_grid_thw"]),
-                vcfg, pad_to=pad_to,
-            )
+        assert vision.patches.shape[0] == pad_to, (vision.patches.shape, pad_to)
         h = jax.process_index()
         seg_off = h * (pad_to + 1)  # ids unique across host slices; 0 stays 0
         merged_base = h * (pad_to // unit)
-        counts = (batch.tensors["input_ids"] == self.model_cfg.image_token_id).sum(1)
+        counts = (np.asarray(input_ids) == self.model_cfg.image_token_id).sum(1)
         row_start = merged_base + np.concatenate(
             [[0], np.cumsum(counts)[:-1]]
         ).astype(np.int32)
@@ -579,7 +582,7 @@ class GRPOTrainer:
                 base.tensors["gen_pos_start"],
             )
             common = dict(
-                max_new_tokens=self.config.data.max_response_length,
+                max_new_tokens=rollout_cfg.response_length,
                 sampling=sampling.override(n=1),
                 key=key,
                 slots=slots if slots > 0 else min(len(repeated), 32),
@@ -626,7 +629,7 @@ class GRPOTrainer:
                 self._dev(eng.tensors["segment_ids"]),
                 self._dev(eng_pos, batch_axis=1),
                 self._dev(eng.tensors["gen_pos_start"]),
-                max_new_tokens=self.config.data.max_response_length,
+                max_new_tokens=rollout_cfg.response_length,
                 sampling=sampling.override(n=1),
                 key=key,
                 vision=vision,
@@ -748,7 +751,25 @@ class GRPOTrainer:
                 target = self._negotiated_max(packed.input_ids.shape[0])
                 packed = pad_rows_to_count(packed, target + (-target) % div)
                 vision = self._vision_for_packed(piece, slot_map)
-                if vision is not None:
+                if self.n_proc > 1:
+                    # slot-ordered pack, globally negotiated width + offsets
+                    # computed from the PACKED rows' image-token order
+                    pad_to = self._vision_pad_to(
+                        [0 if vision is None else vision.patches.shape[0]]
+                    )
+                    if pad_to is None:
+                        vision = None
+                    else:
+                        if vision is None or vision.patches.shape[0] != pad_to:
+                            vision = self._vision_for_packed(piece, slot_map, pad_to=pad_to)
+                        vision = self._globalize_vision_np(
+                            vision, packed.input_ids, pad_to
+                        )
+                        vision = type(vision)(**{
+                            name: None if x is None else self._dev(x)
+                            for name, x in vision._asdict().items()
+                        })
+                elif vision is not None:
                     vision = jax.tree.map(jnp.asarray, vision)
                 ptb = PackedTrainBatch(*[
                     self._dev(x, batch_axis=1 if np.asarray(x).ndim == 3 else 0)
@@ -852,8 +873,16 @@ class GRPOTrainer:
             )
             if pad_to is None:
                 return None
+            packs = [
+                pack_vision_batch(
+                    list(piece.non_tensors["patches"]),
+                    list(piece.non_tensors["image_grid_thw"]),
+                    self.model_cfg.vision, pad_to=pad_to,
+                )
+                for piece in pieces
+            ]
             adjusted = [
-                self._globalize_vision_np(v, piece, pad_to)
+                self._globalize_vision_np(v, piece.tensors["input_ids"], pad_to)
                 for v, piece in zip(packs, pieces)
             ]
             vision = stack_vision_packs(adjusted, self.model_cfg.vision)
@@ -913,9 +942,39 @@ class GRPOTrainer:
                 self._vision_for_packed(mini, slot_map, row_lo=g * per, row_hi=(g + 1) * per)
                 for g in range(n_micro)
             ]
-            vision = stack_vision_packs(packs, self.model_cfg.vision)
-            if vision is not None:
-                vision = jax.tree.map(jnp.asarray, vision)
+            if self.n_proc > 1:
+                # per-micro slot-ordered packs at one negotiated width, each
+                # globalized against its micro's PACKED rows (this was the
+                # missing piece that forced multimodal multi-host onto the
+                # per-sample layout in rounds 1-2)
+                pad_to = self._vision_pad_to(
+                    [0 if v is None else v.patches.shape[0] for v in packs]
+                )
+                if pad_to is None:
+                    vision = None
+                else:
+                    packs = [
+                        self._vision_for_packed(
+                            mini, slot_map, row_lo=g * per, row_hi=(g + 1) * per,
+                            pad_to=pad_to,
+                        )
+                        for g in range(n_micro)
+                    ]
+                    adjusted = [
+                        self._globalize_vision_np(
+                            v, packed.input_ids[g * per:(g + 1) * per], pad_to
+                        )
+                        for g, v in enumerate(packs)
+                    ]
+                    vision = stack_vision_packs(adjusted, self.model_cfg.vision)
+                    vision = type(vision)(**{
+                        name: None if x is None else self._dev(x, batch_axis=1)
+                        for name, x in vision._asdict().items()
+                    })
+            else:
+                vision = stack_vision_packs(packs, self.model_cfg.vision)
+                if vision is not None:
+                    vision = jax.tree.map(jnp.asarray, vision)
             self.params, self.opt_state, metrics = self.packed_update_fn(
                 self.params, self.opt_state, ptb, vision
             )
@@ -924,14 +983,11 @@ class GRPOTrainer:
         return reduce_metrics(metrics_acc)
 
     def _use_packed(self, batch: RolloutBatch) -> bool:
-        """Packed multimodal rows need slot-ordered per-micro vision packs,
-        whose global offsets are not negotiated yet — multimodal multi-host
-        batches take the per-sample layout instead."""
-        if not self.padding_free:
-            return False
-        if self.n_proc == 1:
-            return True
-        return all(p is None for p in batch.non_tensors.get("patches", [None]))
+        """Padding-free (packed) layout for every batch when enabled — the
+        reference's rmpad path is unconditional (dp_actor.py:85-139).
+        Multimodal multi-host packs negotiate their vision width and compute
+        merge offsets from the PACKED rows (see _update_actor_packed)."""
+        return self.padding_free
 
     def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
         if self.offload_opt:

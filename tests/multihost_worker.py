@@ -14,7 +14,9 @@ def main():
     nprocs = int(sys.argv[2])
     port = int(sys.argv[3])
     outfile = sys.argv[4]
-    multimodal = len(sys.argv) > 5 and sys.argv[5] == "mm"
+    flags = sys.argv[5].split(",") if len(sys.argv) > 5 and sys.argv[5] else []
+    multimodal = "mm" in flags
+    ref_offload = "refoff" in flags
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     local_devices = 8 // nprocs  # 8 global devices either way
@@ -54,11 +56,11 @@ def main():
         "worker.actor.global_batch_size=8",
         "worker.actor.micro_batch_size_per_device_for_update=1",
         "worker.actor.micro_batch_size_per_device_for_experience=2",
-        # text mode exercises negotiated packed rows; multimodal multi-host
-        # takes the per-sample layout (see GRPOTrainer._use_packed), so the
-        # single-process reference must use it too for bitwise comparison
-        "worker.actor.padding_free=false" if multimodal else "worker.actor.padding_free=true",
+        # both modes exercise the packed (padding-free) layout — multimodal
+        # packs negotiate vision width + slot-ordered merge offsets globally
+        "worker.actor.padding_free=true",
         "worker.actor.optim.lr=1e-3",
+        f"worker.ref.offload={'true' if ref_offload else 'false'}",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",
         "trainer.max_steps=1",

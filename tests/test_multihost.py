@@ -57,6 +57,17 @@ def test_two_process_train_step_matches_single(tmp_path):
     )
 
 
+def test_two_process_ref_offload_matches_resident(tmp_path):
+    """worker.ref.offload=true across 2 processes: each process keeps its
+    ADDRESSABLE shards on host and the restored global ref params reproduce
+    the resident-copy numerics (kl terms depend on the ref log-probs)."""
+    resident = _run_workers(2, 29551, "ro_res", tmp_path)
+    offloaded = _run_workers(2, 29553, "ro_off", tmp_path, mode="refoff")
+    for key in ("actor/loss", "actor/kl_loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(offloaded[0][key])
+        np.testing.assert_allclose(offloaded[0][key], resident[0][key], rtol=1e-4, atol=1e-6)
+
+
 def test_two_process_multimodal_train_step(tmp_path):
     """Multimodal across processes: hosts hold different patch counts, the
     vision pack is globally negotiated (padded slices, per-host offsets, per-
