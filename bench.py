@@ -55,7 +55,16 @@ def train_bench() -> dict:
     preset = os.environ.get("BENCH_TRAIN_PRESET", "1b")
     cfg = get_config(preset)
     params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
-    opt = make_optimizer(1e-6, strategy="adamw_bf16")
+    # text-only update bench: a frozen vision tower would contribute zero
+    # grads and zero FLOPs but still hold params + bf16 moments + a grad
+    # accumulator (~5GB at the 1b preset's 670M-param tower) — excluded,
+    # matching the MFU accounting below (text FLOPs only)
+    params = {"text": params["text"]}
+    # no Kahan compensation at the 1B bench scale: the buffer is one param
+    # copy of HBM (2.5GB) — the difference between 1B fitting and OOM
+    # (params 2.5 + grads 2.5 + bf16 moments 5.1 leaves ~3G for activations)
+    kahan = os.environ.get("BENCH_KAHAN", "0") == "1"
+    opt = make_optimizer(1e-6, strategy="adamw_bf16", use_kahan_summation=kahan)
     opt_state = opt.init(params)
     update = jax.jit(
         make_update_fn(
@@ -65,7 +74,8 @@ def train_bench() -> dict:
             # "full" remat: the "dots" policy's saved gate_up stack is 6GB at
             # 1B/seq-4096 — full recompute is what fits 1B+ on one 16GB chip
             remat=os.environ.get("BENCH_REMAT", "full"),
-            chunk_size=256, grad_accum_dtype=jnp.bfloat16,
+            chunk_size=int(os.environ.get("BENCH_TRAIN_CHUNK", "128")),
+            grad_accum_dtype=jnp.bfloat16,
         ),
         donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
     )
@@ -110,7 +120,9 @@ def train_bench() -> dict:
         "unit": "tok/s/chip",
         "vs_baseline": round((iters / elapsed) * 3600, 1),  # update steps/hr
         "mfu": round(mfu, 4),
-        "config": {"preset": preset, "seq": s, "micro_bs": micro_bs, "n_micro": n_micro},
+        "config": {"preset": preset, "seq": s, "micro_bs": micro_bs,
+                   "n_micro": n_micro, "remat": os.environ.get("BENCH_REMAT", "full"),
+                   "kahan": kahan},
     }
 
 

@@ -68,6 +68,9 @@ class OptimConfig:
     # {adamw, adamw_bf16}; adamw_bf16 = bf16 optimizer state (AnyPrecisionAdamW parity,
     # reference utils/torch_functional.py:232-329) via optax dtype control.
     strategy: str = "adamw"
+    # AnyPrecisionAdamW knob (reference torch_functional.py:258): False drops
+    # the Kahan compensation buffer — one param copy of HBM
+    use_kahan_summation: bool = True
     lr_warmup_ratio: float = 0.0
     training_steps: int = -1
 
@@ -239,6 +242,10 @@ class TrainerConfig:
     save_checkpoint_path: Optional[str] = None
     load_checkpoint_path: Optional[str] = None
     seed: int = 1
+    # jax.profiler xplane traces around the selected train steps (parity role:
+    # reference codetiming/nsight sections) — written under profile_dir
+    profile_dir: Optional[str] = None
+    profile_steps: List[int] = field(default_factory=lambda: [1, 5])
 
 
 @dataclass

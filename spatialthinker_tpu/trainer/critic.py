@@ -103,14 +103,13 @@ def make_critic_update_fn(
         grad_norm = optax.global_norm(grads)
         metrics["critic/grad_norm"] = grad_norm
         scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
-        grads = jax.tree.map(lambda g: g * scale, grads)
         finite = jnp.isfinite(grad_norm)
-        updates, new_opt_state = optimizer.update(
-            jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads), opt_state, params
+        factor = jnp.where(finite, scale, 0.0)
+        from .train_step import apply_optimizer_step
+
+        new_params, new_opt_state = apply_optimizer_step(
+            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor
         )
-        new_params = optax.apply_updates(params, updates)
-        new_params = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_params, params)
-        new_opt_state = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state)
         return new_params, new_opt_state, metrics
 
     return update

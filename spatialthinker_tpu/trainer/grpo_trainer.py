@@ -48,6 +48,7 @@ from ..rollout.continuous import effective_prefill_chunk
 from ..rollout.engine import generate
 from ..rollout.sampling import SamplingParams
 from ..utils.flops_counter import FlopsCounter, compute_mfu
+from ..utils.profiling import maybe_trace
 from ..utils.seqlen_balancing import balance_order
 from .checkpoint import CheckpointManager
 from .metrics import (
@@ -187,6 +188,7 @@ class GRPOTrainer:
             betas=tuple(opt_cfg.betas),
             warmup_steps=int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0)),
             strategy=opt_cfg.strategy,
+            use_kahan_summation=opt_cfg.use_kahan_summation,
         )
         # jitted init: moment leaves propagate the params' mesh shardings
         # (eager init leaves everything uncommitted on one device, which
@@ -1074,7 +1076,9 @@ class GRPOTrainer:
                 if self.global_step >= total_steps:
                     break
                 self.global_step += 1
-                metrics = self.train_step(batch)
+                with maybe_trace(cfg.trainer.profile_dir, self.global_step,
+                                 tuple(cfg.trainer.profile_steps)):
+                    metrics = self.train_step(batch)
                 self.tracker.log(metrics, self.global_step)
 
                 if cfg.trainer.val_freq > 0 and self.global_step % cfg.trainer.val_freq == 0 \

@@ -8,18 +8,29 @@ recovers the precision bf16 parameter updates lose to rounding (tiny
 lr*step terms vanish against O(1) weights in bf16; the compensation carries
 the rounded-off remainder into the next step).
 
-Shape: an optax GradientTransformation whose update() returns the EXACT
-fp32 delta to the Kahan-rounded new parameter, so optax.apply_updates
-(p + update, cast to p.dtype) lands exactly on the compensated target.
+Two apply paths:
+- ``update()`` — optax-compatible: returns the EXACT fp32 delta to the
+  Kahan-rounded new parameter, so optax.apply_updates lands exactly on the
+  compensated target. The fp32 delta tree is one param copy at 2x width —
+  fine at test scale, 5GB at 1B.
+- ``fused_apply(grads, state, params)`` — returns (new_params, new_state)
+  directly in param dtype: no fp32 delta tree ever exists, and the per-leaf
+  fp32 math CHUNKS over the stacked-layer axis with lax.map (a stacked
+  (L, ...) leaf's fp32 temporaries alone are ~2.5GB at 1B — chunking caps
+  them at one layer). make_update_fn uses this path when available.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
+
+# leaves at least this big get their fp32 update math chunked over axis 0
+# (the stacked-layer dim); 2^22 elements = 16MB fp32 per chunk temp
+_CHUNK_THRESHOLD = 1 << 22
 
 
 class AnyPrecisionAdamWState(NamedTuple):
@@ -27,6 +38,14 @@ class AnyPrecisionAdamWState(NamedTuple):
     mu: optax.Updates        # bf16 first moment
     nu: optax.Updates        # bf16 second moment
     compensation: optax.Updates  # param-dtype Kahan remainder
+
+
+class FusedGradientTransformation(NamedTuple):
+    """optax.GradientTransformation + a fused (new_params, new_state) path."""
+
+    init: Callable
+    update: Callable
+    fused_apply: Callable
 
 
 def any_precision_adamw(
@@ -38,7 +57,7 @@ def any_precision_adamw(
     momentum_dtype=jnp.bfloat16,
     variance_dtype=jnp.bfloat16,
     use_kahan_summation: bool = True,
-) -> optax.GradientTransformation:
+) -> FusedGradientTransformation:
     def init_fn(params):
         return AnyPrecisionAdamWState(
             count=jnp.zeros((), jnp.int32),
@@ -50,40 +69,112 @@ def any_precision_adamw(
             ),
         )
 
-    def update_fn(grads, state, params):
-        if params is None:
-            raise ValueError("any_precision_adamw requires params")
-        count = state.count + 1
+    def _hyper(count_prev):
+        count = count_prev + 1
         # schedule evaluated at the PRE-increment step (optax convention:
         # first update sees schedule(0), so warmup starts at 0 like adamw)
-        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        lr = learning_rate(count_prev) if callable(learning_rate) else learning_rate
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        return count, lr, c1, c2
 
-        def leaf(g, mu, nu, comp, p):
-            g32 = g.astype(jnp.float32)
-            mu32 = mu.astype(jnp.float32) * b1 + (1.0 - b1) * g32
-            nu32 = nu.astype(jnp.float32) * b2 + (1.0 - b2) * g32 * g32
-            denom = jnp.sqrt(nu32 / c2) + eps
-            step = -lr * (mu32 / c1 / denom + weight_decay * p.astype(jnp.float32))
-            p32 = p.astype(jnp.float32)
+    def _leaf_core(g, mu, nu, comp, p, lr, c1, c2, finite, scale):
+        """Returns (t = rounded new param, mu', nu', comp'); all fp32 math is
+        internal to this call. ``finite`` (scalar bool or None) fuses the
+        NaN-grad skip INTO the leaf math — an outer where(new, old) over the
+        whole tree keeps both copies alive and defeats buffer donation (a
+        doubled param+state footprint: the 1B fit-or-OOM term). ``scale``
+        (scalar or None) likewise fuses the clip/accum rescale here — a
+        caller-side rescaled grad tree is one param copy of HBM temps."""
+        g32 = g.astype(jnp.float32)
+        if scale is not None:
+            g32 = g32 * scale
+        mu32 = mu.astype(jnp.float32) * b1 + (1.0 - b1) * g32
+        nu32 = nu.astype(jnp.float32) * b2 + (1.0 - b2) * g32 * g32
+        denom = jnp.sqrt(nu32 / c2) + eps
+        step = -lr * (mu32 / c1 / denom + weight_decay * p.astype(jnp.float32))
+        p32 = p.astype(jnp.float32)
+        if use_kahan_summation:
+            y = step - comp.astype(jnp.float32)
+            t = (p32 + y).astype(p.dtype)  # the rounded new parameter
+            new_comp = ((t.astype(jnp.float32) - p32) - y).astype(p.dtype)
+        else:
+            t = (p32 + step).astype(p.dtype)
+            new_comp = comp
+        mu_n = mu32.astype(momentum_dtype)
+        nu_n = nu32.astype(variance_dtype)
+        if finite is not None:
+            t = jnp.where(finite, t, p)
+            mu_n = jnp.where(finite, mu_n, mu)
+            nu_n = jnp.where(finite, nu_n, nu)
             if use_kahan_summation:
-                y = step - comp.astype(jnp.float32)
-                t = (p32 + y).astype(p.dtype)  # the rounded new parameter
-                new_comp = ((t.astype(jnp.float32) - p32) - y).astype(p.dtype)
-                update = t.astype(jnp.float32) - p32  # exact fp32 delta to t
-            else:
-                new_comp = comp
-                update = step
-            return update, mu32.astype(momentum_dtype), nu32.astype(variance_dtype), new_comp
+                new_comp = jnp.where(finite, new_comp, comp)
+        return t, mu_n, nu_n, new_comp
 
-        out = jax.tree.map(leaf, grads, state.mu, state.nu, state.compensation, params)
+    def _leaf(g, mu, nu, comp, p, lr, c1, c2, finite, scale):
+        """Chunk big (stacked (L, ...)) leaves over axis 0 with an IN-PLACE
+        fori_loop: the carry buffers are the donated param/state arrays
+        themselves, updated one layer slice at a time (XLA aliases loop-carry
+        .at[].set). The fp32 temps of one 1B-scale stacked leaf are ~2.5GB and
+        a whole-leaf update holds old+new copies of four such trees — chunking
+        caps temps at one layer and adds zero extra full-size buffers."""
+        chunkable = (
+            p.size >= _CHUNK_THRESHOLD
+            and p.ndim >= 2
+            and (not use_kahan_summation or comp.shape == p.shape)
+        )
+        if not chunkable:
+            return _leaf_core(g, mu, nu, comp, p, lr, c1, c2, finite, scale)
+
+        def body(i, bufs):
+            p_b, mu_b, nu_b, comp_b = bufs
+            t, mu_n, nu_n, comp_n = _leaf_core(
+                g[i], mu_b[i], nu_b[i],
+                comp_b[i] if use_kahan_summation else comp,
+                p_b[i], lr, c1, c2, finite, scale,
+            )
+            return (
+                p_b.at[i].set(t),
+                mu_b.at[i].set(mu_n),
+                nu_b.at[i].set(nu_n),
+                comp_b.at[i].set(comp_n) if use_kahan_summation else comp_b,
+            )
+
+        p_n, mu_n, nu_n, comp_n = jax.lax.fori_loop(
+            0, p.shape[0], body, (p, mu, nu, comp)
+        )
+        return p_n, mu_n, nu_n, comp_n
+
+    def _run(grads, state, params, finite=None, grad_scale=None):
+        if params is None:
+            raise ValueError("any_precision_adamw requires params")
+        count, lr, c1, c2 = _hyper(state.count)
+        if finite is not None:
+            count = jnp.where(finite, count, state.count)
+        out = jax.tree.map(
+            lambda g, mu, nu, comp, p: _leaf(
+                g, mu, nu, comp, p, lr, c1, c2, finite, grad_scale
+            ),
+            grads, state.mu, state.nu, state.compensation, params,
+        )
         treedef = jax.tree.structure(grads)
         flat = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
-        updates = jax.tree.unflatten(treedef, [o[0] for o in flat])
+        new_params = jax.tree.unflatten(treedef, [o[0] for o in flat])
         mu = jax.tree.unflatten(treedef, [o[1] for o in flat])
         nu = jax.tree.unflatten(treedef, [o[2] for o in flat])
         comp = jax.tree.unflatten(treedef, [o[3] for o in flat])
-        return updates, AnyPrecisionAdamWState(count, mu, nu, comp)
+        return new_params, AnyPrecisionAdamWState(count, mu, nu, comp)
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    def fused_apply(grads, state, params, finite=None, grad_scale=None):
+        return _run(grads, state, params, finite=finite, grad_scale=grad_scale)
+
+    def update_fn(grads, state, params):
+        new_params, new_state = _run(grads, state, params)
+        # optax contract: exact fp32 delta so apply_updates lands on t
+        updates = jax.tree.map(
+            lambda t, p: t.astype(jnp.float32) - p.astype(jnp.float32),
+            new_params, params,
+        )
+        return updates, new_state
+
+    return FusedGradientTransformation(init_fn, update_fn, fused_apply)

@@ -192,35 +192,79 @@ def make_update_fn(
         init_metrics = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
         xs = micro_batches if vision is None else (micro_batches, vision)
         (grads, metric_sums), _ = jax.lax.scan(micro_step, (zero_grads, init_metrics), xs)
-        grads = jax.tree.map(lambda g: (g / n_micro).astype(jnp.float32), grads)
         if freeze_vision_tower and "vision" in grads:
             grads = {**grads, "vision": jax.tree.map(jnp.zeros_like, grads["vision"])}
         metrics = {k: v / n_micro for k, v in metric_sums.items()}
 
-        grad_norm = optax.global_norm(grads)
+        # norm/clip/NaN-zero WITHOUT materializing fp32 grad trees: with bf16
+        # accumulation a `.astype(f32)` tree is one param copy at 2x width
+        # (5GB at 1B — a fits-or-OOMs term); the fp32 math fuses into the
+        # reductions and the optimizer's per-chunk grad_scale instead
+        grad_norm = _global_norm_f32(grads) / n_micro
         metrics["actor/grad_norm"] = grad_norm
-        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
-        grads = jax.tree.map(lambda g: g * scale, grads)
-
+        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6)) / n_micro
         finite = jnp.isfinite(grad_norm)
-        updates, new_opt_state = optimizer.update(
-            jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads), opt_state, params
-        )
-        if freeze_vision_tower and "vision" in updates:
-            # zero the UPDATES too: AdamW weight decay would otherwise still
-            # move "frozen" params
-            updates = {**updates, "vision": jax.tree.map(jnp.zeros_like, updates["vision"])}
-        new_params = optax.apply_updates(params, updates)
-        # NaN-grad skip: keep old params/opt state when the grad norm is not finite
-        new_params = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old), new_params, params
-        )
-        new_opt_state = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+        factor = jnp.where(finite, scale, 0.0)
+        new_params, new_opt_state = apply_optimizer_step(
+            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor,
+            freeze_vision_tower=freeze_vision_tower,
         )
         return new_params, new_opt_state, metrics
 
     return update
+
+
+def _global_norm_f32(tree) -> jnp.ndarray:
+    """Global L2 norm with fp32 accumulation fused into the reductions (no
+    materialized fp32 copy of bf16 grad trees)."""
+    sq = sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(tree)
+    )
+    return jnp.sqrt(sq)
+
+
+def apply_optimizer_step(optimizer, grads, opt_state, params, *, finite,
+                         grad_scale=None, freeze_vision_tower: bool = False):
+    """Optimizer apply with NaN-grad skip and optional vision freeze. Prefers
+    the optimizer's FUSED path (trainer/optim.py fused_apply): new params come
+    back in param dtype directly — no fp32 delta tree (one param copy at 2x
+    width: 5GB at 1B) and the stacked-leaf fp32 math chunks per layer.
+
+    ``grad_scale`` (scalar: clip rescale / accumulation divisor, pre-zeroed
+    when ``finite`` is False) rides INTO the fused per-chunk math — a
+    caller-side rescaled grad tree would be one param copy of HBM temps, the
+    1B fit-or-OOM term. The non-fused optax fallback applies it as a tree map
+    (test-scale only)."""
+    fused = getattr(optimizer, "fused_apply", None)
+    if fused is not None:
+        # the NaN-grad skip rides INSIDE the fused per-chunk math: an outer
+        # tree-wide where(new, old) would keep both param+state copies alive
+        # and defeat buffer donation (doubled footprint — the 1B OOM term)
+        new_params, new_opt_state = fused(
+            grads, opt_state, params, finite=finite, grad_scale=grad_scale
+        )
+        if freeze_vision_tower and "vision" in new_params:
+            # restore exactly: AdamW weight decay would otherwise still move
+            # "frozen" params even under zero grads
+            new_params = {**new_params, "vision": params["vision"]}
+        return new_params, new_opt_state
+    if grad_scale is not None:
+        grads = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) * grad_scale).astype(g.dtype), grads
+        )
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    if freeze_vision_tower and "vision" in updates:
+        # zero the UPDATES too (same weight-decay reasoning)
+        updates = {**updates, "vision": jax.tree.map(jnp.zeros_like, updates["vision"])}
+    new_params = optax.apply_updates(params, updates)
+    # NaN-grad skip: keep old params/opt state when the grad norm is not finite
+    new_params = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_params, params
+    )
+    new_opt_state = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+    )
+    return new_params, new_opt_state
 
 
 class PackedTrainBatch(NamedTuple):
@@ -303,6 +347,7 @@ def make_packed_update_fn(
     use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
     entropy_coeff: float = 0.0, max_grad_norm: float = 1.0,
     remat: bool = True, chunk_size: int = 1024, temperature: float = 1.0,
+    grad_accum_dtype=jnp.float32,
     sp=None,
 ):
     """Packed-row variant of make_update_fn: micro dim on every array."""
@@ -331,7 +376,7 @@ def make_packed_update_fn(
             return (grad_acc, metric_acc), None
 
         n_micro = micro_batches.input_ids.shape[0]
-        zero_grads = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
+        zero_grads = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=grad_accum_dtype), params)
         metric_keys = [
             "actor/loss", "actor/pg_loss", "actor/pg_clipfrac_higher",
             "actor/pg_clipfrac_lower", "actor/ppo_kl",
@@ -345,20 +390,17 @@ def make_packed_update_fn(
         (grads, metric_sums), _ = jax.lax.scan(
             micro_step, (zero_grads, init_metrics), xs
         )
-        grads = jax.tree.map(lambda g: g / n_micro, grads)
         metrics = {k: v / n_micro for k, v in metric_sums.items()}
 
-        grad_norm = optax.global_norm(grads)
+        # see make_update_fn: fp32 math fuses into reductions + optimizer scale
+        grad_norm = _global_norm_f32(grads) / n_micro
         metrics["actor/grad_norm"] = grad_norm
-        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
-        grads = jax.tree.map(lambda g: g * scale, grads)
+        scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6)) / n_micro
         finite = jnp.isfinite(grad_norm)
-        updates, new_opt_state = optimizer.update(
-            jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads), opt_state, params
+        factor = jnp.where(finite, scale, 0.0)
+        new_params, new_opt_state = apply_optimizer_step(
+            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor
         )
-        new_params = optax.apply_updates(params, updates)
-        new_params = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_params, params)
-        new_opt_state = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state)
         return new_params, new_opt_state, metrics
 
     return update
@@ -371,11 +413,15 @@ def make_optimizer(
     betas: Tuple[float, float] = (0.9, 0.999),
     warmup_steps: int = 0,
     strategy: str = "adamw",
+    use_kahan_summation: bool = True,
 ) -> optax.GradientTransformation:
     """AdamW with constant-after-warmup LR (reference torch_functional.py
     get_constant_schedule_with_warmup). Strategy ``adamw_bf16`` is the full
     AnyPrecisionAdamW: BOTH moments in bf16 + Kahan-compensated bf16 param
-    updates (reference torch_functional.py:250-329) — see trainer/optim.py."""
+    updates (reference torch_functional.py:250-329) — see trainer/optim.py.
+    ``use_kahan_summation=False`` (same knob as the reference's
+    AnyPrecisionAdamW) drops the per-param compensation buffer — one full
+    param copy of HBM, the marginal fit-or-OOM term at 1B+ single-chip."""
     if warmup_steps > 0:
         schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, lr, warmup_steps), optax.constant_schedule(lr)],
@@ -387,6 +433,7 @@ def make_optimizer(
         from .optim import any_precision_adamw
 
         return any_precision_adamw(
-            schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay
+            schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay,
+            use_kahan_summation=use_kahan_summation,
         )
     return optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)

@@ -69,6 +69,22 @@ def test_rejected_knobs_raise():
         build_config(["worker.ref.sharding.host_offload_params=true"])
 
 
+def test_profile_dir_writes_traces(tmp_path):
+    """trainer.profile_dir wraps train steps in jax.profiler traces (fit loop
+    goes through utils.profiling.maybe_trace); off-steps write nothing."""
+    import jax.numpy as jnp
+
+    from spatialthinker_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(str(tmp_path), step=1, enabled_steps=(1,)):
+        float(jnp.sum(jnp.ones((8, 8))))
+    assert any(f.is_file() for f in tmp_path.rglob("*")), "no trace written"
+    off = tmp_path / "off"
+    with maybe_trace(str(off), step=2, enabled_steps=(1,)):
+        pass
+    assert not off.exists()
+
+
 def test_critic_model_selects_own_config():
     """critic.model.model_path with a DIFFERENT vision family is rejected
     (vision packs are actor-shaped); a same-family path builds the critic

@@ -241,6 +241,46 @@ def test_any_precision_adamw_kahan_recovers_tiny_updates():
     assert naive_drift < 0.25 * drift, (naive_drift, drift)
 
 
+def test_fused_apply_nan_skip_and_matches_update_path():
+    """The fused (new-params-direct) path must equal update+apply_updates
+    exactly, and finite=False must leave params AND state untouched (the
+    NaN-grad skip fuses into the leaf math — tree-wide where() would double
+    the footprint)."""
+    import optax
+
+    from spatialthinker_tpu.trainer.optim import any_precision_adamw
+
+    rng = np.random.default_rng(3)
+    p = {"a": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+         "b": jnp.asarray(rng.normal(size=(4,)).astype(np.float32))}
+    g = jax.tree.map(lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), p)
+    opt = any_precision_adamw(1e-2, weight_decay=1e-2)
+    state = opt.init(p)
+
+    updates, s1 = opt.update(g, state, p)
+    p1 = optax.apply_updates(p, updates)
+    p1f, s1f = opt.fused_apply(g, state, p)
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p1f[k]))
+    np.testing.assert_array_equal(np.asarray(s1.mu["a"]), np.asarray(s1f.mu["a"]))
+
+    # finite=False: bit-identical no-op on params and every state leaf
+    zeros = jax.tree.map(jnp.zeros_like, g)
+    p2, s2 = opt.fused_apply(zeros, state, p, finite=jnp.asarray(False))
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(p2[k]), np.asarray(p[k]))
+    np.testing.assert_array_equal(np.asarray(s2.mu["a"]), np.asarray(state.mu["a"]))
+    assert int(s2.count) == int(state.count)
+
+    # grad_scale fuses the clip/accum rescale: equals pre-scaled grads exactly
+    half = jax.tree.map(lambda x: x * 0.5, g)
+    p3, s3 = opt.fused_apply(half, state, p)
+    p4, s4 = opt.fused_apply(g, state, p, grad_scale=jnp.asarray(0.5))
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(p3[k]), np.asarray(p4[k]))
+    np.testing.assert_array_equal(np.asarray(s3.nu["a"]), np.asarray(s4.nu["a"]))
+
+
 def test_any_precision_adamw_matches_fp32_adamw_coarsely():
     """On fp32 params the compensated optimizer tracks optax.adamw closely."""
     import optax
