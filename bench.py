@@ -41,9 +41,11 @@ WQ = os.environ.get("BENCH_WQ", "int8")
 
 
 def train_bench() -> dict:
-    """GRPO update tok/s + MFU. Default preset 1b (~1.2B params: the largest
-    Qwen-shaped config whose Kahan-bf16 AdamW state fits one 16GB chip at seq
-    4096; fp32-moment AdamW already exceeds HBM at 1B+)."""
+    """GRPO update tok/s + MFU. Default preset 1b (~1.2B-param text stack: the
+    largest Qwen-shaped config whose bf16-moment AdamW state + full-remat
+    activations fit one 16GB chip at seq 4096; fp32-moment AdamW already
+    exceeds HBM at 1B+, and the Kahan compensation buffer is the marginal
+    2.4GB that tips it back over — see BENCH_KAHAN below)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,7 +81,7 @@ def train_bench() -> dict:
         ),
         donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
     )
-    n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "2"))
+    n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "4"))
     p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "4096")) // 2
     s = p + r
     rng = np.random.default_rng(0)
