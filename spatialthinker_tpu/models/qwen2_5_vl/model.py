@@ -11,6 +11,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ...ops.quant import embed_rows
 from .config import Qwen25VLConfig
 from .text import KVCache, forward_hidden, init_text_params, logits_from_hidden
 from .vision import init_vision_params, vision_forward
@@ -63,7 +64,9 @@ def embed_inputs(
     """Token embeddings with vision embeddings merged into image-token slots
     (B, S, E). Chunked prefill embeds the whole prompt once (the vision tower
     is not chunkable — images must be merged before the sequence is split)."""
-    embeds = jnp.take(params["text"]["embed_tokens"], input_ids, axis=0)
+    embeds = embed_rows(
+        params["text"]["embed_tokens"], input_ids, dtype=params["text"]["norm"].dtype
+    )
     if vision is not None:
         vision_embeds = vision_forward(
             params["vision"],

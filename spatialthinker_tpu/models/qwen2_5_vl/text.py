@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ...ops.attention import attention
 from ...ops.decode_attention import decode_attention
-from ...ops.quant import linear
+from ...ops.quant import embed_rows, is_quantized, linear, quantized_dot
 from .config import TextConfig
 from .rope import apply_rotary, compute_cos_sin, make_inv_freq
 
@@ -295,7 +295,9 @@ def forward_hidden(
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns (hidden_states (B,S,E), updated cache)."""
     if inputs_embeds is None:
-        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        inputs_embeds = embed_rows(
+            params["embed_tokens"], input_ids, dtype=params["norm"].dtype
+        )
     x = inputs_embeds
 
     inv_freq = jnp.asarray(make_inv_freq(cfg.head_dim, cfg.rope_theta), dtype=jnp.float32)
@@ -348,7 +350,13 @@ def forward_hidden(
 
 
 def logits_from_hidden(params: Params, hidden: jnp.ndarray, cfg: TextConfig) -> jnp.ndarray:
-    head = params["embed_tokens"].T if cfg.tie_word_embeddings else params["lm_head"]
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    if is_quantized(head):
+        # rollout tree: int8 MXU dot; the per-vocab-row scales are exactly the
+        # per-output-column dequant the logits need
+        axis = 1 if cfg.tie_word_embeddings else 0
+        return quantized_dot(hidden, head, axis, out_dtype=jnp.float32)
+    head = head.T if cfg.tie_word_embeddings else head
     return jnp.dot(hidden, head.astype(hidden.dtype), preferred_element_type=jnp.float32)
 
 

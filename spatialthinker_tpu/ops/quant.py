@@ -17,10 +17,11 @@ Scheme (SmoothQuant-style dynamic W8A8, no calibration):
   then folds both scales into the fp32 result. No dequantized weight copy
   ever exists: HBM sees int8 reads only.
 
-Only the decoder-stack matmuls quantize (qkv/o/gate_up/down). Embeddings,
-norms, lm_head, and the vision tower stay bf16: the logit head sets the
-sampling distribution and the vision tower is a small fraction of prompt
-FLOPs.
+The decoder-stack matmuls (qkv/o/gate_up/down) quantize W8A8, and the
+embedding/logit head quantizes per-vocab-row int8 (gathers dequantize rows;
+the tied head runs the same int8 MXU dot) — at 3B the bf16 head alone was a
+620MB HBM read every decode step, ~7% of the step's bandwidth floor. Norms
+and the vision tower stay bf16 (negligible bytes, precision-sensitive).
 
 Training numerics are untouched: old/ref log-probs are recomputed by the
 bf16 training graph (grpo_trainer.compute_log_probs_batched), so the int8
@@ -86,6 +87,18 @@ def quantized_dot(x: jnp.ndarray, qw: Dict[str, jnp.ndarray], contract_axis: int
     return (acc.astype(jnp.float32) * xs * qw["scale"]).astype(out_dtype)
 
 
+def embed_rows(w, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Embedding-table row gather, quantized or plain transparently. For an
+    int8 table the gathered rows dequantize in registers (rows x E multiplies
+    — negligible next to the HBM the int8 table saves). ``dtype`` is the
+    model's compute dtype (callers pass e.g. norm-param dtype so fp32 test
+    models stay fp32); plain tables keep their own dtype."""
+    if is_quantized(w):
+        rows = jnp.take(w["qvalue"], ids, axis=0).astype(dtype)
+        return rows * jnp.take(w["scale"], ids, axis=0)[..., None].astype(dtype)
+    return jnp.take(w, ids, axis=0)
+
+
 def linear(x: jnp.ndarray, w, contract_axis: int = 0, out_dtype=None) -> jnp.ndarray:
     """The decoder stack's one matmul entry point: x (..., K) contracted with
     w's ``contract_axis`` — quantized or bf16 transparently."""
@@ -126,5 +139,11 @@ def quantize_params(params: Params) -> Params:
         layers[group] = dict(layers[group])
         layers[group][name] = quantize_weight(layers[group][name], axis)
     text["layers"] = layers
+    # embedding/head: per-vocab-row scales serve both the row gather (dequant
+    # rows) and the tied logit head (contract E = axis 1 -> scale (V,) per
+    # output column); an untied lm_head (E, V) contracts axis 0 likewise
+    text["embed_tokens"] = quantize_weight(text["embed_tokens"], 1)
+    if "lm_head" in text:
+        text["lm_head"] = quantize_weight(text["lm_head"], 0)
     out["text"] = text
     return out

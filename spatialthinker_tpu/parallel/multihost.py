@@ -74,6 +74,47 @@ def host_local_rows(global_array: jax.Array, mesh: Mesh, spec: P) -> np.ndarray:
     )
 
 
+def global_array_from_full(full: np.ndarray, mesh: Mesh, spec: P) -> jax.Array:
+    """Global device array from a FULL host value that every process holds
+    identically (e.g. after an entry allgather): each process contributes the
+    shards its addressable devices own, sliced from the full value — no
+    assumption about device order beyond the sharding itself."""
+    full = np.asarray(full)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(full, sharding)
+    return jax.make_array_from_callback(full.shape, sharding, lambda idx: full[idx])
+
+
+def fetch_global(arr: jax.Array, mesh: Mesh, spec: P) -> np.ndarray:
+    """FULL host value of a (possibly non-fully-addressable) global array on
+    every process: local row block + allgather. ``spec`` must shard axis 0
+    only (the repo's batch convention) so rank-order tiling reconstructs the
+    global row order."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    return allgather_host_data(host_local_rows(arr, mesh, spec))
+
+
+def allgather_pyobj(obj) -> list:
+    """Gather an arbitrary picklable object from every process; returns the
+    per-rank list on every process (ragged rollout inputs — per-prompt patch
+    arrays — can't ride the uniform-shape allgather above)."""
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    lens = allgather_host_data(np.asarray([len(data)], dtype=np.int64))
+    width = int(lens.max())
+    padded = np.zeros((1, width), dtype=np.uint8)
+    padded[0, : len(data)] = data
+    rows = allgather_host_data(padded)  # (n_proc, width)
+    return [
+        pickle.loads(rows[i, : int(lens[i])].tobytes()) for i in range(len(lens))
+    ]
+
+
 def negotiate_row_count(local_rows: int) -> int:
     """Agree on a common per-host row count (max over hosts) for stages whose
     local row counts are data-dependent, e.g. FFD packing — hosts pad their

@@ -36,6 +36,7 @@ from ..models.qwen2_5_vl.text import (
 )
 from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq
 from ..ops.decode_attention import decode_attention
+from ..ops.quant import embed_rows
 from .sampling import SamplingParams, sample_tokens, sampled_token_logp
 
 
@@ -246,7 +247,10 @@ def decode_chunk(
 
         pos = jnp.broadcast_to(state.gen_pos[None, :, None], (3, s, 1))
         cos, sin = compute_cos_sin(pos, inv_freq, t.mrope_section, dtype=jnp.bfloat16)
-        x = jnp.take(text_params["embed_tokens"], state.cur_tokens, axis=0)  # (S, E)
+        x = embed_rows(
+            text_params["embed_tokens"], state.cur_tokens,
+            dtype=text_params["norm"].dtype,
+        )  # (S, E)
         quantized = state.k_scale is not None
 
         # the stacked cache rides in the scan CARRY so each layer's one-token
@@ -360,12 +364,54 @@ def generate_continuous(
     prefill_chunk_size: int = 0,     # vLLM enable_chunked_prefill equivalent
     max_num_batched_tokens: int = 0,  # token budget per prefill forward
     group_n: int = 1,            # samples per prompt; output has B*group_n rows
+    mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
 ) -> ContinuousResult:
     """Generate B*group_n sequences through `slots` concurrent decode lanes
     with refill. Each unique prompt is prefilled once and installed into
     group_n slots (grouped sampling). Prefill batch size is fixed (queue is
     padded), so the whole engine compiles exactly two kernels. Output row
-    i*group_n + j is sample j of prompt i (repeat-interleave order)."""
+    i*group_n + j is sample j of prompt i (repeat-interleave order).
+
+    Multi-host (``mesh`` given and jax.process_count() > 1): the host loop's
+    refill/exit decisions are data-dependent, so every process must make the
+    IDENTICAL decisions — achieved by construction, not negotiation-per-knob:
+    the (small) prompt batch is allgathered at entry, every process runs this
+    same loop over the GLOBAL queue, slot state is sharded over the mesh's
+    batch axes, prefill batches are assembled as global arrays, and each
+    harvest reads the full finished/active/response rows back via
+    local-shard + allgather. Each process then holds the full output and the
+    caller slices its rows. Inputs are this process's LOCAL rows (the
+    trainer's loader convention). The reference leans on vLLM's per-GPU
+    schedulers here (/root/reference/verl/workers/rollout/vllm_rollout_spmd.py)
+    — per-host dynamic batching with no cross-host agreement to maintain;
+    one SPMD program needs the lockstep schedule instead."""
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import BATCH_AXES
+        from ..parallel.multihost import (
+            allgather_host_data,
+            allgather_pyobj,
+            fetch_global,
+            global_array_from_full,
+        )
+
+        input_ids = allgather_host_data(np.asarray(input_ids))
+        segment_ids = allgather_host_data(np.asarray(segment_ids))
+        position_ids = np.transpose(
+            allgather_host_data(
+                np.ascontiguousarray(np.transpose(np.asarray(position_ids), (1, 0, 2)))
+            ),
+            (1, 0, 2),
+        )
+        gen_pos_start = allgather_host_data(np.asarray(gen_pos_start))
+        if patches_list is not None or grids_list is not None:
+            parts = allgather_pyobj(
+                (list(patches_list or []), list(grids_list or []))
+            )
+            patches_list = [x for pl_, _ in parts for x in pl_]
+            grids_list = [x for _, gl in parts for x in gl]
     b, p = input_ids.shape
     n_out = b * group_n
     slots = min(slots, n_out)
@@ -386,10 +432,35 @@ def generate_continuous(
     # on the first one (never active), so the refill batch stays fixed. The
     # slot count rounds up to a multiple of 8 so the Pallas decode kernel
     # gets its multi-row batch blocks (an odd slots+1 batch would force the
-    # ~4x slower 1-row-per-program configuration).
+    # ~4x slower 1-row-per-program configuration); multi-host additionally
+    # rounds to the mesh's batch-device count so the lane dim shards evenly.
     trash = slots
-    n_lanes = -(-(slots + 1) // 8) * 8
-    state = init_slot_state(cfg, n_lanes, p, max_new_tokens, key, kv_cache_dtype)
+    lane_mult = 8
+    if multihost:
+        import math
+
+        batch_devs = mesh.shape["data"] * mesh.shape["fsdp"]
+        lane_mult = math.lcm(8, batch_devs)
+    n_lanes = -(-(slots + 1) // lane_mult) * lane_mult
+    if multihost:
+        lane = NamedSharding(mesh, P(BATCH_AXES))
+        lane1 = NamedSharding(mesh, P(None, BATCH_AXES))
+        repl = NamedSharding(mesh, P())
+        quantized_kv = kv_cache_dtype == jnp.int8
+        state_sh = SlotState(
+            cache_k=lane1, cache_v=lane1, kv_seg=lane, length=lane,
+            cur_tokens=lane, gen_pos=lane, steps=lane, finished=lane,
+            active=lane, responses=lane, logps=lane, key=repl,
+            k_scale=lane1 if quantized_kv else None,
+            v_scale=lane1 if quantized_kv else None,
+        )
+        state = jax.jit(
+            init_slot_state,
+            static_argnames=("cfg", "slots", "prompt_len", "max_new_tokens", "kv_dtype"),
+            out_shardings=state_sh,
+        )(cfg, n_lanes, p, max_new_tokens, key, kv_dtype=kv_cache_dtype)
+    else:
+        state = init_slot_state(cfg, n_lanes, p, max_new_tokens, key, kv_cache_dtype)
 
     responses = np.full((n_out, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
     logps_out = np.zeros((n_out, max_new_tokens), dtype=np.float32)
@@ -407,6 +478,29 @@ def generate_continuous(
         vision_bucket = max(per_prompt) * u_batch
         wlen = window_patch_len(cfg.vision)
         vision_bucket = -(-vision_bucket // wlen) * wlen
+
+    if multihost:
+        # prefill rows shard over the batch devices when they divide evenly
+        # (the prompt forward is the dominant FLOPs — replicating it would
+        # waste every device but one per shard group); small operands stay
+        # replicated. Slot state reads come back via local-shard + allgather.
+        u_sharded = u_batch % batch_devs == 0
+
+        def dev(x, row_axis=None):
+            spec = (
+                P(*([None] * row_axis + [BATCH_AXES]))
+                if row_axis is not None and u_sharded else P()
+            )
+            return global_array_from_full(np.asarray(x), mesh, spec)
+
+        def fetch_lane(arr, extra_dims: int = 0):
+            return fetch_global(arr, mesh, P(*([BATCH_AXES] + [None] * extra_dims)))
+    else:
+        def dev(x, row_axis=None):
+            return jnp.asarray(x)
+
+        def fetch_lane(arr, extra_dims: int = 0):
+            return np.asarray(arr)
 
     def refill(state, free_slot_list):
         nonlocal next_prompt, slot_owner
@@ -439,15 +533,17 @@ def generate_continuous(
                 cfg.vision, pad_to=vision_bucket,
             )
             if vision is not None:
-                vision = jax.tree.map(jnp.asarray, vision)
+                # replicated: the pack interleaves rows' patches, so row
+                # sharding doesn't apply; packs are identical on every host
+                vision = jax.tree.map(dev, vision)
         state = prefill_jit(
             params, cfg, state,
-            jnp.asarray(targets),
-            jnp.asarray(ids_batch),
-            jnp.asarray(seg_batch),
-            jnp.asarray(position_ids[:, rows]),
-            jnp.asarray(gen_pos_start[rows]),
-            jnp.asarray(valid),
+            dev(targets),
+            dev(ids_batch, 0),
+            dev(seg_batch, 0),
+            dev(position_ids[:, rows], 1),
+            dev(gen_pos_start[rows], 0),
+            dev(valid, 0),
             sampling,
             vision,
             prefill_chunk=prefill_chunk,
@@ -457,12 +553,12 @@ def generate_continuous(
 
     def harvest(state) -> Tuple[SlotState, List[int]]:
         nonlocal responses, logps_out, slot_owner
-        finished = np.asarray(state.finished)
-        active = np.asarray(state.active)
+        finished = fetch_lane(state.finished)
+        active = fetch_lane(state.active)
         done_slots = [int(i) for i in np.nonzero(finished & active)[0]]
         if done_slots:
-            resp_rows = np.asarray(state.responses[jnp.asarray(done_slots)])
-            logp_rows = np.asarray(state.logps[jnp.asarray(done_slots)])
+            resp_rows = fetch_lane(state.responses, 1)[done_slots]
+            logp_rows = fetch_lane(state.logps, 1)[done_slots]
             for row, slot in enumerate(done_slots):
                 owner = slot_owner[slot]
                 if owner >= 0:
@@ -483,7 +579,7 @@ def generate_continuous(
         pending = next_prompt < b
         if pending and len(free_pool) >= group_n:
             state, free_pool = refill(state, free_pool)
-        active_left = bool(np.asarray(state.active).any())
+        active_left = bool(fetch_lane(state.active).any())
         if not active_left and not pending:
             break
 

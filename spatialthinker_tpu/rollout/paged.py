@@ -45,6 +45,7 @@ from ..models.qwen2_5_vl.text import (
 )
 from ..models.qwen2_5_vl.rope import compute_cos_sin, make_inv_freq
 from ..ops.paged_attention import paged_attention
+from ..ops.quant import embed_rows
 from .sampling import SamplingParams, get_response_mask, sample_tokens, sampled_token_logp
 
 
@@ -276,7 +277,10 @@ def decode_chunk_paged(
 
         pos = jnp.broadcast_to(state.gen_pos[None, :, None], (3, s, 1))
         cos, sin = compute_cos_sin(pos, inv_freq, t.mrope_section, dtype=jnp.bfloat16)
-        x = jnp.take(text_params["embed_tokens"], state.cur_tokens, axis=0)
+        x = embed_rows(
+            text_params["embed_tokens"], state.cur_tokens,
+            dtype=text_params["norm"].dtype,
+        )
         quantized = state.k_scale is not None
 
         def body(carry, layer_p):

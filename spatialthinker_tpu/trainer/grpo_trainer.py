@@ -129,10 +129,16 @@ class GRPOTrainer:
         # (/root/reference/verl/single_controller/ray/base.py:211-405).
         self.n_proc = jax.process_count()
         if self.n_proc > 1:
-            if config.worker.rollout.name == "continuous":
+            # continuous rollout IS multi-host capable: the engine allgathers
+            # the prompt queue at entry and every process runs the identical
+            # refill/harvest schedule (rollout/continuous.py, multihost mode).
+            # The paged engine's host-managed page tables + preemption are not
+            # lockstep-replicated yet, so paging stays single-process.
+            if config.worker.rollout.name == "continuous" and config.worker.rollout.page_size > 0:
                 raise ValueError(
-                    "continuous rollout is host-dynamic (data-dependent refill) and "
-                    "cannot run SPMD across processes; use rollout.name=jax for nnodes>1"
+                    "paged rollout (rollout.page_size>0) is host-dynamic (page tables, "
+                    "preemption) and cannot run SPMD across processes; set "
+                    "rollout.page_size=0 or rollout.name=jax for nnodes>1"
                 )
             if config.data.rollout_batch_size % self.n_proc:
                 raise ValueError(
@@ -427,8 +433,10 @@ class GRPOTrainer:
         return global_batch_array(np.asarray(x), self.mesh, spec)
 
     def _host(self, arr, batch_axis: int = 0) -> np.ndarray:
-        """Device array -> this process's numpy row-slice (single-host: all)."""
-        if self.n_proc == 1:
+        """Device array -> this process's numpy row-slice (single-host: all).
+        Host numpy (e.g. the continuous engine's already-local rows) passes
+        through unchanged."""
+        if self.n_proc == 1 or not isinstance(arr, jax.Array):
             return np.asarray(arr)
         from ..parallel.mesh import BATCH_AXES
         from ..parallel.multihost import host_local_rows
@@ -587,7 +595,8 @@ class GRPOTrainer:
                 max_new_tokens=rollout_cfg.response_length,
                 sampling=sampling.override(n=1),
                 key=key,
-                slots=slots if slots > 0 else min(len(repeated), 32),
+                # slot count is GLOBAL (the engine schedules the global queue)
+                slots=slots if slots > 0 else min(len(repeated) * self.n_proc, 32),
                 patches_list=list(base.non_tensors["patches"]),
                 grids_list=list(base.non_tensors["image_grid_thw"]),
                 kv_cache_dtype=kv_dtype,
@@ -613,7 +622,19 @@ class GRPOTrainer:
             else:
                 from ..rollout.continuous import generate_continuous
 
-                result = generate_continuous(*args, **common)
+                result = generate_continuous(*args, **common, mesh=self.mesh)
+                if self.n_proc > 1:
+                    # the multihost engine returns the FULL global output on
+                    # every process; keep this process's rows (rank-major
+                    # global order matches the loader's row ownership)
+                    from ..parallel.multihost import process_local_slice
+
+                    s, e = process_local_slice(len(result.responses))
+                    result = result._replace(
+                        responses=result.responses[s:e],
+                        response_mask=result.response_mask[s:e],
+                        rollout_log_probs=result.rollout_log_probs[s:e],
+                    )
         else:
             # grouped sampling needs the UNIQUE-prompt batch to divide the
             # batch-sharded device count; fall back to per-sample prefill when

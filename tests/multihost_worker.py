@@ -17,6 +17,7 @@ def main():
     flags = sys.argv[5].split(",") if len(sys.argv) > 5 and sys.argv[5] else []
     multimodal = "mm" in flags
     ref_offload = "refoff" in flags
+    continuous = "cont" in flags
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     local_devices = 8 // nprocs  # 8 global devices either way
@@ -61,6 +62,12 @@ def main():
         "worker.actor.padding_free=true",
         "worker.actor.optim.lr=1e-3",
         f"worker.ref.offload={'true' if ref_offload else 'false'}",
+        # continuous rollout multi-host: every process runs the identical
+        # lockstep refill/harvest schedule over the allgathered global queue
+        f"worker.rollout.name={'continuous' if continuous else 'jax'}",
+        # paging is single-process-only (host-managed page tables); the
+        # multi-host continuous path runs the dense-slot engine
+        "worker.rollout.page_size=0",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",
         "trainer.max_steps=1",

@@ -68,6 +68,23 @@ def test_two_process_ref_offload_matches_resident(tmp_path):
         np.testing.assert_allclose(offloaded[0][key], resident[0][key], rtol=1e-4, atol=1e-6)
 
 
+def test_two_process_continuous_rollout_matches_single(tmp_path):
+    """Continuous-engine rollout across 2 processes: the engine allgathers the
+    prompt queue, every process runs the identical lockstep refill/harvest
+    schedule over lane-sharded slot state, and the full train step (rollout ->
+    reward -> update) reproduces the single-process numerics."""
+    single = _run_workers(1, 0, "cont_single", tmp_path, mode="cont")[0]
+    duo = _run_workers(2, 29541, "cont_duo", tmp_path, mode="cont")
+
+    for key in ("actor/loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(duo[0][key])
+        np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
+    )
+
+
 def test_two_process_multimodal_train_step(tmp_path):
     """Multimodal across processes: hosts hold different patch counts, the
     vision pack is globally negotiated (padded slices, per-host offsets, per-

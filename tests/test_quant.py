@@ -60,8 +60,14 @@ def test_quantize_params_structure():
         assert node["qvalue"].dtype == jnp.int8
         orig = params["text"]["layers"][group][name]
         assert node["qvalue"].shape == orig.shape
+    # embedding/head quantizes per-vocab-row (serves gather AND tied head)
+    emb = qparams["text"]["embed_tokens"]
+    assert is_quantized(emb) and emb["qvalue"].dtype == jnp.int8
+    assert emb["qvalue"].shape == params["text"]["embed_tokens"].shape
+    assert emb["scale"].shape == (cfg.text.vocab_size,)
+    if "lm_head" in params["text"]:
+        assert is_quantized(qparams["text"]["lm_head"])
     # everything else untouched (same arrays, not copies)
-    assert qparams["text"]["embed_tokens"] is params["text"]["embed_tokens"]
     assert qparams["vision"] is params["vision"]
     assert layers["self_attn"]["qkv_bias"] is params["text"]["layers"]["self_attn"]["qkv_bias"]
     # original tree is untouched (no in-place mutation)
