@@ -141,7 +141,8 @@ SHAPES = {
         int(os.environ.get("BENCH_PROMPT", "2048")),
         int(os.environ.get("BENCH_GEN", "256")),
         os.environ.get("BENCH_KV", "int8"),
-        int(os.environ.get("BENCH_CHUNK", "256")),
+        # 512 measured +3% over 256 at this shape (bigger matmul M per chunk)
+        int(os.environ.get("BENCH_CHUNK", "512")),
         1,
     ),
     "grpo": (26, 2048, 256, "int8", 512, 5),

@@ -21,34 +21,65 @@ def main():
     kv_int8 = os.environ.get("DK_KV", "int8") == "int8"
     l, hkv, hq, d = 36, 2, 16, 128
 
-    rng = np.random.default_rng(0)
+    # block-shape sweep overrides (monkeypatch the pickers so prod code stays
+    # knob-free; the measured best goes back into the pickers' defaults)
+    import spatialthinker_tpu.ops.decode_attention as da
+    bb = os.environ.get("DK_BLOCK_B")
+    bs = os.environ.get("DK_BLOCK_S")
+    if bb:
+        da._pick_block_b = lambda *_a, **_k: int(bb)
+    if bs:
+        da._pick_block = lambda *_a, **_k: int(bs)
+
+    # generate ON DEVICE: materializing the 5+GB cache on the host and pushing
+    # it through the axon relay costs minutes per array
     if kv_int8:
-        k = jnp.asarray(rng.integers(-127, 127, size=(l, b, hkv, s, d), dtype=np.int8))
-        v = jnp.asarray(rng.integers(-127, 127, size=(l, b, hkv, s, d), dtype=np.int8))
-        ks = jnp.full((l, b, hkv, s), 0.01, jnp.bfloat16)
-        vs = jnp.full((l, b, hkv, s), 0.01, jnp.bfloat16)
+        @jax.jit
+        def make(key):
+            k1, k2 = jax.random.split(key)
+            shape = (l, b, hkv, s, d)
+            k = jax.random.randint(k1, shape, -127, 128, jnp.int8)
+            v = jax.random.randint(k2, shape, -127, 128, jnp.int8)
+            ks = jnp.full((l, b, hkv, s), 0.01, jnp.bfloat16)
+            return k, v, ks, ks
+        k, v, ks, vs = make(jax.random.key(0))
         kv_bytes = 2 * l * b * hkv * s * d + 2 * 2 * l * b * hkv * s
     else:
-        k = jnp.asarray(rng.normal(size=(l, b, hkv, s, d)).astype(np.float32), jnp.bfloat16)
-        v = jnp.asarray(rng.normal(size=(l, b, hkv, s, d)).astype(np.float32), jnp.bfloat16)
+        @jax.jit
+        def make(key):
+            k1, k2 = jax.random.split(key)
+            shape = (l, b, hkv, s, d)
+            return (jax.random.normal(k1, shape, jnp.bfloat16),
+                    jax.random.normal(k2, shape, jnp.bfloat16))
+        k, v = make(jax.random.key(0))
         ks = vs = None
         kv_bytes = 2 * 2 * l * b * hkv * s * d
-    q = jnp.asarray(rng.normal(size=(b, hq, d)).astype(np.float32), jnp.bfloat16)
+    q = jax.jit(lambda key: jax.random.normal(key, (b, hq, d), jnp.bfloat16))(
+        jax.random.key(1)
+    )
     seg = jnp.ones((b, s), jnp.int32)
 
-    @jax.jit
-    def full_pass(q, k, v, ks, vs):
-        def body(i, acc):
-            o = decode_attention(q, k, v, seg, i, ks, vs)
-            return acc + jnp.sum(o.astype(jnp.float32))
-        return jax.lax.fori_loop(0, l, body, jnp.zeros((), jnp.float32))
+    iters = int(os.environ.get("DK_ITERS", "10"))
 
-    float(np.asarray(full_pass(q, k, v, ks, vs)))  # compile
-    float(np.asarray(full_pass(q, k, v, ks, vs)))  # warm
+    # all iters ride INSIDE one jit call (single scalar fetch at the end):
+    # through the axon relay each host->device sync costs real milliseconds,
+    # which at a ~10ms kernel inflates a per-pass-fetch measurement badly.
+    # The loop bound is a TRACED scalar: with a static bound XLA fully
+    # unrolls, duplicating the kernel hundreds of times and blowing the
+    # compile up to tens of minutes (the engines use while_loop — dynamic
+    # bounds — which is why production never hit this).
+    @jax.jit
+    def timed(q, k, v, ks, vs, n):
+        def body(i, acc):
+            o = decode_attention(q, k, v, seg, i % l, ks, vs)
+            return acc + jnp.sum(o.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
     t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        float(np.asarray(full_pass(q, k, v, ks, vs)))
+    float(np.asarray(timed(q, k, v, ks, vs, l)))  # compile + 1 warm pass
+    print(f"compile+warm in {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    float(np.asarray(timed(q, k, v, ks, vs, iters * l)))
     dt = (time.perf_counter() - t0) / iters
     gbs = kv_bytes / dt / 1e9
     print(f"b={b} s={s} kv={'int8' if kv_int8 else 'bf16'}: "
