@@ -27,7 +27,9 @@ import jax.numpy as jnp
 
 from ...ops.attention import attention
 from ...ops.decode_attention import decode_attention
-from ...ops.quant import embed_rows, is_quantized, linear, quantized_dot
+from ...ops.quant import (
+    embed_rows, fused_silu_quant_dot, is_quantized, linear, quantized_dot,
+)
 from .config import TextConfig
 from .rope import apply_rotary, compute_cos_sin, make_inv_freq
 
@@ -51,8 +53,25 @@ def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     keeps the tensor-parallel sharding on I local to each shard
     (silu(gate)*up never crosses shards). Matmuls go through ops.quant.linear
     so an int8-quantized rollout tree (ops/quant.py) dispatches to the W8A8
-    MXU path with no second code path."""
-    gu = linear(x, p["gate_up_proj"], contract_axis=1)  # "...e,tei->...ti"
+    MXU path with no second code path.
+
+    The QUANTIZED tree stores gate_up re-laid-out 2D (E, 2I), gate columns
+    first (quantize_params): one wide W8A8 matmul whose natively-2D (m, 2I)
+    output feeds the Pallas silu->quantize junction kernel without a Mosaic
+    relayout; prefill-scale m dispatches to the fused junction + int8 down
+    dot, decode falls through to the XLA pipeline. (Under rollout TP the 2D
+    column dim no longer keeps silu(gate)*up shard-local — XLA inserts the
+    collective; the training tree keeps the TP-local (2, E, I) form.)"""
+    gup = p["gate_up_proj"]
+    if is_quantized(gup) and gup["qvalue"].ndim == 2:  # rollout 2D layout
+        gu = linear(x, gup, contract_axis=0)  # (..., 2I)
+        fused = fused_silu_quant_dot(gu, p["down_proj"], out_dtype=x.dtype)
+        if fused is not None:  # silu-mul + down-input quantize in one HBM pass
+            return fused
+        i = gu.shape[-1] // 2
+        return linear(jax.nn.silu(gu[..., :i]) * gu[..., i:],
+                      p["down_proj"], contract_axis=0)
+    gu = linear(x, gup, contract_axis=1)  # "...e,tei->...ti"
     return linear(jax.nn.silu(gu[..., 0, :]) * gu[..., 1, :], p["down_proj"], contract_axis=0)
 
 

@@ -125,6 +125,71 @@ def _pick_blocks(m: int, n: int, k: int):
     return None, None
 
 
+def _silu_quant_kernel(gu_ref, q_ref, s_ref, *, i):
+    g = gu_ref[:, :i].astype(jnp.float32)
+    u = gu_ref[:, i:].astype(jnp.float32)
+    h = (g * jax.lax.logistic(g)) * u  # silu(g) * u, f32 (matches jax.nn.silu)
+    amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    s = jnp.maximum(amax, _EPS) / 127.0
+    q_ref[...] = jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
+    s_ref[...] = jnp.broadcast_to(s, s_ref.shape)
+
+
+def fused_silu_quantize(gu: jnp.ndarray):
+    """SwiGLU junction fusion: (M, 2I) gate/up bf16 (gate columns first — the
+    rollout tree's 2D gate_up layout, ops/quant.quantize_params) -> per-row
+    int8 + f32 scales for the down matmul, in ONE pass over HBM.
+
+    The XLA pipeline here is three+ passes (silu-mul write, amax read,
+    scale-cast read+write — the per-token amax reduction forces the silu-mul
+    product to materialize before the quantize can re-read it): ~0.9s of
+    elementwise HBM traffic across a 2048-prompt batch-128 prefill at 3B
+    shapes. Keeping the (bm, I) product in VMEM cuts the junction to the
+    unavoidable gate/up read + the int8 write.
+
+    The input MUST be natively 2D. A reshaped (M, 2, I) tensor hits a Mosaic
+    relayout (sublane dim 2 of 8 -> ~4x read amplification) — measured 0.58x
+    the XLA pipeline before the layout change.
+
+    Returns (q (M, I) int8, scale (M, 1) f32) or None if the shape is
+    ineligible (caller falls back to the XLA pipeline).
+    """
+    m, two_i = gu.shape
+    i = two_i // 2
+    if two_i % 256:  # both halves 128-aligned
+        return None
+    bm = None
+    for cand in (128, 64, 32, 16, 8):
+        if m % cand:
+            continue
+        used = (
+            2 * (cand * two_i * 2)   # gu block, double-buffered bf16
+            + 3 * (cand * i * 4)     # live f32 intermediates (g/u/h)
+            + 2 * (cand * i)         # int8 out, double-buffered
+            + 2 * (cand * 128 * 4)   # scale out
+        )
+        if used <= _VMEM_BUDGET:
+            bm = cand
+            break
+    if bm is None:
+        return None
+    q, s = pl.pallas_call(
+        functools.partial(_silu_quant_kernel, i=i),
+        grid=(m // bm,),
+        in_specs=[pl.BlockSpec((bm, two_i), lambda mi: (mi, 0))],
+        out_specs=[
+            pl.BlockSpec((bm, i), lambda mi: (mi, 0)),
+            pl.BlockSpec((bm, 128), lambda mi: (mi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, i), jnp.int8),
+            jax.ShapeDtypeStruct((m, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(gu)
+    return q, s[:, :1]
+
+
 def fused_w8a8_matmul(
     x: jnp.ndarray,        # (M, K) bf16/f32
     qweight: jnp.ndarray,  # (K, N) int8

@@ -87,6 +87,53 @@ def quantized_dot(x: jnp.ndarray, qw: Dict[str, jnp.ndarray], contract_axis: int
     return (acc.astype(jnp.float32) * xs * qw["scale"]).astype(out_dtype)
 
 
+def prequantized_dot(xq: jnp.ndarray, xs: jnp.ndarray, qw: Dict[str, jnp.ndarray],
+                     contract_axis: int, out_dtype) -> jnp.ndarray:
+    """quantized_dot for an activation that is ALREADY int8 (+ per-row scale
+    (..., 1)): just the MXU dot and the scale-folding epilogue."""
+    acc = jax.lax.dot_general(
+        xq, qw["qvalue"],
+        (((xq.ndim - 1,), (contract_axis,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    n_free = qw["qvalue"].ndim - 1
+    xs = xs.reshape(*xs.shape[:-1], *([1] * n_free))
+    return (acc.astype(jnp.float32) * xs * qw["scale"]).astype(out_dtype)
+
+
+def fused_silu_quant_dot(gu: jnp.ndarray, qdown: Dict[str, jnp.ndarray],
+                         out_dtype) -> jnp.ndarray | None:
+    """SwiGLU tail for the quantized rollout tree: fuse silu(gate)*up with the
+    down-proj's per-token activation quantize in one Pallas pass
+    (ops/int8_matmul.fused_silu_quantize), then run the int8 down dot on the
+    pre-quantized rows. ``gu`` is (..., 2I), gate columns first — the rollout
+    tree's 2D gate_up layout. Returns None when ineligible (XLA fallback).
+    SPATIALTHINKER_FUSED_SILU=0 disables; =force enables off-TPU (interpret
+    mode, for tests)."""
+    import math
+    import os
+
+    mode = os.environ.get("SPATIALTHINKER_FUSED_SILU", "1")
+    if mode == "0":
+        return None
+    if mode != "force" and jax.default_backend() != "tpu":
+        return None
+    lead = gu.shape[:-1]
+    m = math.prod(lead)
+    # decode steps (m = lanes) are HBM-floor-bound on weights, not the
+    # junction — keep the XLA path there
+    if m < 1024 or m % 8:
+        return None
+    from .int8_matmul import fused_silu_quantize
+
+    out = fused_silu_quantize(gu.reshape(m, gu.shape[-1]))
+    if out is None:
+        return None
+    xq, xs = out
+    res = prequantized_dot(xq, xs, qdown, 0, out_dtype)
+    return res.reshape(*lead, *res.shape[1:])
+
+
 def embed_rows(w, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Embedding-table row gather, quantized or plain transparently. For an
     int8 table the gathered rows dequantize in registers (rows x E multiplies
@@ -122,7 +169,6 @@ def linear(x: jnp.ndarray, w, contract_axis: int = 0, out_dtype=None) -> jnp.nda
 _TEXT_LAYER_MATMULS = {
     ("self_attn", "qkv_proj"): 2,     # (L, Hkv, E, G) contract E
     ("self_attn", "o_proj"): 1,       # (L, H*D, E)    contract H*D
-    ("mlp", "gate_up_proj"): 2,       # (L, 2, E, I)   contract E
     ("mlp", "down_proj"): 1,          # (L, I, E)      contract I
 }
 
@@ -138,6 +184,19 @@ def quantize_params(params: Params) -> Params:
     for (group, name), axis in _TEXT_LAYER_MATMULS.items():
         layers[group] = dict(layers[group])
         layers[group][name] = quantize_weight(layers[group][name], axis)
+    # gate_up re-lays out 2D (L, E, 2I), gate columns first: the rollout
+    # forward consumes it as ONE wide (E, 2I) matmul whose (m, 2I) output
+    # feeds the Pallas silu->quantize junction kernel directly — the training
+    # tree's (L, 2, E, I) batched form would hand the kernel a (m, 2, I)
+    # intermediate whose Mosaic relayout (sublane dim 2 of 8) costs ~4x the
+    # junction's read traffic. One transposed copy per rollout phase.
+    mlp = dict(layers["mlp"])
+    gu = mlp["gate_up_proj"]  # (L, 2, E, I)
+    ell, _, e, i = gu.shape
+    mlp["gate_up_proj"] = quantize_weight(
+        jnp.transpose(gu, (0, 2, 1, 3)).reshape(ell, e, 2 * i), 1
+    )
+    layers["mlp"] = mlp
     text["layers"] = layers
     # embedding/head: per-vocab-row scales serve both the row gather (dequant
     # rows) and the tied logit head (contract E = axis 1 -> scale (V,) per

@@ -44,6 +44,33 @@ def test_ineligible_shapes_return_none():
     assert fused_w8a8_matmul(x, qw["qvalue"], qw["scale"]) is None
 
 
+def test_fused_silu_quantize_matches_reference():
+    """Junction kernel (interpret mode): silu(gate)*up quantized per row ==
+    the f32 reference computation."""
+    from spatialthinker_tpu.ops.int8_matmul import fused_silu_quantize
+
+    rng = np.random.default_rng(2)
+    m, i = 64, 256
+    gu = jnp.asarray(rng.normal(size=(m, 2 * i)).astype(np.float32), jnp.bfloat16)
+    q, s = fused_silu_quantize(gu)
+    assert q.shape == (m, i) and s.shape == (m, 1)
+    g = np.asarray(gu[:, :i], np.float32)
+    u = np.asarray(gu[:, i:], np.float32)
+    h = (g / (1 + np.exp(-g))) * u
+    s_ref = np.maximum(np.abs(h).max(axis=1, keepdims=True), 1e-8) / 127.0
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-5)
+    q_ref = np.clip(np.round(h / s_ref), -127, 127)
+    # f32 silu inside the kernel vs numpy: at most one quantization step apart
+    assert np.abs(np.asarray(q, np.int32) - q_ref).max() <= 1
+
+
+def test_fused_silu_quantize_ineligible():
+    from spatialthinker_tpu.ops.int8_matmul import fused_silu_quantize
+
+    gu = jnp.zeros((64, 2 * 192), jnp.bfloat16)  # halves not 128-aligned
+    assert fused_silu_quantize(gu) is None
+
+
 def test_pick_blocks_respects_vmem():
     bm, bn = _pick_blocks(65536, 2560, 2048)
     assert bm is not None and (bm * 2048 * 3) + 2 * 2048 * bn <= 12 * 1024 * 1024

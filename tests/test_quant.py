@@ -59,7 +59,13 @@ def test_quantize_params_structure():
         assert is_quantized(node)
         assert node["qvalue"].dtype == jnp.int8
         orig = params["text"]["layers"][group][name]
-        assert node["qvalue"].shape == orig.shape
+        if (group, name) == ("mlp", "gate_up_proj"):
+            # rollout tree re-lays gate_up out 2D (L, E, 2I), gate cols first
+            ell, _, e, i = orig.shape
+            assert node["qvalue"].shape == (ell, e, 2 * i)
+            assert node["scale"].shape == (ell, 2 * i)
+        else:
+            assert node["qvalue"].shape == orig.shape
     # embedding/head quantizes per-vocab-row (serves gather AND tied head)
     emb = qparams["text"]["embed_tokens"]
     assert is_quantized(emb) and emb["qvalue"].dtype == jnp.int8
@@ -111,6 +117,48 @@ def test_quantized_generate_close_and_contract():
     resp = np.asarray(out.responses)
     mask = np.asarray(out.response_mask)
     assert ((resp == cfg.pad_token_id) | (mask == 1)).all()
+
+
+def test_quantized_swiglu_2d_layout_matches_3d():
+    """The rollout tree's 2D (E, 2I) gate_up layout == quantizing the training
+    (2, E, I) form: same per-column grid, same math, columns just re-ordered."""
+    from spatialthinker_tpu.models.qwen2_5_vl.text import swiglu_mlp
+
+    rng = np.random.default_rng(4)
+    e, i = 64, 128
+    gu3 = jnp.asarray(rng.normal(size=(2, e, i)).astype(np.float32) * 0.05)
+    down = jnp.asarray(rng.normal(size=(i, e)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(3, 8, e)).astype(np.float32))
+
+    p3 = {"gate_up_proj": quantize_weight(gu3, 1), "down_proj": quantize_weight(down, 0)}
+    gu2 = jnp.transpose(gu3, (1, 0, 2)).reshape(e, 2 * i)
+    p2 = {"gate_up_proj": quantize_weight(gu2, 0), "down_proj": quantize_weight(down, 0)}
+    out3 = np.asarray(swiglu_mlp(p3, x))
+    out2 = np.asarray(swiglu_mlp(p2, x))
+    np.testing.assert_allclose(out2, out3, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_silu_quant_dot_matches_fallback(monkeypatch):
+    """Forced fused junction (interpret mode) == the XLA fallback of the same
+    2D layout, up to the f32-vs-compute-dtype silu difference."""
+    from spatialthinker_tpu.models.qwen2_5_vl.text import swiglu_mlp
+
+    rng = np.random.default_rng(5)
+    e, i = 64, 128
+    m = 1024  # >= the fused path's m gate
+    gu2 = jnp.asarray(rng.normal(size=(e, 2 * i)).astype(np.float32) * 0.05)
+    down = jnp.asarray(rng.normal(size=(i, e)).astype(np.float32) * 0.05)
+    p = {"gate_up_proj": quantize_weight(gu2, 0), "down_proj": quantize_weight(down, 0)}
+    x = jnp.asarray(rng.normal(size=(m, e)).astype(np.float32), jnp.bfloat16)
+
+    monkeypatch.setenv("SPATIALTHINKER_FUSED_SILU", "0")
+    ref = np.asarray(swiglu_mlp(p, x), np.float32)
+    monkeypatch.setenv("SPATIALTHINKER_FUSED_SILU", "force")
+    got = np.asarray(swiglu_mlp(p, x), np.float32)
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    # the kernel computes silu in f32 where the fallback rounds h to the
+    # compute dtype before quantizing: one int8 grid step apart -> ~1%
+    assert err < 2e-2, err
 
 
 def test_rollout_quantization_config_wiring():
