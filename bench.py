@@ -145,7 +145,7 @@ SHAPES = {
         int(os.environ.get("BENCH_CHUNK", "512")),
         1,
     ),
-    "grpo": (26, 2048, 256, "int8", 512, 5),
+    "grpo": (int(os.environ.get("BENCH_GRPO_BATCH", "26")), 2048, 256, "int8", 512, 5),
     "flagship": (
         int(os.environ.get("BENCH_FLAGSHIP_BATCH", "32")),
         6144, 2048, "int8", 512, 1,
@@ -204,11 +204,14 @@ def main() -> None:
     # random bf16 init directly on device (values irrelevant for throughput)
     params = jax.jit(lambda k: init_params(cfg, k, dtype=jnp.bfloat16))(jax.random.key(0))
     jax.block_until_ready(params)
-    if WQ == "int8":
+    if WQ in ("int8", "w4a8"):
+        import functools
+
         from spatialthinker_tpu.ops.quant import quantize_params
 
         # rebind: the bf16 decoder stacks are freed, HBM holds int8 + scales
-        params = jax.jit(quantize_params)(params)
+        # (w4a8 additionally carries the int4 MLP decode copies)
+        params = jax.jit(functools.partial(quantize_params, mode=WQ))(params)
     gen = jax.jit(
         generate,
         static_argnames=(

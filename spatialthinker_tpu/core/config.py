@@ -176,7 +176,7 @@ class RolloutConfig:
     # "int8" runs the decoder-stack matmuls W8A8 on the int8 MXU (2x bf16
     # FLOPs, half the decode weight HBM read); old/ref log-probs are still
     # recomputed by the bf16 training graph (ops/quant.py)
-    quantization: str = "none"      # {none, int8}
+    quantization: str = "none"      # {none, int8, w4a8}
     page_size: int = 128            # tokens per KV page (paged attention granularity)
     decode_batch_size: int = -1     # -1: infer from batch
     prefill_chunk_size: int = 2048
@@ -295,10 +295,11 @@ class PPOConfig:
                     "reference copy and sharding.host_offload_optimizer for the "
                     "optimizer state"
                 )
-        if self.worker.rollout.quantization not in ("none", "int8"):
+        if self.worker.rollout.quantization not in ("none", "int8", "w4a8"):
             raise ValueError(
                 f"rollout.quantization={self.worker.rollout.quantization!r}: "
-                "supported values are 'none' and 'int8' (W8A8 on the int8 MXU)"
+                "supported values are 'none', 'int8' (W8A8 on the int8 MXU) "
+                "and 'w4a8' (int8 + int4 group-quantized MLP decode copies)"
             )
         if self.worker.rollout.kv_cache_dtype not in ("bfloat16", "int8"):
             raise ValueError(

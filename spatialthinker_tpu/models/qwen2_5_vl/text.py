@@ -29,6 +29,7 @@ from ...ops.attention import attention
 from ...ops.decode_attention import decode_attention
 from ...ops.quant import (
     embed_rows, fused_silu_quant_dot, is_quantized, linear, quantized_dot,
+    w4_swiglu,
 )
 from .config import TextConfig
 from .rope import apply_rotary, compute_cos_sin, make_inv_freq
@@ -64,6 +65,10 @@ def swiglu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     collective; the training tree keeps the TP-local (2, E, I) form.)"""
     gup = p["gate_up_proj"]
     if is_quantized(gup) and gup["qvalue"].ndim == 2:  # rollout 2D layout
+        if "gate_up_w4" in p:  # w4a8: int4 decode copies (small-m path)
+            out = w4_swiglu(p, x, out_dtype=x.dtype)
+            if out is not None:
+                return out
         gu = linear(x, gup, contract_axis=0)  # (..., 2I)
         fused = fused_silu_quant_dot(gu, p["down_proj"], out_dtype=x.dtype)
         if fused is not None:  # silu-mul + down-input quantize in one HBM pass

@@ -134,6 +134,33 @@ def fused_silu_quant_dot(gu: jnp.ndarray, qdown: Dict[str, jnp.ndarray],
     return res.reshape(*lead, *res.shape[1:])
 
 
+def w4_swiglu(p: Params, x: jnp.ndarray, out_dtype) -> jnp.ndarray | None:
+    """Decode-path SwiGLU on the int4 MLP copies (ops/int4_mlp.py): int4
+    gate_up + silu junction in one kernel, int4 down with in-kernel per-token
+    quantize. Returns None when ineligible (prefill-scale m, odd shapes, or
+    off-TPU) — caller falls back to the int8 path. SPATIALTHINKER_W4=0
+    disables; =force enables off-TPU (interpret mode, for tests)."""
+    import math
+    import os
+
+    mode = os.environ.get("SPATIALTHINKER_W4", "1")
+    if mode == "0":
+        return None
+    if mode != "force" and jax.default_backend() != "tpu":
+        return None
+    lead = x.shape[:-1]
+    m = math.prod(lead)
+    from .int4_mlp import w4_gateup_silu, w4_matmul
+
+    h = w4_gateup_silu(x.reshape(m, x.shape[-1]), p["gate_up_w4"])
+    if h is None:
+        return None
+    out = w4_matmul(h, p["down_w4"], out_dtype=out_dtype)
+    if out is None:
+        return None
+    return out.reshape(*lead, out.shape[-1])
+
+
 def embed_rows(w, ids: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Embedding-table row gather, quantized or plain transparently. For an
     int8 table the gathered rows dequantize in registers (rows x E multiplies
@@ -173,11 +200,24 @@ _TEXT_LAYER_MATMULS = {
 }
 
 
-def quantize_params(params: Params) -> Params:
+def _pick_w4_group(k: int) -> int | None:
+    for g in (128, 64, 32, 16, 8):
+        if k % (2 * g) == 0:
+            return g
+    return None
+
+
+def quantize_params(params: Params, mode: str = "int8") -> Params:
     """bf16 param pytree -> rollout pytree with the text decoder-stack matmul
     weights as int8 {"qvalue", "scale"} nodes (everything else untouched,
     shared by reference — no copy). Jit this: the whole pass is one read of
-    the stacks, negligible next to a single prefill."""
+    the stacks, negligible next to a single prefill.
+
+    ``mode="w4a8"`` additionally derives int4 group-quantized DECODE copies of
+    the MLP weights (``gate_up_w4``/``down_w4``, ops/int4_mlp.py): decode
+    steps stream half the MLP weight bytes while prefill keeps the int8 MXU
+    path. Costs one extra ~I*E*1.5 bytes/layer of HBM (~1.2GB at 3B) — the
+    classic memory-for-bandwidth trade vLLM makes with AWQ/GPTQ checkpoints."""
     out = {k: v for k, v in params.items()}
     text = dict(params["text"])
     layers = {k: (dict(v) if isinstance(v, dict) else v) for k, v in text["layers"].items()}
@@ -193,9 +233,15 @@ def quantize_params(params: Params) -> Params:
     mlp = dict(layers["mlp"])
     gu = mlp["gate_up_proj"]  # (L, 2, E, I)
     ell, _, e, i = gu.shape
-    mlp["gate_up_proj"] = quantize_weight(
-        jnp.transpose(gu, (0, 2, 1, 3)).reshape(ell, e, 2 * i), 1
-    )
+    gu2 = jnp.transpose(gu, (0, 2, 1, 3)).reshape(ell, e, 2 * i)
+    mlp["gate_up_proj"] = quantize_weight(gu2, 1)
+    if mode == "w4a8":
+        from .int4_mlp import pack_int4_grouped
+
+        g_e, g_i = _pick_w4_group(e), _pick_w4_group(i)
+        if g_e is not None and g_i is not None:
+            mlp["gate_up_w4"] = pack_int4_grouped(gu2, 1, group=g_e)
+            mlp["down_w4"] = pack_int4_grouped(params["text"]["layers"]["mlp"]["down_proj"], 1, group=g_i)
     layers["mlp"] = mlp
     text["layers"] = layers
     # embedding/head: per-vocab-row scales serve both the row gather (dequant

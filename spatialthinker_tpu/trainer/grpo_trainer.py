@@ -340,10 +340,14 @@ class GRPOTrainer:
         # the decoder-stack matmul weights each rollout phase (the optimizer
         # just rewrote them); one stack read, negligible next to a prefill
         self.quantize_fn = None
-        if config.worker.rollout.quantization == "int8":
+        if config.worker.rollout.quantization in ("int8", "w4a8"):
+            import functools
+
             from ..ops.quant import quantize_params
 
-            self.quantize_fn = jax.jit(quantize_params)
+            self.quantize_fn = jax.jit(functools.partial(
+                quantize_params, mode=config.worker.rollout.quantization
+            ))
 
         self.sampling = SamplingParams(
             temperature=config.worker.rollout.temperature,
