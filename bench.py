@@ -164,7 +164,8 @@ def _measure(gen, params, cfg, shape, iters: int) -> float:
     from spatialthinker_tpu.rollout.sampling import SamplingParams
 
     b, p, r, kv_name, chunk, group_n = shape
-    kv_dtype = jnp.int8 if kv_name == "int8" else jnp.bfloat16
+    # uint8 = the packed-int4 marker dtype (models/.../text.KVCache)
+    kv_dtype = {"int8": jnp.int8, "int4": jnp.uint8}.get(kv_name, jnp.bfloat16)
     rng = np.random.default_rng(0)
     input_ids = jnp.asarray(rng.integers(1, 1000, size=(b, p), dtype=np.int32))
     segment_ids = jnp.ones((b, p), jnp.int32)

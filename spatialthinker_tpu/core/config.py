@@ -301,10 +301,18 @@ class PPOConfig:
                 "supported values are 'none', 'int8' (W8A8 on the int8 MXU) "
                 "and 'w4a8' (int8 + int4 group-quantized MLP decode copies)"
             )
-        if self.worker.rollout.kv_cache_dtype not in ("bfloat16", "int8"):
+        if self.worker.rollout.kv_cache_dtype not in ("bfloat16", "int8", "int4"):
             raise ValueError(
                 f"rollout.kv_cache_dtype={self.worker.rollout.kv_cache_dtype!r}: "
-                "supported values are 'bfloat16' and 'int8'"
+                "supported values are 'bfloat16', 'int8' and 'int4' (packed "
+                "nibbles, dense engine only)"
+            )
+        if (self.worker.rollout.kv_cache_dtype == "int4"
+                and self.worker.rollout.name != "jax"):
+            raise ValueError(
+                "rollout.kv_cache_dtype=int4 requires the dense engine "
+                f"(rollout.name={self.worker.rollout.name!r}): the continuous/"
+                "paged engines' per-slot and paged writes are int8/bf16 only"
             )
         tp = self.worker.rollout.tensor_parallel_size
         if tp != 1 and tp != self.worker.actor.sharding.model_size:

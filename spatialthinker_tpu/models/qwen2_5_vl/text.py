@@ -106,12 +106,22 @@ class KVCache(NamedTuple):
     dynamic_update_slice at the layer index (XLA aliases scan carries), so a
     decode step's cache traffic is the read the attention itself needs — not a
     full-cache copy per layer. With dtype int8 the values are quantized per
-    token-head (symmetric max-abs scales in bf16: ~56% of bf16 HBM traffic)."""
+    token-head (symmetric max-abs scales in bf16: ~56% of bf16 HBM traffic).
 
-    k: jnp.ndarray  # (L, B, Hkv, Smax, D)
-    v: jnp.ndarray  # (L, B, Hkv, Smax, D)
+    int4 mode (marker dtype: UINT8 buffers): values are packed two tokens per
+    byte, SPLIT-HALF along the sequence — token t lives in byte row
+    t % (Smax/2), low nibble for t < Smax/2, high nibble otherwise. The
+    packed row index never depends on the token's nibble half, the unpack is
+    two arithmetic shifts, and the decode kernel processes the two halves as
+    two online-softmax block updates (order-independent), so no interleave or
+    lane-strided op ever exists. Scales stay per-token at index t (unpacked).
+    ~30% of bf16 HBM traffic; quality sits below int8 (AWQ-class 4-bit) —
+    opt-in via rollout.kv_cache_dtype=int4, dense engine only."""
+
+    k: jnp.ndarray  # (L, B, Hkv, Smax, D) | uint8 (L, B, Hkv, Smax/2, D) int4
+    v: jnp.ndarray
     length: jnp.ndarray  # () int32 — filled prefix length (uniform across batch)
-    k_scale: Optional[jnp.ndarray] = None  # (L, B, Hkv, Smax) — int8 mode only
+    k_scale: Optional[jnp.ndarray] = None  # (L, B, Hkv, Smax) — int8/int4 modes
     v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
@@ -122,17 +132,24 @@ class KVCache(NamedTuple):
         # can slice the live cache prefix + use the flash kernel's static
         # causal_offset. Decode loops re-bind length to a traced scalar.
         zero_len = 0
+        sshape = (num_layers, batch, num_kv_heads, max_len)
         if dtype == jnp.int8:
-            sshape = (num_layers, batch, num_kv_heads, max_len)
             return cls(
                 jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), zero_len,
+                jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16),
+            )
+        if dtype == jnp.uint8:  # int4 marker: packed (Smax/2, D) byte rows
+            assert max_len % 2 == 0, max_len
+            pshape = (num_layers, batch, num_kv_heads, max_len // 2, head_dim)
+            return cls(
+                jnp.zeros(pshape, jnp.uint8), jnp.zeros(pshape, jnp.uint8), zero_len,
                 jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16),
             )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), zero_len)
 
     def arrays(self) -> tuple:
         """The carried leaves (k, v[, k_scale, v_scale]) for the layer scan."""
-        if self.k.dtype == jnp.int8:
+        if self.k.dtype in (jnp.int8, jnp.uint8):
             return (self.k, self.v, self.k_scale, self.v_scale)
         return (self.k, self.v)
 
@@ -146,6 +163,68 @@ def _quantize_kv(x: jnp.ndarray):
 
 def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]).astype(dtype)
+
+
+def _quantize_kv4(x: jnp.ndarray):
+    """(..., S, D) -> int4 values in [-7, 7] (as int8) + (..., S) bf16 scales."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-6) / 7.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7)
+    return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+
+def _pack_nibbles(low: jnp.ndarray, high: jnp.ndarray) -> jnp.ndarray:
+    """Two int4-valued int8 arrays -> one uint8 (low | high << 4)."""
+    u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
+    return (u8(low) & jnp.uint8(0xF)) | (u8(high) << 4)
+
+
+def _unpack_nibbles(p: jnp.ndarray):
+    """uint8 -> (low int8, high int8), sign-extended."""
+    pi = jax.lax.bitcast_convert_type(p, jnp.int8)
+    return (pi << 4) >> 4, pi >> 4
+
+
+def _unpack_kv4(packed: jnp.ndarray, seq_axis: int) -> jnp.ndarray:
+    """Packed (..., S/2, D) -> int8 (..., S, D): low nibbles are tokens
+    [0, S/2), high nibbles [S/2, S) (split-half layout)."""
+    low, high = _unpack_nibbles(packed)
+    return jnp.concatenate([low, high], axis=seq_axis)
+
+
+def _update_kv4(arr: jnp.ndarray, q4: jnp.ndarray, layer_idx, start):
+    """Write int4 token rows [start, start+s) into the packed
+    (L, B, Hkv, Smax/2, D) uint8 buffer (split-half nibble layout). A static
+    python ``start`` (chunked prefill) splits at the half boundary; a traced
+    ``start`` requires s == 1 (the decode write)."""
+    half = arr.shape[3]
+    b, hkv, s, d = q4.shape
+    u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
+    if isinstance(start, int):
+        parts = []
+        n_low = max(0, min(s, half - start))
+        if n_low:
+            parts.append((start, q4[:, :, :n_low], False))
+        if n_low < s:
+            parts.append((start + n_low - half, q4[:, :, n_low:], True))
+        for row, qpart, is_high in parts:
+            width = qpart.shape[2]
+            slab = jax.lax.dynamic_slice(
+                arr, (layer_idx, 0, 0, row, 0), (1, b, hkv, width, d)
+            )
+            if is_high:
+                merged = (slab & jnp.uint8(0x0F)) | (u8(qpart)[None] << 4)
+            else:
+                merged = (slab & jnp.uint8(0xF0)) | (u8(qpart)[None] & jnp.uint8(0xF))
+            arr = jax.lax.dynamic_update_slice(arr, merged, (layer_idx, 0, 0, row, 0))
+        return arr
+    assert s == 1, "traced int4 KV writes are single-token (decode)"
+    row = jax.lax.rem(start, half)
+    slab = jax.lax.dynamic_slice(arr, (layer_idx, 0, 0, row, 0), (1, b, hkv, 1, d))
+    qb = u8(q4)[None]
+    low_m = (slab & jnp.uint8(0xF0)) | (qb & jnp.uint8(0xF))
+    high_m = (slab & jnp.uint8(0x0F)) | (qb << 4)
+    merged = jnp.where(start >= half, high_m, low_m)
+    return jax.lax.dynamic_update_slice(arr, merged, (layer_idx, 0, 0, row, 0))
 
 
 def attention_inputs(p: Params, cfg: TextConfig, x: jnp.ndarray, cos, sin):
@@ -207,9 +286,22 @@ def _layer(
     else:
         cache_dtype = cache_arrays[0].dtype
         quantized = cache_dtype == jnp.int8
+        quantized4 = cache_dtype == jnp.uint8  # int4 split-half packed
         k_hm = k.transpose(0, 2, 1, 3)  # (B, Hkv, s, D) head-major for the cache
         v_hm = v.transpose(0, 2, 1, 3)
-        if quantized:
+        if quantized4:
+            kq, ks = _quantize_kv4(k_hm)  # scales (B, Hkv, s)
+            vq, vs = _quantize_kv4(v_hm)
+            ck = _update_kv4(cache_arrays[0], kq, layer_idx, cache_length)
+            cv = _update_kv4(cache_arrays[1], vq, layer_idx, cache_length)
+            cks = jax.lax.dynamic_update_slice(
+                cache_arrays[2], ks[None], (layer_idx, 0, 0, cache_length)
+            )
+            cvs = jax.lax.dynamic_update_slice(
+                cache_arrays[3], vs[None], (layer_idx, 0, 0, cache_length)
+            )
+            new_arrays = (ck, cv, cks, cvs)
+        elif quantized:
             kq, ks = _quantize_kv(k_hm)  # scales (B, Hkv, s)
             vq, vs = _quantize_kv(v_hm)
             ck = jax.lax.dynamic_update_slice(
@@ -238,7 +330,10 @@ def _layer(
 
         kv_seg = kv_segment_ids
         if kv_seg is None:
-            kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, ck.shape[3]), 1)
+            # token width: the packed int4 buffer has Smax/2 byte rows, so the
+            # per-token scale buffer is the width authority when quantized
+            width = new_arrays[2].shape[3] if len(new_arrays) > 2 else ck.shape[3]
+            kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
             kv_seg = jnp.where(kv_positions < cache_length + s, 1, 0).astype(jnp.int32)
 
         if s > 1 and not attend_to_cache:
@@ -254,7 +349,7 @@ def _layer(
             # static causal_offset — the masked-SDPA fallback materializes a
             # (B, Hq, s, Skv) fp32 score tensor, which is exactly the memory
             # the chunking exists to avoid.
-            scales = (new_arrays[2], new_arrays[3]) if quantized else (None, None)
+            scales = (new_arrays[2], new_arrays[3]) if (quantized or quantized4) else (None, None)
             q_seg = segment_ids if segment_ids is not None else jnp.ones((b, s), jnp.int32)
             if isinstance(cache_length, int):
                 end = cache_length + s
@@ -275,7 +370,7 @@ def _layer(
                     causal=True, q_offset=q_offset,
                 )
         else:
-            scales = (new_arrays[2], new_arrays[3]) if quantized else (None, None)
+            scales = (new_arrays[2], new_arrays[3]) if (quantized or quantized4) else (None, None)
             out = decode_attention(
                 q[:, 0], new_arrays[0], new_arrays[1], kv_seg, layer_idx, *scales
             )[:, None]
@@ -289,7 +384,25 @@ def _layer_kv(ck, cv, layer_idx, dtype, k_scale=None, v_scale=None, end=None):
     (static) slices the live prefix so only written cells are read."""
     k_l = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0, keepdims=False)
     v_l = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0, keepdims=False)
-    if end is not None:
+    if ck.dtype == jnp.uint8:  # int4 split-half: unpack only written rows
+        half = ck.shape[3]
+
+        def unpack_live(p_l):
+            n_low = min(end, half) if end is not None else half
+            low, high = _unpack_nibbles(jax.lax.slice_in_dim(p_l, 0, n_low, axis=2))
+            parts = [low]
+            if end is None or end > half:
+                n_high = (end - half) if end is not None else half
+                if n_high < n_low:
+                    _, high = _unpack_nibbles(
+                        jax.lax.slice_in_dim(p_l, 0, n_high, axis=2)
+                    )
+                parts.append(high[:, :, :n_high] if end is not None else high)
+            return jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+        k_l = unpack_live(k_l)
+        v_l = unpack_live(v_l)
+    elif end is not None:
         k_l = jax.lax.slice_in_dim(k_l, 0, end, axis=2)
         v_l = jax.lax.slice_in_dim(v_l, 0, end, axis=2)
     if k_scale is not None:
@@ -351,7 +464,7 @@ def forward_hidden(
         # is an in-place one-slot update at its index, so a decode step never
         # copies the cache (the xs/ys formulation re-materializes every
         # layer's full buffer into the stacked output each step)
-        quantized = cache.k.dtype == jnp.int8
+        quantized = cache.k.dtype in (jnp.int8, jnp.uint8)
 
         def body(carry, layer_p):
             x, arrays, idx = carry

@@ -61,6 +61,49 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _block_update(
+    q, k_bf16, v_bf16, seg, ks, vs, m_scr, l_scr, acc_scr,
+    *, scale, hkv, g, block_b, block_s,
+):
+    """One flash-style online-softmax update of the (m, l, acc) scratches with
+    a (block_b, Hkv, block_s, D) KV block. ``ks``/``vs`` are the per-token
+    scales (None for bf16 caches); order across calls is irrelevant — the
+    running max/sum absorbs blocks in any sequence position order."""
+    n_grp = block_b * hkv
+    d = q.shape[-1]
+    s = jax.lax.dot_general(
+        q, k_bf16, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (n_grp, g, block_s)
+    if ks is not None:
+        # fold softmax scale + k scales in after the dot: q.(k*s) == (q.k)*s
+        s = s * (ks.reshape(n_grp, 1, block_s).astype(jnp.float32) * scale)
+    else:
+        s = s * scale
+    valid = jnp.broadcast_to(
+        seg != 0, (block_b, hkv, block_s)
+    ).reshape(n_grp, 1, block_s)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[...].reshape(n_grp, g, 128)[:, :, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[...].reshape(n_grp, g, 128)[:, :, 0:1] * corr + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    if vs is not None:
+        # fold the v scales into the softmax weights: p.(v*s) == (p*s).v
+        p = p * vs.reshape(n_grp, 1, block_s).astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v_bf16,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )  # (n_grp, g, d)
+    acc = acc_scr[...].reshape(n_grp, g, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(m_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
+    l_scr[...] = jnp.broadcast_to(l_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
+    acc_scr[...] = acc.reshape(n_grp * g, d)
+
+
 def _decode_kernel(
     idx_ref,      # scalar prefetch: (1,) layer index (consumed by index maps)
     seg_ref,      # (block_b, 1, block_s) int32
@@ -83,7 +126,6 @@ def _decode_kernel(
     else:
         o_ref, m_scr, l_scr, acc_scr = rest
     si = pl.program_id(1)
-    hq_p = hkv * g
     n_grp = block_b * hkv  # one (row, kv-head) group per batched-dot slice
     d = q_ref.shape[-1]
     block_s = k_ref.shape[-2]
@@ -100,36 +142,68 @@ def _decode_kernel(
     # full-width vector ops and lets Mosaic pipeline the MXU slices.
     q = q_ref[...].reshape(n_grp, g, d)  # bf16 operands, f32 accumulation
     k = k_ref[...].reshape(n_grp, block_s, d).astype(jnp.bfloat16)  # int8 -> exact
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (n_grp, g, block_s)
-    if quantized:
-        # fold softmax scale + k scales in after the dot: q.(k*s) == (q.k)*s
-        s = s * (ks_ref[...].reshape(n_grp, 1, block_s).astype(jnp.float32) * scale)
-    else:
-        s = s * scale
-    seg = seg_ref[...] != 0  # (block_b, 1, block_s)
-    valid = jnp.broadcast_to(seg, (block_b, hkv, block_s)).reshape(n_grp, 1, block_s)
-    s = jnp.where(valid, s, NEG_INF)
-
-    m_prev = m_scr[...].reshape(n_grp, g, 128)[:, :, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
-    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-    corr = jnp.exp(m_prev - m_new)
-    l_new = l_scr[...].reshape(n_grp, g, 128)[:, :, 0:1] * corr + jnp.sum(
-        p, axis=2, keepdims=True
+    v = v_ref[...].reshape(n_grp, block_s, d)
+    _block_update(
+        q, k, v, seg_ref[...],
+        ks_ref[...] if quantized else None,
+        vs_ref[...] if quantized else None,
+        m_scr, l_scr, acc_scr,
+        scale=scale, hkv=hkv, g=g, block_b=block_b, block_s=block_s,
     )
-    if quantized:
-        # fold the v scales into the softmax weights: p.(v*s) == (p*s).v
-        p = p * vs_ref[...].reshape(n_grp, 1, block_s).astype(jnp.float32)
-    pv = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v_ref[...].reshape(n_grp, block_s, d),
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    )  # (n_grp, g, d)
-    acc = acc_scr[...].reshape(n_grp, g, d) * corr + pv
-    m_scr[...] = jnp.broadcast_to(m_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
-    l_scr[...] = jnp.broadcast_to(l_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
-    acc_scr[...] = acc.reshape(n_grp * g, d)
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows emit zeros
+        o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def _decode_kernel_int4(
+    idx_ref,      # scalar prefetch: (1,) layer index (consumed by index maps)
+    seg_lo_ref,   # (block_b, 1, block_sh) int32 — tokens [si*bsh, ...)
+    seg_hi_ref,   # (block_b, 1, block_sh) int32 — tokens [half + si*bsh, ...)
+    q_ref,        # (block_b, Hq_pad, D)
+    kp_ref,       # (block_b, Hkv, block_sh, D) uint8 — packed nibble rows
+    vp_ref,
+    ks_lo_ref, ks_hi_ref, vs_lo_ref, vs_hi_ref,   # per-token scales
+    o_ref, m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    hkv: int,
+    g: int,
+    block_b: int,
+):
+    """int4 split-half cache: one packed byte block covers TWO token ranges
+    (low nibbles = tokens [si*bsh, ...), high = the same rows offset by
+    Smax/2). Each range gets its own online-softmax update — order across
+    grid steps and nibble halves is irrelevant to the running max/sum."""
+    si = pl.program_id(1)
+    n_grp = block_b * hkv
+    d = q_ref.shape[-1]
+    block_sh = kp_ref.shape[-2]
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[...].reshape(n_grp, g, d)
+    kp = jax.lax.bitcast_convert_type(kp_ref[...], jnp.int8).reshape(n_grp, block_sh, d)
+    vp = jax.lax.bitcast_convert_type(vp_ref[...], jnp.int8).reshape(n_grp, block_sh, d)
+    for nib, seg, ks, vs in (
+        (0, seg_lo_ref, ks_lo_ref, vs_lo_ref),
+        (1, seg_hi_ref, ks_hi_ref, vs_hi_ref),
+    ):
+        if nib == 0:
+            k_i8, v_i8 = (kp << 4) >> 4, (vp << 4) >> 4
+        else:
+            k_i8, v_i8 = kp >> 4, vp >> 4
+        _block_update(
+            q, k_i8.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
+            seg[...], ks[...], vs[...], m_scr, l_scr, acc_scr,
+            scale=scale, hkv=hkv, g=g, block_b=block_b, block_s=block_sh,
+        )
 
     @pl.when(si == pl.num_programs(1) - 1)
     def _flush():
@@ -151,7 +225,8 @@ def _pallas_decode(
     q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s
 ):
     b, hq, d = q.shape
-    n_layers, _, hkv, s_max, _ = k_cache.shape
+    n_layers, _, hkv, s_rows, _ = k_cache.shape  # packed rows for int4
+    int4 = k_cache.dtype == jnp.uint8
     g = hq // hkv
     gp = ((g + 7) // 8) * 8
     if gp != g:  # pad each GQA group's query rows to a Mosaic-tileable height
@@ -161,7 +236,57 @@ def _pallas_decode(
     hq_p = hkv * gp
     quantized = k_scale is not None
     block_b = _pick_block_b(b, quantized)
-    grid = (b // block_b, s_max // block_s)
+    grid = (b // block_b, s_rows // block_s)
+    s_max = 2 * s_rows if int4 else s_rows  # token width
+
+    if int4:
+        n_blk = s_rows // block_s  # high-nibble token blocks sit n_blk later
+        seg3 = kv_seg.reshape(b, 1, s_max)
+        seg_spec_lo = pl.BlockSpec((block_b, 1, block_s), lambda bi, si, idx: (bi, 0, si))
+        seg_spec_hi = pl.BlockSpec(
+            (block_b, 1, block_s), lambda bi, si, idx, n=n_blk: (bi, 0, si + n)
+        )
+        kv_spec = pl.BlockSpec(
+            (None, block_b, hkv, block_s, d), lambda bi, si, idx: (idx[0], bi, 0, si, 0)
+        )
+        sc_lo = pl.BlockSpec(
+            (None, block_b, hkv, block_s), lambda bi, si, idx: (idx[0], bi, 0, si)
+        )
+        sc_hi = pl.BlockSpec(
+            (None, block_b, hkv, block_s),
+            lambda bi, si, idx, n=n_blk: (idx[0], bi, 0, si + n),
+        )
+        kernel = functools.partial(
+            _decode_kernel_int4, scale=scale, hkv=hkv, g=gp, block_b=block_b
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                seg_spec_lo, seg_spec_hi,
+                pl.BlockSpec((block_b, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
+                kv_spec, kv_spec,
+                sc_lo, sc_hi, sc_lo, sc_hi,
+            ],
+            out_specs=pl.BlockSpec((block_b, hq_p, d), lambda bi, si, idx: (bi, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_b * hq_p, 128), jnp.float32),
+                pltpu.VMEM((block_b * hq_p, 128), jnp.float32),
+                pltpu.VMEM((block_b * hq_p, d), jnp.float32),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hq_p, d), q.dtype),
+            interpret=_interpret(),
+        )(
+            jnp.asarray(layer_idx, jnp.int32).reshape(1),
+            seg3, seg3, q, k_cache, v_cache, k_scale, k_scale, v_scale, v_scale,
+        )
+        if gp != g:
+            out = out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, hq, d)
+        return out
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, hkv=hkv, g=gp, block_b=block_b,
@@ -215,11 +340,14 @@ def _pallas_decode(
 def _xla_decode(q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale):
     """Reference path (CPU tests / ineligible shapes): slice the layer,
     dequantize, masked SDPA."""
-    from ..models.qwen2_5_vl.text import _dequantize_kv
+    from ..models.qwen2_5_vl.text import _dequantize_kv, _unpack_kv4
     from .attention import xla_attention
 
     k_l = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
     v_l = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+    if k_cache.dtype == jnp.uint8:  # int4 split-half packed rows
+        k_l = _unpack_kv4(k_l, seq_axis=2)
+        v_l = _unpack_kv4(v_l, seq_axis=2)
     if k_scale is not None:
         ks = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
         vs = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)

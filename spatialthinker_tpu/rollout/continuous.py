@@ -60,6 +60,11 @@ class SlotState(NamedTuple):
 def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
                     max_new_tokens: int, key: jax.Array,
                     kv_dtype=jnp.bfloat16) -> SlotState:
+    if kv_dtype == jnp.uint8:
+        raise ValueError(
+            "int4 KV (uint8 marker) is dense-engine only: the continuous "
+            "engine's per-slot scatter writes are int8/bf16"
+        )
     t = cfg.text
     # cache width rounds up to 128 so the Pallas decode kernel always has a
     # legal S block (a non-multiple width silently falls back to the ~3x

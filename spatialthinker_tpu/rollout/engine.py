@@ -150,14 +150,50 @@ def generate(
             cfgt.num_hidden_layers, bn, total, cfgt.num_key_value_heads,
             cfgt.head_dim, dtype=kv_cache_dtype,
         )
-        arrays = tuple(
-            jax.lax.dynamic_update_slice(dst, fanout_rows(src, n, axis=1), (0,) * dst.ndim)
-            for dst, src in zip(full.arrays(), cache.arrays())
-        )
-        if kv_cache_dtype == jnp.int8:
-            cache = KVCache(arrays[0], arrays[1], p, arrays[2], arrays[3])
+        if kv_cache_dtype == jnp.uint8:
+            # int4 split-half packing is width-relative (token t's nibble is
+            # t // (S/2)), so the prompt-width cache repacks into the
+            # total-width layout before the lane fanout — a one-time unpack/
+            # repack pass over the prompt KV
+            from ..models.qwen2_5_vl.text import _pack_nibbles, _unpack_kv4
+
+            half_t = total // 2
+
+            def repack(src):
+                toks = _unpack_kv4(src, seq_axis=3)  # (L, b, Hkv, p, D) int8
+                n_low = min(p, half_t)
+                low = toks[:, :, :, :n_low]
+                if n_low < half_t:
+                    low = jnp.pad(
+                        low, ((0, 0), (0, 0), (0, 0), (0, half_t - n_low), (0, 0))
+                    )
+                if p > half_t:
+                    high = jnp.pad(
+                        toks[:, :, :, half_t:],
+                        ((0, 0), (0, 0), (0, 0), (0, half_t - (p - half_t)), (0, 0)),
+                    )
+                else:
+                    high = jnp.zeros_like(low)
+                return _pack_nibbles(low, high)
+
+            ck = fanout_rows(repack(cache.k), n, axis=1)
+            cv = fanout_rows(repack(cache.v), n, axis=1)
+            ks = jax.lax.dynamic_update_slice(
+                full.k_scale, fanout_rows(cache.k_scale, n, axis=1), (0, 0, 0, 0)
+            )
+            vs = jax.lax.dynamic_update_slice(
+                full.v_scale, fanout_rows(cache.v_scale, n, axis=1), (0, 0, 0, 0)
+            )
+            cache = KVCache(ck, cv, p, ks, vs)
         else:
-            cache = KVCache(arrays[0], arrays[1], p)
+            arrays = tuple(
+                jax.lax.dynamic_update_slice(dst, fanout_rows(src, n, axis=1), (0,) * dst.ndim)
+                for dst, src in zip(full.arrays(), cache.arrays())
+            )
+            if kv_cache_dtype == jnp.int8:
+                cache = KVCache(arrays[0], arrays[1], p, arrays[2], arrays[3])
+            else:
+                cache = KVCache(arrays[0], arrays[1], p)
         last_logits = fanout_rows(last_logits, n)
         seg32 = fanout_rows(seg32, n)
         gen_pos_start = fanout_rows(gen_pos_start, n)

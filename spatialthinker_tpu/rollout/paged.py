@@ -69,6 +69,11 @@ class PagedState(NamedTuple):
 def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
                      page_size: int, p_max: int, max_new_tokens: int,
                      key: jax.Array, kv_dtype=jnp.bfloat16) -> PagedState:
+    if kv_dtype == jnp.uint8:
+        raise ValueError(
+            "int4 KV (uint8 marker) is dense-engine only: page scatters are "
+            "int8/bf16"
+        )
     t = cfg.text
     pool_shape = (t.num_hidden_layers, total_pages, t.num_key_value_heads,
                   page_size, t.head_dim)

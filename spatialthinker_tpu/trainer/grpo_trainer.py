@@ -586,7 +586,9 @@ class GRPOTrainer:
         gen_pos_start = repeated.tensors["gen_pos_start"]
 
         rollout_cfg = self.config.worker.rollout
-        kv_dtype = jnp.int8 if rollout_cfg.kv_cache_dtype == "int8" else jnp.bfloat16
+        kv_dtype = {"int8": jnp.int8, "int4": jnp.uint8}.get(
+            rollout_cfg.kv_cache_dtype, jnp.bfloat16
+        )  # uint8 = the packed-int4 marker dtype (models/.../text.KVCache)
         if rollout_cfg.name == "continuous":
             slots = rollout_cfg.decode_batch_size
             args = (
