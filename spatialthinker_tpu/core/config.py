@@ -308,11 +308,13 @@ class PPOConfig:
                 "nibbles, dense engine only)"
             )
         if (self.worker.rollout.kv_cache_dtype == "int4"
-                and self.worker.rollout.name != "jax"):
+                and self.worker.rollout.name == "continuous"
+                and self.worker.rollout.page_size > 0):
             raise ValueError(
-                "rollout.kv_cache_dtype=int4 requires the dense engine "
-                f"(rollout.name={self.worker.rollout.name!r}): the continuous/"
-                "paged engines' per-slot and paged writes are int8/bf16 only"
+                "rollout.kv_cache_dtype=int4 is not supported by the paged "
+                "engine (rollout.name=continuous with page_size>0): page "
+                "scatters are int8/bf16 — set page_size=0 (dense slots) or "
+                "use the dense engine for int4 KV"
             )
         tp = self.worker.rollout.tensor_parallel_size
         if tp != 1 and tp != self.worker.actor.sharding.model_size:

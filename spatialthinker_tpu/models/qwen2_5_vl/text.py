@@ -116,7 +116,7 @@ class KVCache(NamedTuple):
     two online-softmax block updates (order-independent), so no interleave or
     lane-strided op ever exists. Scales stay per-token at index t (unpacked).
     ~30% of bf16 HBM traffic; quality sits below int8 (AWQ-class 4-bit) —
-    opt-in via rollout.kv_cache_dtype=int4, dense engine only."""
+    opt-in via rollout.kv_cache_dtype=int4 (dense + continuous engines)."""
 
     k: jnp.ndarray  # (L, B, Hkv, Smax, D) | uint8 (L, B, Hkv, Smax/2, D) int4
     v: jnp.ndarray
@@ -189,6 +189,28 @@ def _unpack_kv4(packed: jnp.ndarray, seq_axis: int) -> jnp.ndarray:
     [0, S/2), high nibbles [S/2, S) (split-half layout)."""
     low, high = _unpack_nibbles(packed)
     return jnp.concatenate([low, high], axis=seq_axis)
+
+
+def repack_kv4(src: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Re-lay a packed int4 buffer holding tokens [0, p) of a width-p cache
+    (L, B, Hkv, p/2, D) into the split-half layout of a width-``total`` cache
+    (L, B, Hkv, total/2, D). The nibble half of token t is t // (S/2), so a
+    width change is a one-time unpack/repack pass over the prompt KV."""
+    p = 2 * src.shape[3]
+    half_t = total // 2
+    toks = _unpack_kv4(src, seq_axis=3)  # (L, B, Hkv, p, D) int8
+    n_low = min(p, half_t)
+    low = toks[:, :, :, :n_low]
+    if n_low < half_t:
+        low = jnp.pad(low, ((0, 0), (0, 0), (0, 0), (0, half_t - n_low), (0, 0)))
+    if p > half_t:
+        high = jnp.pad(
+            toks[:, :, :, half_t:],
+            ((0, 0), (0, 0), (0, 0), (0, half_t - (p - half_t)), (0, 0)),
+        )
+    else:
+        high = jnp.zeros_like(low)
+    return _pack_nibbles(low, high)
 
 
 def _update_kv4(arr: jnp.ndarray, q4: jnp.ndarray, layer_idx, start):

@@ -60,23 +60,21 @@ class SlotState(NamedTuple):
 def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
                     max_new_tokens: int, key: jax.Array,
                     kv_dtype=jnp.bfloat16) -> SlotState:
-    if kv_dtype == jnp.uint8:
-        raise ValueError(
-            "int4 KV (uint8 marker) is dense-engine only: the continuous "
-            "engine's per-slot scatter writes are int8/bf16"
-        )
     t = cfg.text
     # cache width rounds up to 128 so the Pallas decode kernel always has a
     # legal S block (a non-multiple width silently falls back to the ~3x
-    # slower XLA path); the pad cells are never marked valid in kv_seg
-    total = -(-(prompt_len + max_new_tokens) // 128) * 128
+    # slower XLA path); the pad cells are never marked valid in kv_seg.
+    # 256 for int4 so the PACKED row count (total/2) stays a 128-multiple.
+    mult = 256 if kv_dtype == jnp.uint8 else 128
+    total = -(-(prompt_len + max_new_tokens) // mult) * mult
     shape = (t.num_hidden_layers, slots, t.num_key_value_heads, total, t.head_dim)
     scales = None
-    if kv_dtype == jnp.int8:
+    if kv_dtype in (jnp.int8, jnp.uint8):
         scales = jnp.zeros(shape[:-1], jnp.bfloat16)
+    kv_shape = shape[:3] + ((total // 2 if kv_dtype == jnp.uint8 else total),) + shape[4:]
     return SlotState(
-        cache_k=jnp.zeros(shape, kv_dtype),
-        cache_v=jnp.zeros(shape, kv_dtype),
+        cache_k=jnp.zeros(kv_shape, kv_dtype),
+        cache_v=jnp.zeros(kv_shape, kv_dtype),
         k_scale=scales,
         v_scale=scales,
         kv_seg=jnp.zeros((slots, total), jnp.int32),
@@ -123,7 +121,7 @@ def prefill_slots(
     u, p = input_ids.shape
     k = u * group_n
     t = cfg.text
-    total = state.cache_k.shape[3]
+    total = state.kv_seg.shape[1]  # TOKEN width (int4 packs cache_k rows 2:1)
     max_new = state.responses.shape[1]
 
     scratch = KVCache.init(t.num_hidden_layers, u, p, t.num_key_value_heads,
@@ -152,8 +150,18 @@ def prefill_slots(
     first_logp = sampled_token_logp(last_logits, first, sampling)
     finished0 = (first == cfg.eos_token_id) | ~valid
 
-    cache_k = state.cache_k.at[:, slot_ids, :, :p].set(scratch.k)
-    cache_v = state.cache_v.at[:, slot_ids, :, :p].set(scratch.v)
+    if state.cache_k.dtype == jnp.uint8:
+        # int4: repack the width-p scratch into the slot cache's total-width
+        # split-half layout, then install the WHOLE packed width (byte rows
+        # pair prompt tokens with future decode cells; a fresh install must
+        # also clear any stale high nibbles from the slot's previous tenant)
+        from ..models.qwen2_5_vl.text import repack_kv4
+
+        cache_k = state.cache_k.at[:, slot_ids].set(repack_kv4(scratch.k, total))
+        cache_v = state.cache_v.at[:, slot_ids].set(repack_kv4(scratch.v, total))
+    else:
+        cache_k = state.cache_k.at[:, slot_ids, :, :p].set(scratch.k)
+        cache_v = state.cache_v.at[:, slot_ids, :, :p].set(scratch.v)
     scale_updates = {}
     if state.k_scale is not None:
         scale_updates = dict(
@@ -200,13 +208,40 @@ def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_pos,
     t = cfg
     s = x.shape[0]
     quantized = cache_arrays[0].dtype == jnp.int8
+    quantized4 = cache_arrays[0].dtype == jnp.uint8  # int4 split-half packed
 
     # slots ride the batch dim with a length-1 sequence: (S, 1, ...)
     x2 = x[:, None, :]
     q, knew, vnew = attention_inputs(layer_p, t, x2, cos, sin)
 
     slot_idx = jnp.arange(s)
-    if quantized:
+    if quantized4:
+        from ..models.qwen2_5_vl.text import _quantize_kv4
+
+        u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
+        kq, ks = _quantize_kv4(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
+        vq, vs = _quantize_kv4(vnew)
+        half = cache_arrays[0].shape[3]
+        row = write_pos % half
+        is_high = (write_pos >= half)[:, None, None]
+
+        def nibble_write(arr, q4):
+            cur = arr[layer_idx, slot_idx, :, row]  # (S, Hkv, D) uint8
+            qb = u8(q4[:, 0])
+            merged = jnp.where(
+                is_high,
+                (cur & jnp.uint8(0x0F)) | (qb << 4),
+                (cur & jnp.uint8(0xF0)) | (qb & jnp.uint8(0xF)),
+            )
+            return arr.at[layer_idx, slot_idx, :, row].set(merged)
+
+        cache_k = nibble_write(cache_arrays[0], kq)
+        cache_v = nibble_write(cache_arrays[1], vq)
+        ks_all = cache_arrays[2].at[layer_idx, slot_idx, :, write_pos].set(ks[:, 0])
+        vs_all = cache_arrays[3].at[layer_idx, slot_idx, :, write_pos].set(vs[:, 0])
+        new_arrays = (cache_k, cache_v, ks_all, vs_all)
+        scales = (ks_all, vs_all)
+    elif quantized:
         kq, ks = _quantize_kv(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
         vq, vs = _quantize_kv(vnew)
         cache_k = cache_arrays[0].at[layer_idx, slot_idx, :, write_pos].set(kq[:, 0])

@@ -155,29 +155,10 @@ def generate(
             # t // (S/2)), so the prompt-width cache repacks into the
             # total-width layout before the lane fanout — a one-time unpack/
             # repack pass over the prompt KV
-            from ..models.qwen2_5_vl.text import _pack_nibbles, _unpack_kv4
+            from ..models.qwen2_5_vl.text import repack_kv4
 
-            half_t = total // 2
-
-            def repack(src):
-                toks = _unpack_kv4(src, seq_axis=3)  # (L, b, Hkv, p, D) int8
-                n_low = min(p, half_t)
-                low = toks[:, :, :, :n_low]
-                if n_low < half_t:
-                    low = jnp.pad(
-                        low, ((0, 0), (0, 0), (0, 0), (0, half_t - n_low), (0, 0))
-                    )
-                if p > half_t:
-                    high = jnp.pad(
-                        toks[:, :, :, half_t:],
-                        ((0, 0), (0, 0), (0, 0), (0, half_t - (p - half_t)), (0, 0)),
-                    )
-                else:
-                    high = jnp.zeros_like(low)
-                return _pack_nibbles(low, high)
-
-            ck = fanout_rows(repack(cache.k), n, axis=1)
-            cv = fanout_rows(repack(cache.v), n, axis=1)
+            ck = fanout_rows(repack_kv4(cache.k, total), n, axis=1)
+            cv = fanout_rows(repack_kv4(cache.v, total), n, axis=1)
             ks = jax.lax.dynamic_update_slice(
                 full.k_scale, fanout_rows(cache.k_scale, n, axis=1), (0, 0, 0, 0)
             )

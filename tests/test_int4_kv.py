@@ -177,11 +177,48 @@ def test_int4_config_validation():
     cfg = PPOConfig()
     _merge_into(cfg, {"worker": {"rollout": {"kv_cache_dtype": "int4"}}})
     cfg.post_init()  # dense engine: accepted
+    ok = PPOConfig()
+    _merge_into(ok, {"worker": {"rollout": {"kv_cache_dtype": "int4",
+                                            "name": "continuous",
+                                            "page_size": 0}}})
+    ok.post_init()  # continuous engine (dense slots): accepted
     bad = PPOConfig()
     _merge_into(bad, {"worker": {"rollout": {"kv_cache_dtype": "int4",
-                                             "name": "continuous"}}})
-    with pytest.raises(ValueError, match="dense engine"):
+                                             "name": "continuous",
+                                             "page_size": 128}}})
+    with pytest.raises(ValueError, match="paged"):
         bad.post_init()
+
+
+def test_continuous_engine_int4_kv():
+    """Continuous-engine rollout with the packed int4 slot cache: per-slot
+    nibble writes at heterogeneous lengths + grouped prompt-KV fanout."""
+    from spatialthinker_tpu.rollout.continuous import generate_continuous
+
+    cfg = get_config("tiny")
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    b, p = 4, 16
+    lens = [16, 12, 10, 16]
+    ids = np.zeros((b, p), np.int32)
+    seg = np.zeros((b, p), np.int32)
+    for i, ln in enumerate(lens):  # left-padded ragged prompts
+        ids[i, p - ln:] = rng.integers(1, 900, size=ln)
+        seg[i, p - ln:] = 1
+    pos = np.broadcast_to(np.arange(p, dtype=np.int32)[None, None], (3, b, p))
+    from spatialthinker_tpu.rollout.sampling import SamplingParams
+
+    out = generate_continuous(
+        params, cfg, ids, seg, pos, np.asarray(lens, np.int32),
+        max_new_tokens=6,
+        sampling=SamplingParams(temperature=1.0, top_p=1.0, top_k=-1),
+        key=jax.random.key(9), slots=4, decode_chunk_size=2,
+        kv_cache_dtype=jnp.uint8, group_n=2,
+    )
+    assert out.responses.shape == (b * 2, 6)
+    resp = np.asarray(out.responses)
+    mask = np.asarray(out.response_mask)
+    assert ((resp == cfg.pad_token_id) | (mask == 1)).all()
 
 
 def test_kvcache_init_int4_shapes():
