@@ -1268,6 +1268,16 @@ class GRPOTrainer:
                 max_response_length=self.config.data.max_response_length,
                 max_prompt_length=self.config.data.max_prompt_length,
                 values=g(rolled.tensors["values"]) if "values" in rolled.tensors else None,
+                old_log_probs=(
+                    g(rolled.tensors["old_log_probs"])
+                    if not self.config.worker.rollout.use_rollout_log_probs
+                    and "rollout_log_probs" in rolled.tensors else None
+                ),
+                rollout_log_probs=(
+                    g(rolled.tensors["rollout_log_probs"])
+                    if not self.config.worker.rollout.use_rollout_log_probs
+                    and "rollout_log_probs" in rolled.tensors else None
+                ),
             ),
             **actor_metrics,
             **critic_metrics,

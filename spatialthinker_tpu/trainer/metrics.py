@@ -25,6 +25,8 @@ def compute_data_metrics(
     values: np.ndarray = None,
     max_response_length: int = 0,
     max_prompt_length: int = 0,
+    old_log_probs: np.ndarray = None,      # (B, R) bf16 training graph
+    rollout_log_probs: np.ndarray = None,  # (B, R) engine (possibly quantized)
 ) -> Dict[str, float]:
     score = token_level_scores.sum(-1)
     reward = token_level_rewards.sum(-1)
@@ -64,6 +66,15 @@ def compute_data_metrics(
     }
     if values is not None:
         metrics.update(masked_stats("critic/values", values))
+    if old_log_probs is not None and rollout_log_probs is not None and mask.any():
+        # behavior-policy drift: |engine log-prob - bf16 training-graph
+        # log-prob| on response tokens. This is the number that tells you
+        # whether a rollout quantization level (int8 / w4a8 / int4 KV) is
+        # safe — the importance ratio absorbs small drift; large drift means
+        # the behavior policy has wandered off the trained one.
+        d = np.abs(old_log_probs - rollout_log_probs)[mask]
+        metrics["rollout/probs_diff_mean"] = float(d.mean())
+        metrics["rollout/probs_diff_max"] = float(d.max())
     return metrics
 
 

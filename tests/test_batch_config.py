@@ -166,3 +166,31 @@ def test_trim_response_padding():
     # no trim when already small
     same = GRPOTrainer.trim_response_padding(batch, bucket=128)
     assert same.tensors["responses"].shape == (b, r)
+
+
+def test_rollout_probs_diff_metric():
+    """Behavior-policy drift metric: |engine - bf16-graph| log-probs on
+    response tokens only."""
+    import numpy as np
+
+    from spatialthinker_tpu.trainer.metrics import compute_data_metrics
+
+    b, r = 2, 4
+    mask = np.array([[1, 1, 0, 0], [1, 1, 1, 0]], np.int32)
+    old = np.zeros((b, r), np.float32)
+    roll = np.full((b, r), 0.5, np.float32)
+    roll[0, 2:] = 99.0  # masked cells must not count
+    m = compute_data_metrics(
+        token_level_scores=np.zeros((b, r)), token_level_rewards=np.zeros((b, r)),
+        advantages=np.zeros((b, r)), returns=np.zeros((b, r)),
+        response_mask=mask, prompt_mask=mask,
+        old_log_probs=old, rollout_log_probs=roll,
+    )
+    assert abs(m["rollout/probs_diff_mean"] - 0.5) < 1e-6
+    assert abs(m["rollout/probs_diff_max"] - 0.5) < 1e-6
+    m2 = compute_data_metrics(
+        token_level_scores=np.zeros((b, r)), token_level_rewards=np.zeros((b, r)),
+        advantages=np.zeros((b, r)), returns=np.zeros((b, r)),
+        response_mask=mask, prompt_mask=mask,
+    )
+    assert "rollout/probs_diff_mean" not in m2
