@@ -124,7 +124,10 @@ def generate(
     # cache width rounds up to 128 so the Pallas decode kernel always has a
     # legal S block (a non-multiple width silently falls back to the ~3x
     # slower XLA path); pad cells stay invalid in kv_seg
-    total = -(-(p + max_new_tokens) // 128) * 128
+    # 256 for int4 so the PACKED row count (total/2) stays a 128-multiple —
+    # an odd-x-128 row count silently drops the decode kernel to the XLA path
+    mult = 256 if kv_cache_dtype == jnp.uint8 else 128
+    total = -(-(p + max_new_tokens) // mult) * mult
 
     # prefill writes a prompt-width cache for the b unique prompts; with n==1
     # that IS the decode cache (allocated at full width up front)
