@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from spatialthinker_tpu.ops.quant import quantize_weight, quantized_dot
 
-os.environ["SPATIALTHINKER_FUSED_W8A8"] = "0"  # XLA path only
+# quantized_dot is pure XLA (no Pallas dispatch) — this probe measures the
+# production W8A8 pipeline directly; no knob needed.
 
 
 def sync(x):

@@ -486,7 +486,7 @@ def generate_continuous(
         lane = NamedSharding(mesh, P(BATCH_AXES))
         lane1 = NamedSharding(mesh, P(None, BATCH_AXES))
         repl = NamedSharding(mesh, P())
-        quantized_kv = kv_cache_dtype == jnp.int8
+        quantized_kv = kv_cache_dtype in (jnp.int8, jnp.uint8)  # int8 | int4
         state_sh = SlotState(
             cache_k=lane1, cache_v=lane1, kv_seg=lane, length=lane,
             cur_tokens=lane, gen_pos=lane, steps=lane, finished=lane,

@@ -624,8 +624,12 @@ def generate_paged(
         work.insert(0, prompt_idx)
         stats["preemptions"] += 1
         dev_idx = jnp.asarray(victim_slots)
+        # finished while still ACTIVE: the next harvest() collects the victim
+        # slots into free_pool (owner == -1 skips the response copy; the page
+        # release above already happened, release_slot is idempotent). Setting
+        # active=False here instead would leak the lanes out of circulation —
+        # every preemption would permanently shrink the decode batch.
         return state._replace(
-            active=state.active.at[dev_idx].set(False),
             finished=state.finished.at[dev_idx].set(True),
         )
 

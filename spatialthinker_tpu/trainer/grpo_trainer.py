@@ -382,7 +382,21 @@ class GRPOTrainer:
         """KV page-pool size from the chip's free HBM x gpu_memory_utilization
         (vLLM sizes its cache the same way, vllm_rollout_spmd.py:69-85). When
         the backend exposes no memory stats (CPU tests), returns 0 — the
-        engine falls back to worst-case sizing."""
+        engine falls back to worst-case sizing.
+
+        Computed ONCE and cached: live memory_stats() drift a few MB step to
+        step (optimizer state, trim buckets, async allocations), and a
+        changed pool size changes the (L, N, ...) pool shapes — recompiling
+        prefill + the decode scan every train step (minutes through the
+        remote-compile relay). vLLM likewise profiles once at engine build."""
+        cached = getattr(self, "_paged_pool_cache", None)
+        if cached is not None:
+            return cached
+        total = self._paged_pool_size_uncached(page_size, kv_dtype)
+        self._paged_pool_cache = total
+        return total
+
+    def _paged_pool_size_uncached(self, page_size: int, kv_dtype) -> int:
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
         except Exception:
