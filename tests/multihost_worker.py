@@ -18,6 +18,7 @@ def main():
     multimodal = "mm" in flags
     ref_offload = "refoff" in flags
     continuous = "cont" in flags
+    kv4 = "kv4" in flags
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     local_devices = 8 // nprocs  # 8 global devices either way
@@ -68,6 +69,7 @@ def main():
         # paging is single-process-only (host-managed page tables); the
         # multi-host continuous path runs the dense-slot engine
         "worker.rollout.page_size=0",
+        f"worker.rollout.kv_cache_dtype={'int4' if kv4 else 'bfloat16'}",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",
         "trainer.max_steps=1",

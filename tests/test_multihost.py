@@ -85,6 +85,22 @@ def test_two_process_continuous_rollout_matches_single(tmp_path):
     )
 
 
+def test_two_process_continuous_int4_kv_matches_single(tmp_path):
+    """Continuous engine + packed int4 KV across 2 processes: the uint8
+    slot caches and their per-token scales shard over the lane axis and the
+    lockstep schedule reproduces single-process numerics."""
+    single = _run_workers(1, 0, "kv4_single", tmp_path, mode="cont,kv4")[0]
+    duo = _run_workers(2, 29551, "kv4_duo", tmp_path, mode="cont,kv4")
+
+    for key in ("actor/loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(duo[0][key])
+        np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
+    )
+
+
 def test_two_process_multimodal_train_step(tmp_path):
     """Multimodal across processes: hosts hold different patch counts, the
     vision pack is globally negotiated (padded slices, per-host offsets, per-
