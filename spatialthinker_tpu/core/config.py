@@ -309,12 +309,13 @@ class PPOConfig:
             )
         if (self.worker.rollout.kv_cache_dtype == "int4"
                 and self.worker.rollout.name == "continuous"
-                and self.worker.rollout.page_size > 0):
+                and self.worker.rollout.page_size > 0
+                and self.worker.rollout.page_size % 256 != 0):
             raise ValueError(
-                "rollout.kv_cache_dtype=int4 is not supported by the paged "
-                "engine (rollout.name=continuous with page_size>0): page "
-                "scatters are int8/bf16 — set page_size=0 (dense slots) or "
-                "use the dense engine for int4 KV"
+                f"rollout.kv_cache_dtype=int4 with the paged engine needs "
+                f"page_size % 256 == 0 (got {self.worker.rollout.page_size}): "
+                "pages pack two token cells per byte and the attention "
+                "kernel's per-half scale slices need 128-aligned lanes"
             )
         tp = self.worker.rollout.tensor_parallel_size
         if tp != 1 and tp != self.worker.actor.sharding.model_size:

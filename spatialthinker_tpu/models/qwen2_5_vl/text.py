@@ -116,7 +116,8 @@ class KVCache(NamedTuple):
     two online-softmax block updates (order-independent), so no interleave or
     lane-strided op ever exists. Scales stay per-token at index t (unpacked).
     ~30% of bf16 HBM traffic; quality sits below int8 (AWQ-class 4-bit) —
-    opt-in via rollout.kv_cache_dtype=int4 (dense + continuous engines)."""
+    opt-in via rollout.kv_cache_dtype=int4 (all engines; the paged pools
+    pack page-locally, rollout/paged.py)."""
 
     k: jnp.ndarray  # (L, B, Hkv, Smax, D) | uint8 (L, B, Hkv, Smax/2, D) int4
     v: jnp.ndarray

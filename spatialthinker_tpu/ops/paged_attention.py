@@ -126,6 +126,85 @@ def _paged_kernel(
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
+def _paged_kernel_int4(
+    meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
+    pt_ref,       # (S, P_max) int32 page table
+    q_ref,        # (1, Hq_pad, D)
+    kp_ref,       # (1, Hkv, page/2, D) uint8 — page-local split-half nibbles
+    vp_ref,
+    ks_ref, vs_ref,  # (1, Hkv, page) per-cell scales
+    o_ref, m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    hkv: int,
+    g: int,
+):
+    """int4 pool pages: each packed byte row holds cells (r, r + page/2) of
+    its page; the two nibble halves run as two online-softmax updates (order
+    is absorbed by the running max/sum, mirroring ops/decode_attention)."""
+    si = pl.program_id(0)
+    pi = pl.program_id(1)
+    half = kp_ref.shape[-2]
+    page = 2 * half
+    d = q_ref.shape[-1]
+    length = meta_ref[1 + si]
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].reshape(hkv, g, d)
+    kp = jax.lax.bitcast_convert_type(kp_ref[0], jnp.int8)
+    vp = jax.lax.bitcast_convert_type(vp_ref[0], jnp.int8)
+    ks = ks_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
+    vs = vs_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
+    for nib in (0, 1):
+        if nib == 0:
+            k_i8, v_i8 = (kp << 4) >> 4, (vp << 4) >> 4
+            ks_h = jax.lax.slice_in_dim(ks, 0, half, axis=2)
+            vs_h = jax.lax.slice_in_dim(vs, 0, half, axis=2)
+        else:
+            k_i8, v_i8 = kp >> 4, vp >> 4
+            ks_h = jax.lax.slice_in_dim(ks, half, page, axis=2)
+            vs_h = jax.lax.slice_in_dim(vs, half, page, axis=2)
+        s = jax.lax.dot_general(
+            q, k_i8.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )  # (Hkv, g, half)
+        s = s * (ks_h * scale)
+        cell = (
+            pi * page + nib * half
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, half), 2)
+        )
+        valid = cell < length
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[...].reshape(hkv, g, 128)[:, :, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[...].reshape(hkv, g, 128)[:, :, 0:1] * corr + jnp.sum(
+            p, axis=2, keepdims=True
+        )
+        p = p * vs_h
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )  # (Hkv, g, d)
+        acc = acc_scr[...].reshape(hkv, g, d) * corr + pv
+        m_scr[...] = jnp.broadcast_to(m_new, (hkv, g, 128)).reshape(hkv * g, 128)
+        l_scr[...] = jnp.broadcast_to(l_new, (hkv, g, 128)).reshape(hkv * g, 128)
+        acc_scr[...] = acc.reshape(hkv * g, d)
+
+    @pl.when(pi == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
+        o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
 def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
                   k_scale, v_scale, scale):
     s_slots, hq, d = q.shape
@@ -139,13 +218,17 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
         q = qr.reshape(s_slots, hkv * gp, d)
     hq_p = hkv * gp
     quantized = k_scale is not None
+    int4 = k_pool.dtype == jnp.uint8
 
     meta = jnp.concatenate(
         [jnp.asarray(layer_idx, jnp.int32).reshape(1), lengths.astype(jnp.int32)]
     )
-    kernel = functools.partial(
-        _paged_kernel, scale=scale, hkv=hkv, g=gp, quantized=quantized,
-    )
+    if int4:
+        kernel = functools.partial(_paged_kernel_int4, scale=scale, hkv=hkv, g=gp)
+    else:
+        kernel = functools.partial(
+            _paged_kernel, scale=scale, hkv=hkv, g=gp, quantized=quantized,
+        )
     # index maps receive (si, pi, meta_ref, pt_ref); the page block index is
     # the page-table entry itself — no gathered cache ever exists in HBM
     pool_spec = pl.BlockSpec(
@@ -158,8 +241,11 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
     ]
     args = [q, k_pool, v_pool]
     if quantized:
+        # scales stay per token CELL: 2x the packed row width under int4
+        cell_page = 2 * page if int4 else page
         scale_spec = pl.BlockSpec(
-            (None, 1, hkv, page), lambda si, pi, meta, pt: (meta[0], pt[si, pi], 0, 0)
+            (None, 1, hkv, cell_page),
+            lambda si, pi, meta, pt: (meta[0], pt[si, pi], 0, 0),
         )
         in_specs += [scale_spec, scale_spec]
         args += [k_scale, v_scale]
@@ -192,22 +278,27 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
 
 
 def _xla_paged(q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale):
-    from ..models.qwen2_5_vl.text import _dequantize_kv
+    from ..models.qwen2_5_vl.text import _dequantize_kv, _unpack_kv4
     from .attention import xla_attention
 
     s_slots = q.shape[0]
+    int4 = k_pool.dtype == jnp.uint8
     n_layers, n_pages, hkv, page, d = k_pool.shape
+    if int4:
+        page = 2 * page  # packed rows -> token cells per page
     p_max = page_table.shape[1]
 
-    def layer_gather(pool):
+    def layer_gather(pool, unpack4=False):
         l = jax.lax.dynamic_index_in_dim(pool, layer_idx, 0, keepdims=False)
+        if unpack4:  # per-page split-half nibbles -> token-ordered int8
+            l = _unpack_kv4(l, seq_axis=2)
         g = jnp.take(l, page_table.reshape(-1), axis=0)  # (S*P_max, Hkv, page, D)
         g = g.reshape(s_slots, p_max, hkv, page, *l.shape[3:])
         g = jnp.moveaxis(g, 2, 1).reshape(s_slots, hkv, p_max * page, *l.shape[3:])
         return g
 
-    k_l = layer_gather(k_pool)  # (S, Hkv, T, D)
-    v_l = layer_gather(v_pool)
+    k_l = layer_gather(k_pool, unpack4=int4)  # (S, Hkv, T, D)
+    v_l = layer_gather(v_pool, unpack4=int4)
     if k_scale is not None:
         k_l = _dequantize_kv(k_l, layer_gather(k_scale), q.dtype)
         v_l = _dequantize_kv(v_l, layer_gather(v_scale), q.dtype)
@@ -225,6 +316,9 @@ def _eligible(q, k_pool) -> bool:
         return False
     s_slots, hq, d = q.shape
     _, _, hkv, page, _ = k_pool.shape
+    # for int4 pools `page` is the PACKED row count, so this same check means
+    # token page_size % 256 — exactly what the in-kernel 128-lane-aligned
+    # scale-half slices need
     return d == 128 and hq % hkv == 0 and page % 128 == 0
 
 

@@ -69,17 +69,15 @@ class PagedState(NamedTuple):
 def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
                      page_size: int, p_max: int, max_new_tokens: int,
                      key: jax.Array, kv_dtype=jnp.bfloat16) -> PagedState:
-    if kv_dtype == jnp.uint8:
-        raise ValueError(
-            "int4 KV (uint8 marker) is dense-engine only: page scatters are "
-            "int8/bf16"
-        )
     t = cfg.text
     pool_shape = (t.num_hidden_layers, total_pages, t.num_key_value_heads,
                   page_size, t.head_dim)
     scales = None
-    if kv_dtype == jnp.int8:
+    if kv_dtype in (jnp.int8, jnp.uint8):
         scales = jnp.zeros(pool_shape[:-1], jnp.bfloat16)
+    if kv_dtype == jnp.uint8:  # int4: page-local split-half packed rows
+        assert page_size % 2 == 0, page_size
+        pool_shape = pool_shape[:3] + (page_size // 2, t.head_dim)
     return PagedState(
         k_pool=jnp.zeros(pool_shape, kv_dtype),
         v_pool=jnp.zeros(pool_shape, kv_dtype),
@@ -159,14 +157,28 @@ def prefill_paged(
             g = jnp.transpose(g, (2, 0, 3, 1, 4))
         return pool.at[:, dst].set(g.astype(pool.dtype))
 
-    k_pool = scatter(state.k_pool, scratch.k, install.full_src_row,
-                     install.full_src_pos, install.full_dst, False)
-    k_pool = scatter(k_pool, scratch.k, install.tail_src_row,
-                     install.tail_src_pos, install.tail_dst, False)
-    v_pool = scatter(state.v_pool, scratch.v, install.full_src_row,
-                     install.full_src_pos, install.full_dst, False)
-    v_pool = scatter(v_pool, scratch.v, install.tail_src_row,
-                     install.tail_src_pos, install.tail_dst, False)
+    if state.k_pool.dtype == jnp.uint8:  # int4: unpack scratch, repack per page
+        from ..models.qwen2_5_vl.text import _pack_nibbles, _unpack_kv4
+
+        def scatter_kv(pool, packed_scratch, src_row, src_pos, dst):
+            toks = _unpack_kv4(packed_scratch, seq_axis=3)  # (L, u, Hkv, P, D)
+            g = toks[:, src_row[:, None], :, src_pos, :]    # (T, page, L, Hkv, D)
+            g = jnp.transpose(g, (2, 0, 3, 1, 4))           # (L, T, Hkv, page, D)
+            half = g.shape[3] // 2
+            packed = _pack_nibbles(g[:, :, :, :half], g[:, :, :, half:])
+            return pool.at[:, dst].set(packed)
+    else:
+        def scatter_kv(pool, scratch_arr, src_row, src_pos, dst):
+            return scatter(pool, scratch_arr, src_row, src_pos, dst, False)
+
+    k_pool = scatter_kv(state.k_pool, scratch.k, install.full_src_row,
+                        install.full_src_pos, install.full_dst)
+    k_pool = scatter_kv(k_pool, scratch.k, install.tail_src_row,
+                        install.tail_src_pos, install.tail_dst)
+    v_pool = scatter_kv(state.v_pool, scratch.v, install.full_src_row,
+                        install.full_src_pos, install.full_dst)
+    v_pool = scatter_kv(v_pool, scratch.v, install.tail_src_row,
+                        install.tail_src_pos, install.tail_dst)
     scale_updates = {}
     if quantized:
         ks = scatter(state.k_scale, scratch.k_scale, install.full_src_row,
@@ -232,7 +244,33 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, pools, layer_idx,
     x2 = x[:, None, :]
     q, knew, vnew = attention_inputs(layer_p, t, x2, cos, sin)
 
-    if quantized:
+    if quantized and pools[0].dtype == jnp.uint8:  # int4 page-local split-half
+        from ..models.qwen2_5_vl.text import _quantize_kv4
+
+        u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
+        kq, ks = _quantize_kv4(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
+        vq, vs = _quantize_kv4(vnew)
+        half = pools[0].shape[3]
+        row = write_off % half
+        is_high = (write_off >= half)[:, None, None]
+
+        def nibble_write(pool, q4):
+            cur = pool[layer_idx, write_page, :, row]  # (S, Hkv, D) uint8
+            qb = u8(q4[:, 0])
+            merged = jnp.where(
+                is_high,
+                (cur & jnp.uint8(0x0F)) | (qb << 4),
+                (cur & jnp.uint8(0xF0)) | (qb & jnp.uint8(0xF)),
+            )
+            return pool.at[layer_idx, write_page, :, row].set(merged)
+
+        k_pool = nibble_write(pools[0], kq)
+        v_pool = nibble_write(pools[1], vq)
+        ks_pool = pools[2].at[layer_idx, write_page, :, write_off].set(ks[:, 0])
+        vs_pool = pools[3].at[layer_idx, write_page, :, write_off].set(vs[:, 0])
+        new_pools = (k_pool, v_pool, ks_pool, vs_pool)
+        scales = (ks_pool, vs_pool)
+    elif quantized:
         kq, ks = _quantize_kv(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
         vq, vs = _quantize_kv(vnew)
         k_pool = pools[0].at[layer_idx, write_page, :, write_off].set(kq[:, 0])

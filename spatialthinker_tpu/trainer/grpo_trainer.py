@@ -406,9 +406,11 @@ class GRPOTrainer:
         if not limit:
             return 0
         t = self.model_cfg.text
-        elem = 1 if kv_dtype == jnp.int8 else 2
-        cell = 2 * t.num_hidden_layers * t.num_key_value_heads * t.head_dim * elem
-        if kv_dtype == jnp.int8:  # bf16 scales per (k, v) token-head
+        elem = {jnp.dtype(jnp.int8): 1.0, jnp.dtype(jnp.uint8): 0.5}.get(
+            jnp.dtype(kv_dtype), 2.0
+        )  # uint8 = packed int4 (half a byte per value)
+        cell = int(2 * t.num_hidden_layers * t.num_key_value_heads * t.head_dim * elem)
+        if elem < 2:  # bf16 scales per (k, v) token-head in both int modes
             cell += 2 * t.num_hidden_layers * t.num_key_value_heads * 2
         free = int(limit * self.config.worker.rollout.gpu_memory_utilization) - int(in_use or 0)
         return max(free // (cell * page_size), 0)

@@ -270,3 +270,66 @@ def test_paged_multimodal_matches_dense(jax_params):
         patches_list=patches_list, grids_list=grids_list,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)
+
+
+def test_paged_kernel_int4_matches_fallback():
+    """int4 page pools (interpret mode): per-page dual-nibble online-softmax
+    updates == the XLA unpack-gather fallback."""
+    from spatialthinker_tpu.ops.paged_attention import _pallas_paged, _xla_paged
+
+    rng = np.random.default_rng(31)
+    L, N, hkv, page, d = 2, 9, 2, 256, 128  # token page 256 -> 128 packed rows
+    s_slots, hq = 4, 4
+    vals_k = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
+    vals_v = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
+    half = page // 2
+
+    def pack(vals):
+        low = vals[:, :, :, :half].astype(np.uint8) & 0xF
+        high = vals[:, :, :, half:].astype(np.uint8) << 4
+        return jnp.asarray(low | high)
+
+    k_pool, v_pool = pack(vals_k), pack(vals_v)
+    k_scale = jnp.asarray(
+        rng.uniform(0.01, 0.1, size=(L, N, hkv, page)).astype(np.float32), jnp.bfloat16
+    )
+    v_scale = jnp.asarray(
+        rng.uniform(0.01, 0.1, size=(L, N, hkv, page)).astype(np.float32), jnp.bfloat16
+    )
+    q = jnp.asarray(rng.normal(size=(s_slots, hq, d)).astype(np.float32), jnp.bfloat16)
+    table = np.zeros((s_slots, 2), dtype=np.int32)
+    table[:, 0] = [1, 3, 5, 7]
+    table[:, 1] = [2, 4, 6, 8]
+    lengths = jnp.asarray([300, 256, 37, 512], jnp.int32)
+    layer_idx = jnp.asarray(1, jnp.int32)
+
+    out_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
+                          k_scale, v_scale, d**-0.5)
+    out_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
+                       k_scale, v_scale, d**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32), np.asarray(out_x, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_paged_int4_matches_dense_int4(jax_params):
+    """End-to-end paged engine with int4 pools == the dense engine with the
+    int4 cache (same quantization grid at write time), greedy decoding."""
+    rng = np.random.default_rng(33)
+    b, p, r = 4, 8, 6
+    ids, seg, pos, gs = _prompts(rng, b, p)
+
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(6), kv_cache_dtype=jnp.uint8,
+    )
+    paged = generate_paged(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(6), slots=2, decode_chunk_size=3, page_size=4,
+        kv_cache_dtype=jnp.uint8,
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)
