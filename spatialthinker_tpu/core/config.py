@@ -109,6 +109,9 @@ class ActorConfig:
     ppo_epochs: int = 1
     padding_free: bool = True
     ulysses_sequence_parallel_size: int = 1
+    # "ulysses" (head exchange; degree capped by kv-head count) or "ring"
+    # (KV rotation, ops/ring.py; no head cap — GQA long-context scaling)
+    sequence_parallel_backend: str = "ulysses"
     entropy_coeff: float = 0.0
     use_kl_loss: bool = False       # plumbed from algorithm config
     kl_loss_coef: float = 0.0
@@ -273,6 +276,12 @@ class PPOConfig:
         # one SPMD mesh serves train AND decode: the vLLM-style decode TP knob
         # (reference rollout.tensor_parallel_size) must agree with the mesh's
         # model axis — reject silently-divergent values instead of ignoring them
+        if self.worker.actor.sequence_parallel_backend not in ("ulysses", "ring"):
+            raise ValueError(
+                f"actor.sequence_parallel_backend="
+                f"{self.worker.actor.sequence_parallel_backend!r}: supported "
+                "values are 'ulysses' (head exchange) and 'ring' (KV rotation)"
+            )
         for role, sh in (("actor", self.worker.actor.sharding),
                          ("critic", self.worker.critic.sharding),
                          ("ref", self.worker.ref.sharding)):

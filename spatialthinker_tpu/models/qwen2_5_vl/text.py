@@ -296,7 +296,14 @@ def _layer(
     q, k, v = attention_inputs(p, cfg, x, cos, sin)
 
     if cache_arrays is None:
-        if sp is not None:
+        if sp is not None and getattr(sp, "backend", "ulysses") == "ring":
+            from ...ops.ring import ring_attention
+
+            out = ring_attention(
+                q, k, v, sp.mesh, sp.axis, segment_ids=segment_ids,
+                causal=True, batch_axes=sp.batch_axes,
+            )
+        elif sp is not None:
             from ...ops.ulysses import ulysses_attention
 
             out = ulysses_attention(

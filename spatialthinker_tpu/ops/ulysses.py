@@ -35,6 +35,7 @@ class UlyssesSpec(NamedTuple):
     mesh: Mesh
     axis: str
     batch_axes: Tuple[str, ...] = ()
+    backend: str = "ulysses"   # "ulysses" (head exchange) | "ring" (KV rotation)
 
 
 def gather_seq_scatter_heads(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:

@@ -100,8 +100,28 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
+def _degrade_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop a dim's mesh axes when its size doesn't divide them: a leaf whose
+    heads/columns can't split over the model axis REPLICATES there instead of
+    failing. This is what lets ring sequence parallelism (ops/ring.py) run
+    with sp > num_kv_heads — attention params replicate over the model axis
+    while the MLP stays tensor-parallel."""
+    out = []
+    for d, entry in enumerate(tuple(spec)):
+        if entry is None or d >= len(shape):
+            out.append(None if d >= len(shape) else entry)
+            continue
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        out.append(entry if shape[d] % size == 0 else None)
+    return P(*out)
+
+
 def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
-    return jax.tree.map(lambda spec: NamedSharding(mesh, spec), param_specs(params))
+    return jax.tree.map(
+        lambda spec, leaf: NamedSharding(mesh, _degrade_spec(spec, np.shape(leaf), mesh)),
+        param_specs(params), params,
+    )
 
 
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:

@@ -115,11 +115,20 @@ class GRPOTrainer:
 
         sh = config.worker.actor.sharding
         hkv = model_cfg.text.num_key_value_heads
-        if sh.model_size > 1 and hkv % sh.model_size:
+        _ring_sp = (
+            config.worker.actor.sequence_parallel_backend == "ring"
+            and config.worker.actor.ulysses_sequence_parallel_size == sh.model_size
+        )
+        if sh.model_size > 1 and hkv % sh.model_size and not _ring_sp:
+            # with ring SP the model axis carries sequence shards; attention
+            # params auto-replicate over it (sharding._degrade_spec) and the
+            # head cap doesn't apply
             raise ValueError(
                 f"sharding.model_size={sh.model_size} must divide the model's "
                 f"num_key_value_heads={hkv}: the fused qkv_proj is tensor-parallel "
-                "over KV-head groups (use fsdp_size for further sharding)"
+                "over KV-head groups (use fsdp_size for further sharding, or "
+                "sequence_parallel_backend=ring to ride the model axis with "
+                "sequence shards instead)"
             )
         self.mesh = mesh if mesh is not None else create_mesh(sh.data_size, sh.fsdp_size, sh.model_size)
         # multi-host: every process runs this same trainer on its row-slice of
@@ -162,13 +171,18 @@ class GRPOTrainer:
                     f"ulysses_sequence_parallel_size={sp_size} must equal "
                     f"sharding.model_size={sh.model_size} (sp rides the model axis)"
                 )
+            backend = config.worker.actor.sequence_parallel_backend
             hkv = model_cfg.text.num_key_value_heads
-            if hkv % sp_size:
-                raise ValueError(f"kv heads ({hkv}) must be divisible by sp={sp_size}")
+            if backend == "ulysses" and hkv % sp_size:
+                raise ValueError(
+                    f"kv heads ({hkv}) must be divisible by sp={sp_size} for "
+                    "the ulysses backend — sequence_parallel_backend=ring "
+                    "rotates KV instead and has no head cap"
+                )
             seq = config.data.max_prompt_length + config.data.max_response_length
             if seq % sp_size:
                 raise ValueError(f"sequence length {seq} must be divisible by sp={sp_size}")
-            self.sp = UlyssesSpec(self.mesh, MODEL_AXIS, BATCH_AXES)
+            self.sp = UlyssesSpec(self.mesh, MODEL_AXIS, BATCH_AXES, backend=backend)
         # reference policy = frozen copy of the initial weights (a REAL copy:
         # actor params are donated/overwritten in-place by the update step).
         # ref.offload keeps that copy on the HOST (at 7B the permanent HBM
