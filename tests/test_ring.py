@@ -138,3 +138,23 @@ def test_ring_backend_config():
     _merge_into(bad, {"worker": {"actor": {"sequence_parallel_backend": "zigzag"}}})
     with pytest.raises(ValueError, match="sequence_parallel_backend"):
         bad.post_init()
+
+
+def test_param_sharding_degrades_indivisible_dims():
+    """Per-leaf spec degradation: with model=4 and only 2 KV heads, qkv/o
+    replicate over the model axis while the MLP (I=128 divisible) stays
+    tensor-parallel — the layout ring SP relies on."""
+    from spatialthinker_tpu.models.qwen2_5_vl import init_params, qwen25_vl_tiny
+    from spatialthinker_tpu.parallel.mesh import create_mesh
+    from spatialthinker_tpu.parallel.sharding import param_shardings
+
+    cfg = qwen25_vl_tiny(256)
+    params = init_params(cfg, jax.random.key(0))
+    mesh = create_mesh(1, 2, 4)
+    sh = param_shardings(mesh, params)
+    qkv = sh["text"]["layers"]["self_attn"]["qkv_proj"].spec
+    gup = sh["text"]["layers"]["mlp"]["gate_up_proj"].spec
+    # qkv (L, Hkv=2, E, G): Hkv % 4 != 0 -> model axis dropped on that dim
+    assert "model" not in str(qkv)
+    # gate_up (L, 2, E, I=128): I % 4 == 0 -> stays column-parallel
+    assert "model" in str(gup)
