@@ -35,9 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .flash_attention import _flash_bwd, _flash_fwd
-
-NEG_INF = -1e30
+from .flash_attention import NEG_INF, _flash_bwd, _flash_fwd
 
 
 def _pick_block(s: int, cap: int) -> int:
@@ -73,12 +71,12 @@ def _ring_core(q, k, v, q_seg, kv_seg, axis_name, sp, causal, scale):
     return out.astype(q.dtype)
 
 
-def _chunk_modes(idx, r, sp, causal):
+def _chunk_mode(idx, r, sp, causal):
     """0 = skip, 1 = causal (diagonal), 2 = full, for kv chunk (idx - r)."""
-    ki = (idx - r) % sp
     if not causal:
-        return jnp.int32(2), ki
-    return jnp.where(ki == idx, 1, jnp.where(ki < idx, 2, 0)).astype(jnp.int32), ki
+        return jnp.int32(2)
+    ki = (idx - r) % sp
+    return jnp.where(ki == idx, 1, jnp.where(ki < idx, 2, 0)).astype(jnp.int32)
 
 
 def _ring_fwd_loop(q, k, v, q_seg, kv_seg, axis_name, sp, causal, scale):
@@ -104,7 +102,7 @@ def _ring_fwd_loop(q, k, v, q_seg, kv_seg, axis_name, sp, causal, scale):
     k_r, v_r, seg_r = k, v, kv_seg
     perm = _rot_perm(sp)
     for r in range(sp):
-        mode, _ = _chunk_modes(idx, r, sp, causal)
+        mode = _chunk_mode(idx, r, sp, causal)
         o_r, l_r = jax.lax.switch(
             mode, (branch_skip, branch_causal, branch_full),
             q, k_r, v_r, q_seg, seg_r,
@@ -145,7 +143,7 @@ def _ring_core_bwd(axis_name, sp, causal, scale, residuals, g):
     dv_acc = jnp.zeros(v.shape, jnp.float32)
     perm = _rot_perm(sp)
     for r in range(sp):
-        mode, _ = _chunk_modes(idx, r, sp, causal)
+        mode = _chunk_mode(idx, r, sp, causal)
         dq_r, dk_r, dv_r = jax.lax.switch(
             mode, (branch_skip, branch_causal, branch_full),
             q, k_r, v_r, q_seg, seg_r,
@@ -153,11 +151,13 @@ def _ring_core_bwd(axis_name, sp, causal, scale, residuals, g):
         dq = dq + dq_r.astype(jnp.float32)
         dk_acc = dk_acc + dk_r.astype(jnp.float32)
         dv_acc = dv_acc + dv_r.astype(jnp.float32)
-        # rotate on EVERY step: after sp rotations the accumulators complete
-        # the cycle and sit back on their kv chunk's owner
-        k_r = jax.lax.ppermute(k_r, axis_name, perm)
-        v_r = jax.lax.ppermute(v_r, axis_name, perm)
-        seg_r = jax.lax.ppermute(seg_r, axis_name, perm)
+        # accumulators rotate on EVERY step (after sp rotations they complete
+        # the cycle and sit back on their kv chunk's owner); the kv operands
+        # themselves are not needed after the last compute
+        if r < sp - 1:
+            k_r = jax.lax.ppermute(k_r, axis_name, perm)
+            v_r = jax.lax.ppermute(v_r, axis_name, perm)
+            seg_r = jax.lax.ppermute(seg_r, axis_name, perm)
         dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
         dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
     return (dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype),
@@ -189,6 +189,13 @@ def ring_attention(
     b, s, hq, d = q.shape
     if s % sp:
         raise ValueError(f"sequence {s} must divide sp={sp}")
+    if jax.default_backend() == "tpu" and (s // sp) % 128:
+        # interpret mode runs any chunk length; Mosaic needs the per-device
+        # chunk to tile the flash kernel's 128-minimum blocks
+        raise ValueError(
+            f"ring attention on TPU needs (seq / sp) % 128 == 0 "
+            f"(got seq={s}, sp={sp})"
+        )
     scale = scale if scale is not None else d**-0.5
 
     b_spec = batch_axes if batch_axes else None

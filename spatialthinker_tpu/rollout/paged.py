@@ -305,7 +305,10 @@ def decode_chunk_paged(
     t = cfg.text
     inv_freq = jnp.asarray(make_inv_freq(t.head_dim, t.rope_theta), jnp.float32)
     text_params = params["text"]
-    page = state.k_pool.shape[3]
+    # TOKEN cells per page: the int4 pool stores page_size/2 packed byte rows,
+    # but the page table, write_page/write_off arithmetic, and scales are all
+    # in token cells
+    page = state.k_pool.shape[3] * (2 if state.k_pool.dtype == jnp.uint8 else 1)
 
     def one_step(state, _):
         s = state.cur_tokens.shape[0]

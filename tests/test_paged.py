@@ -333,3 +333,12 @@ def test_paged_int4_matches_dense_int4(jax_params):
         kv_cache_dtype=jnp.uint8,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)
+    # responses alone are weak evidence on the near-degenerate tiny model —
+    # per-step LOG-PROBS depend on every cached token's KV, so a misplaced
+    # decode write (wrong page/nibble/cell) shifts them even when the argmax
+    # token survives
+    mask = np.asarray(dense.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        paged.rollout_log_probs[mask], np.asarray(dense.rollout_log_probs)[mask],
+        rtol=2e-3, atol=2e-3,
+    )
