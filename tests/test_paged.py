@@ -136,6 +136,13 @@ def test_paged_left_padded_prompts_compact(jax_params):
         key=jax.random.key(5), slots=2, decode_chunk_size=3, page_size=4,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)
+    # log-probs depend on every cached token: catches KV placement bugs the
+    # near-degenerate tiny model's constant responses cannot (see int4 test)
+    mask = np.asarray(dense.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        paged.rollout_log_probs[mask], np.asarray(dense.rollout_log_probs)[mask],
+        rtol=2e-3, atol=2e-3,
+    )
 
 
 def test_paged_grouped_shares_prompt_pages(jax_params):
@@ -158,6 +165,11 @@ def test_paged_grouped_shares_prompt_pages(jax_params):
     )
     assert paged.responses.shape == (b * n, r)
     np.testing.assert_array_equal(paged.responses, np.asarray(dense.responses))
+    mask = np.asarray(dense.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        paged.rollout_log_probs[mask], np.asarray(dense.rollout_log_probs)[mask],
+        rtol=2e-3, atol=2e-3,
+    )
     # 2 groups resident at once; prompt 8 = 2 full pages SHARED by 2 lanes +
     # per-lane tails/growth. Unshared would need >= 2 groups * 2 lanes * 2
     # prompt pages = 8 prompt pages alone.
