@@ -226,3 +226,40 @@ def test_kvcache_init_int4_shapes():
     assert c.k.shape == (2, 3, 2, 32, 16) and c.k.dtype == jnp.uint8
     assert c.k_scale.shape == (2, 3, 2, 64)
     assert len(c.arrays()) == 4
+
+
+def test_int4_grouped_fanout_matches_duplicated_prompts():
+    """The width-repack + lane-fanout path is numerically inert: grouped
+    greedy decode (n=2) == n=1 over the same prompts duplicated by hand —
+    responses AND per-step log-probs."""
+    from spatialthinker_tpu.rollout.engine import generate
+    from spatialthinker_tpu.rollout.sampling import SamplingParams
+
+    cfg = get_config("tiny")
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    b, p, r = 2, 16, 6
+    ids = rng.integers(1, 900, size=(b, p), dtype=np.int32)
+    seg = np.ones((b, p), np.int32)
+    pos = np.broadcast_to(np.arange(p, dtype=np.int32)[None, None], (3, b, p))
+    greedy = SamplingParams(temperature=0.0, top_p=1.0, top_k=-1)
+
+    grouped = generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), max_new_tokens=r, sampling=greedy,
+        key=jax.random.key(7), kv_cache_dtype=jnp.uint8, n=2,
+    )
+    dup = np.repeat(ids, 2, axis=0)
+    flat = generate(
+        params, cfg, jnp.asarray(dup), jnp.asarray(np.repeat(seg, 2, axis=0)),
+        jnp.asarray(np.repeat(pos, 2, axis=1)),
+        jnp.full((2 * b,), p, jnp.int32), max_new_tokens=r, sampling=greedy,
+        key=jax.random.key(7), kv_cache_dtype=jnp.uint8, n=1,
+    )
+    np.testing.assert_array_equal(np.asarray(grouped.responses), np.asarray(flat.responses))
+    mask = np.asarray(grouped.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(grouped.rollout_log_probs)[mask],
+        np.asarray(flat.rollout_log_probs)[mask],
+        rtol=2e-3, atol=2e-3,
+    )
