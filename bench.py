@@ -211,8 +211,14 @@ def main() -> None:
         from spatialthinker_tpu.ops.quant import quantize_params
 
         # rebind: the bf16 decoder stacks are freed, HBM holds int8 + scales
-        # (w4a8 additionally carries the int4 MLP decode copies)
-        params = jax.jit(functools.partial(quantize_params, mode=WQ))(params)
+        # (w4a8 additionally carries the int4 MLP decode copies). DONATE the
+        # bf16 tree — unlike the trainer (which must keep the live training
+        # params), the bench never touches it again, and without donation the
+        # caller-owned bf16 stacks stay resident for the whole quantize pass
+        # (w4a8 peaks >20GB on a 16GB chip otherwise).
+        params = jax.jit(
+            functools.partial(quantize_params, mode=WQ), donate_argnums=(0,)
+        )(params)
     gen = jax.jit(
         generate,
         static_argnames=(

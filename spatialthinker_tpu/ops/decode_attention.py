@@ -189,16 +189,16 @@ def _decode_kernel_int4(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[...].reshape(n_grp, g, d)
-    kp = jax.lax.bitcast_convert_type(kp_ref[...], jnp.int8).reshape(n_grp, block_sh, d)
-    vp = jax.lax.bitcast_convert_type(vp_ref[...], jnp.int8).reshape(n_grp, block_sh, d)
+    kp = kp_ref[...].reshape(n_grp, block_sh, d)  # packed uint8
+    vp = vp_ref[...].reshape(n_grp, block_sh, d)
+    from .int4_mlp import nibble_i32
+
     for nib, seg, ks, vs in (
         (0, seg_lo_ref, ks_lo_ref, vs_lo_ref),
         (1, seg_hi_ref, ks_hi_ref, vs_hi_ref),
     ):
-        if nib == 0:
-            k_i8, v_i8 = (kp << 4) >> 4, (vp << 4) >> 4
-        else:
-            k_i8, v_i8 = kp >> 4, vp >> 4
+        k_i8 = nibble_i32(kp, nib)
+        v_i8 = nibble_i32(vp, nib)
         _block_update(
             q, k_i8.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
             seg[...], ks[...], vs[...], m_scr, l_scr, acc_scr,
@@ -236,6 +236,14 @@ def _pallas_decode(
     hq_p = hkv * gp
     quantized = k_scale is not None
     block_b = _pick_block_b(b, quantized)
+    if int4:
+        # the kernel materializes the whole packed (block_b, Hkv, block_s, D)
+        # block in vector registers, where every u8 element occupies a 32-bit
+        # lane: at block_b=16/block_s=384 that is 12.6M of kernel stack for
+        # k+v and scoped VMEM (16M) overflows (measured 18.78M at ctx 2304).
+        # 256-row blocks keep stack+DMA ~13M and the grid does the streaming;
+        # int4 cache widths are 256-multiples so 128 always divides s_rows.
+        block_s = min(block_s, 256 if s_rows % 256 == 0 else 128)
     grid = (b // block_b, s_rows // block_s)
     s_max = 2 * s_rows if int4 else s_rows  # token width
 

@@ -79,25 +79,43 @@ def pack_int4_grouped(w: jnp.ndarray, contract_axis: int, group: int = GROUP):
     return {"q4": packed, "gscale": gscale}
 
 
-def _unpack(p_u8):
-    """(K/2, bn) uint8 -> (K, bn) int8 via split-half nibbles."""
-    p = jax.lax.bitcast_convert_type(p_u8, jnp.int8)
-    low = (p << 4) >> 4   # arithmetic: sign-extended low nibble
-    high = p >> 4         # arithmetic: sign-extended high nibble
-    return jnp.concatenate([low, high], axis=0)
+def nibble_i32(p_u8: jnp.ndarray, which: int) -> jnp.ndarray:
+    """Sign-extended int4 nibble (``which``: 0 = low, 1 = high) of a packed
+    uint8 array, as int32. ALL in-kernel nibble math runs in i32: Mosaic
+    cannot legalize sub-32-bit vector shifts (arith.shli on vector<...xi8>
+    fails to lower on v5e), so the classic ``(i8 << 4) >> 4`` sign-extend is
+    interpret-mode-only. i32 lane ops are the native width."""
+    x = p_u8.astype(jnp.int32)
+    n = (x & 15) if which == 0 else (x >> 4)
+    return n - ((n & 8) << 1)
 
 
-def _group_dots(xq, w_int8, gscale_f32, n_groups: int, group: int):
-    """sum_g dot_int8(xq[:, g], w[g]) * gscale[g] -> (m, bn) f32."""
-    acc = jnp.zeros((xq.shape[0], w_int8.shape[1]), jnp.float32)
-    for g in range(n_groups):
-        sl = slice(g * group, (g + 1) * group)
-        d = jax.lax.dot_general(
-            xq[:, sl], w_int8[sl],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc = acc + d.astype(jnp.float32) * gscale_f32[g]
+def _group_dots(xq, p_ref, gscale_f32, n_groups: int, group: int):
+    """sum_g dot_int8(xq[:, g], w[g]) * gscale[g] -> (m, bn) f32.
+
+    ``p_ref`` is the PACKED (K/2, bn) uint8 block REF; each group's rows load
+    and unpack on the fly, so only a (group, bn) temp lives at once. Loading
+    (or unpacking) the whole panel first overflows the 16M scoped VMEM at
+    K=11008 (the 3B down-proj: measured 17.06M — u8 elements expand to 32-bit
+    vector lanes once materialized in registers). Split-half packing puts
+    group g < n_groups/2 in the LOW nibbles of packed rows [g*group, ...)
+    and the rest in the HIGH nibbles of the same row range."""
+    acc = jnp.zeros((xq.shape[0], p_ref.shape[1]), jnp.float32)
+    half_groups = n_groups // 2
+    for gi in range(half_groups):
+        rows = slice(gi * group, (gi + 1) * group)
+        p = p_ref[rows]
+        # both nibbles of this row range back to back: interleaving them 43
+        # iterations apart keeps every low-half load live until its high-half
+        # twin — the whole packed block pinned in 32-bit vregs at once
+        for which, g in ((0, gi), (1, gi + half_groups)):
+            w = nibble_i32(p, which).astype(jnp.int8)
+            d = jax.lax.dot_general(
+                xq[:, g * group:(g + 1) * group], w,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc + d.astype(jnp.float32) * gscale_f32[g]
     return acc
 
 
@@ -123,8 +141,8 @@ def _gateup_kernel(x_ref, gq_ref, gs_ref, uq_ref, us_ref, h_ref,
     n_groups = k // group
     xq = xq_scr[...]
     xs = xs_scr[:, 0:1]
-    g_acc = _group_dots(xq, _unpack(gq_ref[...]), gs_ref[...].astype(jnp.float32), n_groups, group)
-    u_acc = _group_dots(xq, _unpack(uq_ref[...]), us_ref[...].astype(jnp.float32), n_groups, group)
+    g_acc = _group_dots(xq, gq_ref, gs_ref[...].astype(jnp.float32), n_groups, group)
+    u_acc = _group_dots(xq, uq_ref, us_ref[...].astype(jnp.float32), n_groups, group)
     g = g_acc * xs
     u = u_acc * xs
     h_ref[...] = ((g * jax.lax.logistic(g)) * u).astype(h_ref.dtype)
@@ -138,7 +156,7 @@ def _matmul_kernel(x_ref, wq_ref, ws_ref, o_ref, xq_scr, xs_scr, *, k, group):
         xs_scr[...] = jnp.broadcast_to(xs, xs_scr.shape)
 
     acc = _group_dots(
-        xq_scr[...], _unpack(wq_ref[...]), ws_ref[...].astype(jnp.float32),
+        xq_scr[...], wq_ref, ws_ref[...].astype(jnp.float32),
         k // group, group,
     )
     o_ref[...] = (acc * xs_scr[:, 0:1]).astype(o_ref.dtype)
@@ -168,7 +186,9 @@ def _pick_bn(m: int, k: int, n: int, streams: int) -> Optional[int]:
             + m * k * 4                      # f32 x during quantize
             + streams * (2 * (k // 2) * bn)  # packed panels (double-buffered)
             + streams * (2 * (k // GROUP) * bn * 4)   # gscale blocks
-            + streams * (k * bn)             # unpacked int8 panel
+            # per-group on-the-fly unpack temps (i32 + i8 per live group; a
+            # few live at once under Mosaic's scheduler): see _group_dots
+            + streams * (4 * GROUP * bn * 5)
             + streams * (m * bn * 4)         # f32 accumulators
             + 2 * (m * bn * 2)               # out block
         )

@@ -156,17 +156,19 @@ def _paged_kernel_int4(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0].reshape(hkv, g, d)
-    kp = jax.lax.bitcast_convert_type(kp_ref[0], jnp.int8)
-    vp = jax.lax.bitcast_convert_type(vp_ref[0], jnp.int8)
+    from .int4_mlp import nibble_i32
+
+    kp = kp_ref[0]  # packed uint8
+    vp = vp_ref[0]
     ks = ks_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
     vs = vs_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
     for nib in (0, 1):
+        k_i8 = nibble_i32(kp, nib)
+        v_i8 = nibble_i32(vp, nib)
         if nib == 0:
-            k_i8, v_i8 = (kp << 4) >> 4, (vp << 4) >> 4
             ks_h = jax.lax.slice_in_dim(ks, 0, half, axis=2)
             vs_h = jax.lax.slice_in_dim(vs, 0, half, axis=2)
         else:
-            k_i8, v_i8 = kp >> 4, vp >> 4
             ks_h = jax.lax.slice_in_dim(ks, half, page, axis=2)
             vs_h = jax.lax.slice_in_dim(vs, half, page, axis=2)
         s = jax.lax.dot_general(

@@ -191,15 +191,6 @@ def linear(x: jnp.ndarray, w, contract_axis: int = 0, out_dtype=None) -> jnp.nda
 # param-tree quantization
 # ---------------------------------------------------------------------------
 
-# decoder-stack matmuls: key -> contraction axis in the PER-STACK (L, ...)
-# stored layout (the leading layer dim shifts every axis by one)
-_TEXT_LAYER_MATMULS = {
-    ("self_attn", "qkv_proj"): 2,     # (L, Hkv, E, G) contract E
-    ("self_attn", "o_proj"): 1,       # (L, H*D, E)    contract H*D
-    ("mlp", "down_proj"): 1,          # (L, I, E)      contract I
-}
-
-
 def _pick_w4_group(k: int) -> int | None:
     for g in (128, 64, 32, 16, 8):
         if k % (2 * g) == 0:
@@ -221,27 +212,52 @@ def quantize_params(params: Params, mode: str = "int8") -> Params:
     out = {k: v for k, v in params.items()}
     text = dict(params["text"])
     layers = {k: (dict(v) if isinstance(v, dict) else v) for k, v in text["layers"].items()}
-    for (group, name), axis in _TEXT_LAYER_MATMULS.items():
-        layers[group] = dict(layers[group])
-        layers[group][name] = quantize_weight(layers[group][name], axis)
     # gate_up re-lays out 2D (L, E, 2I), gate columns first: the rollout
     # forward consumes it as ONE wide (E, 2I) matmul whose (m, 2I) output
     # feeds the Pallas silu->quantize junction kernel directly — the training
     # tree's (L, 2, E, I) batched form would hand the kernel a (m, 2, I)
     # intermediate whose Mosaic relayout (sublane dim 2 of 8) costs ~4x the
     # junction's read traffic. One transposed copy per rollout phase.
-    mlp = dict(layers["mlp"])
-    gu = mlp["gate_up_proj"]  # (L, 2, E, I)
-    ell, _, e, i = gu.shape
-    gu2 = jnp.transpose(gu, (0, 2, 1, 3)).reshape(ell, e, 2 * i)
-    mlp["gate_up_proj"] = quantize_weight(gu2, 1)
-    if mode == "w4a8":
-        from .int4_mlp import pack_int4_grouped
+    #
+    # The whole decoder-stack quantize runs PER-LAYER under lax.map (scan):
+    # quantizing the stacked (L, ...) leaves whole materializes fp32 temps of
+    # the full stacks — three ~6GB gate_up copies at 3B/w4a8 — which OOMs a
+    # 16GB chip before any rollout work starts. Per-layer, the temps are
+    # L times smaller and the pass is still one read of the stacks.
+    gu_stack = layers["mlp"]["gate_up_proj"]  # (L, 2, E, I)
+    _, _, e, i = gu_stack.shape
+    g_e, g_i = _pick_w4_group(e), _pick_w4_group(i)
+    want_w4 = mode == "w4a8" and g_e is not None and g_i is not None
 
-        g_e, g_i = _pick_w4_group(e), _pick_w4_group(i)
-        if g_e is not None and g_i is not None:
-            mlp["gate_up_w4"] = pack_int4_grouped(gu2, 1, group=g_e)
-            mlp["down_w4"] = pack_int4_grouped(params["text"]["layers"]["mlp"]["down_proj"], 1, group=g_i)
+    def _one_layer(leaves):
+        qkv, o, down, gu = leaves  # per-layer: leading L stripped -> axes -1
+        q = {
+            "qkv_proj": quantize_weight(qkv, 1),   # (Hkv, E, G) contract E
+            "o_proj": quantize_weight(o, 0),       # (H*D, E)    contract H*D
+            "down_proj": quantize_weight(down, 0), # (I, E)      contract I
+        }
+        gu2 = jnp.transpose(gu, (1, 0, 2)).reshape(e, 2 * i)
+        q["gate_up_proj"] = quantize_weight(gu2, 0)
+        if want_w4:
+            from .int4_mlp import pack_int4_grouped
+
+            q["gate_up_w4"] = pack_int4_grouped(gu2, 0, group=g_e)
+            q["down_w4"] = pack_int4_grouped(down, 0, group=g_i)
+        return q
+
+    stacked = jax.lax.map(_one_layer, (
+        layers["self_attn"]["qkv_proj"], layers["self_attn"]["o_proj"],
+        layers["mlp"]["down_proj"], gu_stack,
+    ))
+    layers["self_attn"] = dict(layers["self_attn"])
+    layers["self_attn"]["qkv_proj"] = stacked["qkv_proj"]
+    layers["self_attn"]["o_proj"] = stacked["o_proj"]
+    mlp = dict(layers["mlp"])
+    mlp["down_proj"] = stacked["down_proj"]
+    mlp["gate_up_proj"] = stacked["gate_up_proj"]
+    if want_w4:
+        mlp["gate_up_w4"] = stacked["gate_up_w4"]
+        mlp["down_w4"] = stacked["down_w4"]
     layers["mlp"] = mlp
     text["layers"] = layers
     # embedding/head: per-vocab-row scales serve both the row gather (dequant
