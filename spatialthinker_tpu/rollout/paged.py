@@ -444,12 +444,53 @@ def generate_paged(
     prefill_chunk_size: int = 0,
     max_num_batched_tokens: int = 0,
     group_n: int = 1,
+    mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
 ) -> PagedResult:
     """Generate B*group_n sequences through `slots` decode lanes over a
     `total_pages` KV page pool. Output row i*group_n + j is sample j of
     prompt i (repeat-interleave order). ``stats`` reports page-pool telemetry
-    (peak pages, preemptions)."""
+    (peak pages, preemptions).
+
+    Multi-host (``mesh`` given and jax.process_count() > 1): the same
+    lockstep-by-construction contract as rollout/continuous.py — the prompt
+    queue is allgathered at entry and every process runs this identical host
+    loop over it, so the (deterministic) page allocator, admission, and
+    preemption decisions agree everywhere without negotiation. Lanes shard
+    over the mesh's batch axes; the PAGE POOL shards over its page axis (the
+    pool is the HBM budget — replicating it would undo the budgeting). Every
+    host read of device state comes back via local-shard + allgather. Each
+    process returns the FULL global output; the caller slices its rows.
+    ``total_pages`` must already be negotiated (the trainer allgather-mins
+    the per-process free-HBM estimate)."""
     from .continuous import effective_prefill_chunk
+
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import BATCH_AXES
+        from ..parallel.multihost import (
+            allgather_host_data,
+            allgather_pyobj,
+            fetch_global,
+            global_array_from_full,
+        )
+
+        input_ids = allgather_host_data(np.asarray(input_ids))
+        segment_ids = allgather_host_data(np.asarray(segment_ids))
+        position_ids = np.transpose(
+            allgather_host_data(
+                np.ascontiguousarray(np.transpose(np.asarray(position_ids), (1, 0, 2)))
+            ),
+            (1, 0, 2),
+        )
+        gen_pos_start = allgather_host_data(np.asarray(gen_pos_start))
+        if patches_list is not None or grids_list is not None:
+            parts = allgather_pyobj(
+                (list(patches_list or []), list(grids_list or []))
+            )
+            patches_list = [x for pl_, _ in parts for x in pl_]
+            grids_list = [x for _, gl in parts for x in gl]
 
     b, p = input_ids.shape
     n_out = b * group_n
@@ -465,6 +506,13 @@ def generate_paged(
         total_pages = slots * pages_per_slot_worst + 1  # +1 dummy
     n_lanes = slots + 1  # +1 trash lane for queue-padding prefill rows
     trash = slots
+    if multihost:
+        # lane + page axes shard over the batch devices: round both up so the
+        # shards are even (extra lanes are never targeted; extra pages only
+        # grow the budget by < one page per device)
+        batch_devs = mesh.shape["data"] * mesh.shape["fsdp"]
+        n_lanes = -(-n_lanes // batch_devs) * batch_devs
+        total_pages = -(-total_pages // batch_devs) * batch_devs
 
     prefill_jit = jax.jit(
         prefill_paged, static_argnames=("cfg", "sampling", "prefill_chunk", "group_n"),
@@ -473,10 +521,61 @@ def generate_paged(
         decode_chunk_paged, static_argnames=("cfg", "sampling", "chunk"),
     )
 
-    state = init_paged_state(
-        cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
-        kv_cache_dtype,
-    )
+    if multihost:
+        lane = NamedSharding(mesh, P(BATCH_AXES))
+        pool_sh = NamedSharding(mesh, P(None, BATCH_AXES))
+        repl = NamedSharding(mesh, P())
+        quantized_kv = kv_cache_dtype in (jnp.int8, jnp.uint8)  # int8 | int4
+        state_sh = PagedState(
+            k_pool=pool_sh, v_pool=pool_sh,
+            page_table=lane, length=lane, cur_tokens=lane, gen_pos=lane,
+            steps=lane, finished=lane, active=lane, responses=lane,
+            logps=lane, key=repl,
+            k_scale=pool_sh if quantized_kv else None,
+            v_scale=pool_sh if quantized_kv else None,
+        )
+        state = jax.jit(
+            init_paged_state,
+            static_argnames=(
+                "cfg", "slots", "total_pages", "page_size", "p_max",
+                "max_new_tokens", "kv_dtype",
+            ),
+            out_shardings=state_sh,
+        )(cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
+          kv_dtype=kv_cache_dtype)
+
+        # prefill rows shard over the batch devices when they divide evenly
+        # (the prompt forward dominates the refill FLOPs); the page-scatter
+        # plans index the GLOBAL pool, so GSPMD inserts the cross-shard
+        # page writes. Small plan operands stay replicated (row_axis=None).
+        u_sharded = u_batch % batch_devs == 0
+
+        def dev(x, row_axis=None):
+            spec = (
+                P(*([None] * row_axis + [BATCH_AXES]))
+                if row_axis is not None and u_sharded else P()
+            )
+            return global_array_from_full(np.asarray(x), mesh, spec)
+
+        def fetch_lane(arr, extra_dims: int = 0):
+            return fetch_global(arr, mesh, P(*([BATCH_AXES] + [None] * extra_dims)))
+
+        def dev_table(x):
+            return global_array_from_full(np.asarray(x), mesh, P(BATCH_AXES, None))
+    else:
+        def dev(x, row_axis=None):
+            return jnp.asarray(x)
+
+        def fetch_lane(arr, extra_dims: int = 0):
+            return np.asarray(arr)
+
+        def dev_table(x):
+            return jnp.asarray(x)
+
+        state = init_paged_state(
+            cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
+            kv_cache_dtype,
+        )
     allocator = PageAllocator(total_pages)
 
     responses = np.full((n_out, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
@@ -597,30 +696,32 @@ def generate_paged(
                 cfg.vision, pad_to=vision_bucket,
             )
             if vision is not None:
-                vision = jax.tree.map(jnp.asarray, vision)
+                # replicated: the pack interleaves rows' patches; identical
+                # on every host (global rows, deterministic plan)
+                vision = jax.tree.map(dev, vision)
         # table rows in lane order (trash lanes keep zeros)
         for lane in range(u_batch * group_n):
             slot = targets[lane]
             if slot != trash:
                 table_rows[lane] = host_table[slot]
         install = PrefillInstall(
-            full_src_row=jnp.asarray(full_src_row),
-            full_src_pos=jnp.asarray(full_src_pos),
-            full_dst=jnp.asarray(full_dst),
-            tail_src_row=jnp.asarray(tail_src_row),
-            tail_src_pos=jnp.asarray(tail_src_pos),
-            tail_dst=jnp.asarray(tail_dst),
-            table_rows=jnp.asarray(table_rows),
-            lengths=jnp.asarray(lengths),
+            full_src_row=dev(full_src_row),
+            full_src_pos=dev(full_src_pos),
+            full_dst=dev(full_dst),
+            tail_src_row=dev(tail_src_row),
+            tail_src_pos=dev(tail_src_pos),
+            tail_dst=dev(tail_dst),
+            table_rows=dev(table_rows),
+            lengths=dev(lengths),
         )
         state = prefill_jit(
             params, cfg, state,
-            jnp.asarray(targets),
-            jnp.asarray(ids_batch),
-            jnp.asarray(seg_batch),
-            jnp.asarray(position_ids[:, rows]),
-            jnp.asarray(gen_pos_start[rows]),
-            jnp.asarray(valid),
+            dev(targets),
+            dev(ids_batch, 0),
+            dev(seg_batch, 0),
+            dev(position_ids[:, rows], 1),
+            dev(gen_pos_start[rows], 0),
+            dev(valid, 0),
             install,
             sampling,
             vision,
@@ -678,9 +779,9 @@ def generate_paged(
         """Grow running slots' page tables to cover the next decode chunk;
         preempt (youngest-group recompute) on pool exhaustion."""
         while True:
-            active = np.asarray(state.active)
-            finished = np.asarray(state.finished)
-            lengths_np = np.asarray(state.length)
+            active = fetch_lane(state.active)
+            finished = fetch_lane(state.finished)
+            lengths_np = fetch_lane(state.length)
             run = active & ~finished
             table_dirty = False
             ok = True
@@ -700,7 +801,9 @@ def generate_paged(
                 if not ok:
                     break
             if table_dirty:
-                state = state._replace(page_table=jnp.asarray(host_table[: state.page_table.shape[0]]))
+                state = state._replace(
+                    page_table=dev_table(host_table[: state.page_table.shape[0]])
+                )
             if ok:
                 used = int(allocator.refcount[1:].astype(bool).sum())
                 stats["peak_pages"] = max(stats["peak_pages"], used)
@@ -708,12 +811,12 @@ def generate_paged(
             state = preempt_youngest(run, state)
 
     def harvest(state) -> Tuple[PagedState, List[int]]:
-        finished = np.asarray(state.finished)
-        active = np.asarray(state.active)
+        finished = fetch_lane(state.finished)
+        active = fetch_lane(state.active)
         done_slots = [int(i) for i in np.nonzero(finished & active)[0]]
         if done_slots:
-            resp_rows = np.asarray(state.responses[jnp.asarray(done_slots)])
-            logp_rows = np.asarray(state.logps[jnp.asarray(done_slots)])
+            resp_rows = fetch_lane(state.responses, 1)[done_slots]
+            logp_rows = fetch_lane(state.logps, 1)[done_slots]
             for row, slot in enumerate(done_slots):
                 owner = slot_owner[slot]
                 if owner >= 0:
@@ -734,7 +837,7 @@ def generate_paged(
         free_pool.extend(done_slots)
         if work and len(free_pool) >= group_n:
             state, free_pool, _ = refill(state, free_pool)
-        active_left = bool(np.asarray(state.active).any())
+        active_left = bool(fetch_lane(state.active).any())
         if not active_left and not work:
             break
 

@@ -138,17 +138,11 @@ class GRPOTrainer:
         # (/root/reference/verl/single_controller/ray/base.py:211-405).
         self.n_proc = jax.process_count()
         if self.n_proc > 1:
-            # continuous rollout IS multi-host capable: the engine allgathers
-            # the prompt queue at entry and every process runs the identical
-            # refill/harvest schedule (rollout/continuous.py, multihost mode).
-            # The paged engine's host-managed page tables + preemption are not
-            # lockstep-replicated yet, so paging stays single-process.
-            if config.worker.rollout.name == "continuous" and config.worker.rollout.page_size > 0:
-                raise ValueError(
-                    "paged rollout (rollout.page_size>0) is host-dynamic (page tables, "
-                    "preemption) and cannot run SPMD across processes; set "
-                    "rollout.page_size=0 or rollout.name=jax for nnodes>1"
-                )
+            # continuous AND paged rollout are multi-host capable: both
+            # engines allgather the prompt queue at entry and every process
+            # runs the identical lockstep schedule (rollout/continuous.py,
+            # rollout/paged.py, multihost mode); the paged pool budget is
+            # additionally negotiated (allgather-min, _paged_pool_size).
             if config.data.rollout_batch_size % self.n_proc:
                 raise ValueError(
                     f"data.rollout_batch_size={config.data.rollout_batch_size} must be "
@@ -407,6 +401,13 @@ class GRPOTrainer:
         if cached is not None:
             return cached
         total = self._paged_pool_size_uncached(page_size, kv_dtype)
+        if self.n_proc > 1:
+            # every process must build the same pool shape: take the MIN of
+            # the per-process free-HBM estimates (processes differ by resident
+            # buffers, never by much)
+            from ..parallel.multihost import allgather_pyobj
+
+            total = min(allgather_pyobj(total))
         self._paged_pool_cache = total
         return total
 
@@ -651,6 +652,7 @@ class GRPOTrainer:
                     *args, **common,
                     page_size=rollout_cfg.page_size,
                     total_pages=self._paged_pool_size(rollout_cfg.page_size, kv_dtype),
+                    mesh=self.mesh,
                 )
                 self._last_rollout_stats = {
                     f"rollout/kv_{k}": float(v) for k, v in result.stats.items()
@@ -659,18 +661,18 @@ class GRPOTrainer:
                 from ..rollout.continuous import generate_continuous
 
                 result = generate_continuous(*args, **common, mesh=self.mesh)
-                if self.n_proc > 1:
-                    # the multihost engine returns the FULL global output on
-                    # every process; keep this process's rows (rank-major
-                    # global order matches the loader's row ownership)
-                    from ..parallel.multihost import process_local_slice
+            if self.n_proc > 1:
+                # both multihost engines return the FULL global output on
+                # every process; keep this process's rows (rank-major
+                # global order matches the loader's row ownership)
+                from ..parallel.multihost import process_local_slice
 
-                    s, e = process_local_slice(len(result.responses))
-                    result = result._replace(
-                        responses=result.responses[s:e],
-                        response_mask=result.response_mask[s:e],
-                        rollout_log_probs=result.rollout_log_probs[s:e],
-                    )
+                s, e = process_local_slice(len(result.responses))
+                result = result._replace(
+                    responses=result.responses[s:e],
+                    response_mask=result.response_mask[s:e],
+                    rollout_log_probs=result.rollout_log_probs[s:e],
+                )
         else:
             # grouped sampling needs the UNIQUE-prompt batch to divide the
             # batch-sharded device count; fall back to per-sample prefill when

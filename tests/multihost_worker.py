@@ -19,6 +19,7 @@ def main():
     ref_offload = "refoff" in flags
     continuous = "cont" in flags
     kv4 = "kv4" in flags
+    paged = "paged" in flags
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     local_devices = 8 // nprocs  # 8 global devices either way
@@ -63,12 +64,11 @@ def main():
         "worker.actor.padding_free=true",
         "worker.actor.optim.lr=1e-3",
         f"worker.ref.offload={'true' if ref_offload else 'false'}",
-        # continuous rollout multi-host: every process runs the identical
-        # lockstep refill/harvest schedule over the allgathered global queue
-        f"worker.rollout.name={'continuous' if continuous else 'jax'}",
-        # paging is single-process-only (host-managed page tables); the
-        # multi-host continuous path runs the dense-slot engine
-        "worker.rollout.page_size=0",
+        # continuous/paged rollout multi-host: every process runs the
+        # identical lockstep refill/harvest (and page-allocation) schedule
+        # over the allgathered global queue
+        f"worker.rollout.name={'continuous' if (continuous or paged) else 'jax'}",
+        f"worker.rollout.page_size={4 if paged else 0}",
         f"worker.rollout.kv_cache_dtype={'int4' if kv4 else 'bfloat16'}",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",

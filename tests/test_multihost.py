@@ -101,6 +101,23 @@ def test_two_process_continuous_int4_kv_matches_single(tmp_path):
     )
 
 
+def test_two_process_paged_rollout_matches_single(tmp_path):
+    """Paged-engine rollout across 2 processes: lanes shard over the batch
+    axes, the KV page POOL shards over its page axis, every process runs the
+    identical lockstep admission/allocation schedule over the allgathered
+    queue, and the full train step reproduces single-process numerics."""
+    single = _run_workers(1, 0, "paged_single", tmp_path, mode="paged")[0]
+    duo = _run_workers(2, 29561, "paged_duo", tmp_path, mode="paged")
+
+    for key in ("actor/loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(duo[0][key])
+        np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
+    )
+
+
 def test_two_process_multimodal_train_step(tmp_path):
     """Multimodal across processes: hosts hold different patch counts, the
     vision pack is globally negotiated (padded slices, per-host offsets, per-
