@@ -148,7 +148,7 @@ SHAPES = {
     "grpo": (int(os.environ.get("BENCH_GRPO_BATCH", "26")), 2048, 256, "int8", 512, 5),
     "flagship": (
         int(os.environ.get("BENCH_FLAGSHIP_BATCH", "32")),
-        6144, 2048, "int8", 512, 1,
+        6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int8"), 512, 1,
     ),
 }
 # decode dominates the flagship shape (2048 steps); 2 timed iters keep the

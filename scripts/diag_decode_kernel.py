@@ -18,7 +18,8 @@ from spatialthinker_tpu.ops.decode_attention import decode_attention
 def main():
     b = int(os.environ.get("DK_BATCH", "128"))
     s = int(os.environ.get("DK_WIDTH", "2304"))
-    kv_int8 = os.environ.get("DK_KV", "int8") == "int8"
+    kv_mode = os.environ.get("DK_KV", "int8")  # int8 | int4 | bf16
+    kv_int8 = kv_mode == "int8"
     l, hkv, hq, d = 36, 2, 16, 128
 
     # block-shape sweep overrides (monkeypatch the pickers so prod code stays
@@ -44,6 +45,17 @@ def main():
             return k, v, ks, ks
         k, v, ks, vs = make(jax.random.key(0))
         kv_bytes = 2 * l * b * hkv * s * d + 2 * 2 * l * b * hkv * s
+    elif kv_mode == "int4":  # packed split-half rows (uint8 marker dtype)
+        @jax.jit
+        def make(key):
+            k1, k2 = jax.random.split(key)
+            shape = (l, b, hkv, s // 2, d)
+            k = jax.random.randint(k1, shape, 0, 256, jnp.int32).astype(jnp.uint8)
+            v = jax.random.randint(k2, shape, 0, 256, jnp.int32).astype(jnp.uint8)
+            ks = jnp.full((l, b, hkv, s), 0.01, jnp.bfloat16)
+            return k, v, ks, ks
+        k, v, ks, vs = make(jax.random.key(0))
+        kv_bytes = 2 * l * b * hkv * (s // 2) * d + 2 * 2 * l * b * hkv * s
     else:
         @jax.jit
         def make(key):
@@ -82,7 +94,7 @@ def main():
     float(np.asarray(timed(q, k, v, ks, vs, iters * l)))
     dt = (time.perf_counter() - t0) / iters
     gbs = kv_bytes / dt / 1e9
-    print(f"b={b} s={s} kv={'int8' if kv_int8 else 'bf16'}: "
+    print(f"b={b} s={s} kv={kv_mode}: "
           f"{dt*1e3:.2f} ms/pass, {gbs:.0f} GB/s ({gbs/840*100:.0f}% of peak)",
           flush=True)
 

@@ -193,17 +193,24 @@ def _decode_kernel_int4(
     vp = vp_ref[...].reshape(n_grp, block_sh, d)
     from .int4_mlp import nibble_i32
 
-    for nib, seg, ks, vs in (
-        (0, seg_lo_ref, ks_lo_ref, vs_lo_ref),
-        (1, seg_hi_ref, ks_hi_ref, vs_hi_ref),
-    ):
-        k_i8 = nibble_i32(kp, nib)
-        v_i8 = nibble_i32(vp, nib)
-        _block_update(
-            q, k_i8.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
-            seg[...], ks[...], vs[...], m_scr, l_scr, acc_scr,
-            scale=scale, hkv=hkv, g=g, block_b=block_b, block_s=block_sh,
+    # ONE fused update over both nibble halves (2*block_sh tokens): running
+    # two per-nibble updates doubled the softmax bookkeeping per token vs the
+    # int8 kernel — measured as int4 decode LOSING to int8 at equal batch
+    # despite half the bytes. Concatenated, the per-token VPU work matches
+    # int8's and the byte saving shows up.
+    def unpack2(p):
+        return jnp.concatenate(
+            [nibble_i32(p, 0).astype(jnp.bfloat16),
+             nibble_i32(p, 1).astype(jnp.bfloat16)], axis=1
         )
+
+    seg = jnp.concatenate([seg_lo_ref[...], seg_hi_ref[...]], axis=2)
+    ks = jnp.concatenate([ks_lo_ref[...], ks_hi_ref[...]], axis=2)
+    vs = jnp.concatenate([vs_lo_ref[...], vs_hi_ref[...]], axis=2)
+    _block_update(
+        q, unpack2(kp), unpack2(vp), seg, ks, vs, m_scr, l_scr, acc_scr,
+        scale=scale, hkv=hkv, g=g, block_b=block_b, block_s=2 * block_sh,
+    )
 
     @pl.when(si == pl.num_programs(1) - 1)
     def _flush():
@@ -237,13 +244,14 @@ def _pallas_decode(
     quantized = k_scale is not None
     block_b = _pick_block_b(b, quantized)
     if int4:
-        # the kernel materializes the whole packed (block_b, Hkv, block_s, D)
-        # block in vector registers, where every u8 element occupies a 32-bit
-        # lane: at block_b=16/block_s=384 that is 12.6M of kernel stack for
-        # k+v and scoped VMEM (16M) overflows (measured 18.78M at ctx 2304).
-        # 256-row blocks keep stack+DMA ~13M and the grid does the streaming;
-        # int4 cache widths are 256-multiples so 128 always divides s_rows.
-        block_s = min(block_s, 256 if s_rows % 256 == 0 else 128)
+        # the kernel materializes the packed block + both unpacked bf16
+        # halves in vector registers, where every u8 element occupies a
+        # 32-bit lane: at block_b=16 a 384-row block is 18.78M of kernel
+        # stack (> the 16M scoped-VMEM limit) at ctx 2304. 128 packed rows =
+        # 256 tokens per fused update (the int8 kernel's block) keeps the
+        # stack ~10M; int4 cache widths are 256-multiples so 128 always
+        # divides s_rows.
+        block_s = min(block_s, 128)
     grid = (b // block_b, s_rows // block_s)
     s_max = 2 * s_rows if int4 else s_rows  # token width
 

@@ -140,8 +140,8 @@ def _paged_kernel_int4(
     g: int,
 ):
     """int4 pool pages: each packed byte row holds cells (r, r + page/2) of
-    its page; the two nibble halves run as two online-softmax updates (order
-    is absorbed by the running max/sum, mirroring ops/decode_attention)."""
+    its page; both nibble halves unpack into ONE fused online-softmax update
+    per page (mirroring ops/decode_attention._decode_kernel_int4)."""
     si = pl.program_id(0)
     pi = pl.program_id(1)
     half = kp_ref.shape[-2]
@@ -158,47 +158,45 @@ def _paged_kernel_int4(
     q = q_ref[0].reshape(hkv, g, d)
     from .int4_mlp import nibble_i32
 
-    kp = kp_ref[0]  # packed uint8
-    vp = vp_ref[0]
+    # ONE fused update over both nibble halves: page-local split-half packing
+    # puts the low nibbles at cells [0, half) and the high at [half, page),
+    # so the concat IS natural page-cell order. Two per-nibble updates double
+    # the softmax bookkeeping per token vs the int8 kernel (see
+    # ops/decode_attention._decode_kernel_int4 for the measurement).
+    def unpack2(p):
+        return jnp.concatenate(
+            [nibble_i32(p, 0).astype(jnp.bfloat16),
+             nibble_i32(p, 1).astype(jnp.bfloat16)], axis=1
+        )
+
+    k_bf = unpack2(kp_ref[0])  # (Hkv, page, D)
+    v_bf = unpack2(vp_ref[0])
     ks = ks_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
     vs = vs_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
-    for nib in (0, 1):
-        k_i8 = nibble_i32(kp, nib)
-        v_i8 = nibble_i32(vp, nib)
-        if nib == 0:
-            ks_h = jax.lax.slice_in_dim(ks, 0, half, axis=2)
-            vs_h = jax.lax.slice_in_dim(vs, 0, half, axis=2)
-        else:
-            ks_h = jax.lax.slice_in_dim(ks, half, page, axis=2)
-            vs_h = jax.lax.slice_in_dim(vs, half, page, axis=2)
-        s = jax.lax.dot_general(
-            q, k_i8.astype(jnp.bfloat16),
-            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-        )  # (Hkv, g, half)
-        s = s * (ks_h * scale)
-        cell = (
-            pi * page + nib * half
-            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, half), 2)
-        )
-        valid = cell < length
-        s = jnp.where(valid, s, NEG_INF)
+    s = jax.lax.dot_general(
+        q, k_bf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )  # (Hkv, g, page)
+    s = s * (ks * scale)
+    cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
+    valid = cell < length
+    s = jnp.where(valid, s, NEG_INF)
 
-        m_prev = m_scr[...].reshape(hkv, g, 128)[:, :, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        corr = jnp.exp(m_prev - m_new)
-        l_new = l_scr[...].reshape(hkv, g, 128)[:, :, 0:1] * corr + jnp.sum(
-            p, axis=2, keepdims=True
-        )
-        p = p * vs_h
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
-            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-        )  # (Hkv, g, d)
-        acc = acc_scr[...].reshape(hkv, g, d) * corr + pv
-        m_scr[...] = jnp.broadcast_to(m_new, (hkv, g, 128)).reshape(hkv * g, 128)
-        l_scr[...] = jnp.broadcast_to(l_new, (hkv, g, 128)).reshape(hkv * g, 128)
-        acc_scr[...] = acc.reshape(hkv * g, d)
+    m_prev = m_scr[...].reshape(hkv, g, 128)[:, :, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[...].reshape(hkv, g, 128)[:, :, 0:1] * corr + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    p = p * vs
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v_bf,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )  # (Hkv, g, d)
+    acc = acc_scr[...].reshape(hkv, g, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(m_new, (hkv, g, 128)).reshape(hkv * g, 128)
+    l_scr[...] = jnp.broadcast_to(l_new, (hkv, g, 128)).reshape(hkv * g, 128)
+    acc_scr[...] = acc.reshape(hkv * g, d)
 
     @pl.when(pi == pl.num_programs(1) - 1)
     def _flush():
