@@ -145,7 +145,10 @@ SHAPES = {
         int(os.environ.get("BENCH_CHUNK", "512")),
         1,
     ),
-    "grpo": (int(os.environ.get("BENCH_GRPO_BATCH", "26")), 2048, 256, "int8", 512, 5),
+    "grpo": (
+        int(os.environ.get("BENCH_GRPO_BATCH", "26")), 2048, 256,
+        os.environ.get("BENCH_GRPO_KV", "int8"), 512, 5,
+    ),
     "flagship": (
         int(os.environ.get("BENCH_FLAGSHIP_BATCH", "32")),
         6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int8"), 512, 1,

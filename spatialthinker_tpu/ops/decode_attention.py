@@ -63,17 +63,37 @@ def _interpret() -> bool:
 
 def _block_update(
     q, k_bf16, v_bf16, seg, ks, vs, m_scr, l_scr, acc_scr,
-    *, scale, hkv, g, block_b, block_s,
+    *, scale, hkv, g, block_b, block_s, kv_bias: float = 0.0,
 ):
     """One flash-style online-softmax update of the (m, l, acc) scratches with
     a (block_b, Hkv, block_s, D) KV block. ``ks``/``vs`` are the per-token
     scales (None for bf16 caches); order across calls is irrelevant — the
-    running max/sum absorbs blocks in any sequence position order."""
+    running max/sum absorbs blocks in any sequence position order.
+
+    ``kv_bias`` != 0 means k/v carry BIASED values (stored + bias, the int4
+    storage format): the true dots are recovered in the epilogues,
+    q.(k-b) = q.k - b*sum(q) and p.(v-b) = p.v - b*sum(p), so the unpack
+    never pays per-element sign-extension.
+
+    ``k_bf16``/``v_bf16`` may each be a TUPLE of token-axis halves (the int4
+    split-half nibbles): the halves run as separate dots and only the scores
+    concatenate — concatenating the unpacked blocks themselves would re-copy
+    the whole cache through the VPU."""
     n_grp = block_b * hkv
     d = q.shape[-1]
-    s = jax.lax.dot_general(
-        q, k_bf16, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (n_grp, g, block_s)
+
+    def qdot(k_half):
+        return jax.lax.dot_general(
+            q, k_half, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    if isinstance(k_bf16, tuple):
+        s = jnp.concatenate([qdot(kh) for kh in k_bf16], axis=2)
+    else:
+        s = qdot(k_bf16)  # (n_grp, g, block_s)
+    if kv_bias:
+        s = s - kv_bias * jnp.sum(q.astype(jnp.float32), axis=2, keepdims=True)
     if ks is not None:
         # fold softmax scale + k scales in after the dot: q.(k*s) == (q.k)*s
         s = s * (ks.reshape(n_grp, 1, block_s).astype(jnp.float32) * scale)
@@ -94,10 +114,20 @@ def _block_update(
     if vs is not None:
         # fold the v scales into the softmax weights: p.(v*s) == (p*s).v
         p = p * vs.reshape(n_grp, 1, block_s).astype(jnp.float32)
-    pv = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v_bf16,
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    )  # (n_grp, g, d)
+
+    def pdot(p_part, v_part):
+        return jax.lax.dot_general(
+            p_part.astype(jnp.bfloat16), v_part,
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )
+
+    if isinstance(v_bf16, tuple):
+        half = block_s // 2
+        pv = pdot(p[:, :, :half], v_bf16[0]) + pdot(p[:, :, half:], v_bf16[1])
+    else:
+        pv = pdot(p, v_bf16)  # (n_grp, g, d)
+    if kv_bias:
+        pv = pv - kv_bias * jnp.sum(p, axis=2, keepdims=True)
     acc = acc_scr[...].reshape(n_grp, g, d) * corr + pv
     m_scr[...] = jnp.broadcast_to(m_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
     l_scr[...] = jnp.broadcast_to(l_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
@@ -191,25 +221,29 @@ def _decode_kernel_int4(
     q = q_ref[...].reshape(n_grp, g, d)
     kp = kp_ref[...].reshape(n_grp, block_sh, d)  # packed uint8
     vp = vp_ref[...].reshape(n_grp, block_sh, d)
-    from .int4_mlp import nibble_i32
+    from ..models.qwen2_5_vl.text import KV4_BIAS
+    from .int4_mlp import nibble_u4
 
     # ONE fused update over both nibble halves (2*block_sh tokens): running
-    # two per-nibble updates doubled the softmax bookkeeping per token vs the
-    # int8 kernel — measured as int4 decode LOSING to int8 at equal batch
-    # despite half the bytes. Concatenated, the per-token VPU work matches
-    # int8's and the byte saving shows up.
-    def unpack2(p):
-        return jnp.concatenate(
-            [nibble_i32(p, 0).astype(jnp.bfloat16),
-             nibble_i32(p, 1).astype(jnp.bfloat16)], axis=1
-        )
-
+    # two per-nibble updates doubled the softmax bookkeeping per token vs
+    # the int8 kernel — measured as int4 decode LOSING to int8 at equal
+    # batch despite half the bytes. The unpack stays UNSIGNED (biased
+    # storage, 2 lane ops/element); _block_update's kv_bias epilogues
+    # recover the true dots. The two halves run as separate MXU dots whose
+    # SCORES concatenate (g x block_s, 16x smaller than the k/v blocks) —
+    # concatenating the unpacked bf16 blocks themselves re-copies the whole
+    # cache through the VPU. Sign-extended per-nibble updates measured
+    # 249 GB/s-effective; biased single-update, 319; this form drops two
+    # full-block copies per block on top.
+    u4 = lambda p, which: nibble_u4(p, which).astype(jnp.bfloat16)
     seg = jnp.concatenate([seg_lo_ref[...], seg_hi_ref[...]], axis=2)
     ks = jnp.concatenate([ks_lo_ref[...], ks_hi_ref[...]], axis=2)
     vs = jnp.concatenate([vs_lo_ref[...], vs_hi_ref[...]], axis=2)
     _block_update(
-        q, unpack2(kp), unpack2(vp), seg, ks, vs, m_scr, l_scr, acc_scr,
+        q, (u4(kp, 0), u4(kp, 1)), (u4(vp, 0), u4(vp, 1)),
+        seg, ks, vs, m_scr, l_scr, acc_scr,
         scale=scale, hkv=hkv, g=g, block_b=block_b, block_s=2 * block_sh,
+        kv_bias=float(KV4_BIAS),
     )
 
     @pl.when(si == pl.num_programs(1) - 1)

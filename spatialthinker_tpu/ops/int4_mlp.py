@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-8
 GROUP = 128
+BIAS = 8  # stored nibble = value + 8 (see pack_int4_grouped)
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
@@ -75,7 +76,11 @@ def pack_int4_grouped(w: jnp.ndarray, contract_axis: int, group: int = GROUP):
     low = jax.lax.slice_in_dim(q, 0, k // 2, axis=contract_axis)
     high = jax.lax.slice_in_dim(q, k // 2, k, axis=contract_axis)
     as_u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
-    packed = (as_u8(low) & jnp.uint8(0xF)) | (as_u8(high) << 4)
+    # BIASED storage (value + 8, unsigned [1, 15]): the kernels unpack with
+    # just & 15 / >> 4 and recover the -8 in the dot epilogue — same trick
+    # as the KV cache (models/qwen2_5_vl/text._pack_nibbles)
+    bias = jnp.int8(BIAS)
+    packed = (as_u8(low + bias) & jnp.uint8(0xF)) | (as_u8(high + bias) << 4)
     return {"q4": packed, "gscale": gscale}
 
 
@@ -88,6 +93,15 @@ def nibble_i32(p_u8: jnp.ndarray, which: int) -> jnp.ndarray:
     x = p_u8.astype(jnp.int32)
     n = (x & 15) if which == 0 else (x >> 4)
     return n - ((n & 8) << 1)
+
+
+def nibble_u4(p_u8: jnp.ndarray, which: int) -> jnp.ndarray:
+    """UNSIGNED int4 nibble as i32 — for BIASED storage (value + 8, see
+    models/qwen2_5_vl/text._pack_nibbles). Two lane ops per element instead
+    of the five of a sign-extend; the consumer folds the -8 into its dot
+    epilogue (q.(u-8) = q.u - 8*sum(q))."""
+    x = p_u8.astype(jnp.int32)
+    return (x & 15) if which == 0 else (x >> 4)
 
 
 def _group_dots(xq, p_ref, gscale_f32, n_groups: int, group: int):
@@ -109,13 +123,16 @@ def _group_dots(xq, p_ref, gscale_f32, n_groups: int, group: int):
         # iterations apart keeps every low-half load live until its high-half
         # twin — the whole packed block pinned in 32-bit vregs at once
         for which, g in ((0, gi), (1, gi + half_groups)):
-            w = nibble_i32(p, which).astype(jnp.int8)
+            xg = xq[:, g * group:(g + 1) * group]
+            # UNSIGNED unpack of the biased weights; the -BIAS is recovered
+            # from the dot: x.(w-b) = x.w - b*sum(x) (per-group row sums)
+            w = nibble_u4(p, which).astype(jnp.int8)
             d = jax.lax.dot_general(
-                xq[:, g * group:(g + 1) * group], w,
-                (((1,), (0,)), ((), ())),
+                xg, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = acc + d.astype(jnp.float32) * gscale_f32[g]
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True)
+            acc = acc + (d - BIAS * xsum).astype(jnp.float32) * gscale_f32[g]
     return acc
 
 
@@ -270,8 +287,10 @@ def w4_reference(x: jnp.ndarray, w4: dict, out_dtype=jnp.float32) -> jnp.ndarray
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, _EPS) / 127.0
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-    p = jax.lax.bitcast_convert_type(w4["q4"], jnp.int8)
-    w_int8 = jnp.concatenate([(p << 4) >> 4, p >> 4], axis=0)
+    p = w4["q4"].astype(jnp.int32)  # biased storage: unbias after extract
+    w_int8 = jnp.concatenate(
+        [(p & 15) - BIAS, (p >> 4) - BIAS], axis=0
+    ).astype(jnp.int8)
     acc = jnp.zeros((*x.shape[:-1], w4["q4"].shape[1]), jnp.float32)
     for g in range(k // group):
         sl = slice(g * group, (g + 1) * group)

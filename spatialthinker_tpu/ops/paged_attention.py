@@ -156,17 +156,18 @@ def _paged_kernel_int4(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0].reshape(hkv, g, d)
-    from .int4_mlp import nibble_i32
+    from ..models.qwen2_5_vl.text import KV4_BIAS
+    from .int4_mlp import nibble_u4
 
     # ONE fused update over both nibble halves: page-local split-half packing
     # puts the low nibbles at cells [0, half) and the high at [half, page),
-    # so the concat IS natural page-cell order. Two per-nibble updates double
-    # the softmax bookkeeping per token vs the int8 kernel (see
-    # ops/decode_attention._decode_kernel_int4 for the measurement).
+    # so the concat IS natural page-cell order. The unpack stays UNSIGNED
+    # (biased storage, 2 lane ops/element); the -KV4_BIAS is recovered in the
+    # dot epilogues (see ops/decode_attention._block_update).
     def unpack2(p):
         return jnp.concatenate(
-            [nibble_i32(p, 0).astype(jnp.bfloat16),
-             nibble_i32(p, 1).astype(jnp.bfloat16)], axis=1
+            [nibble_u4(p, 0).astype(jnp.bfloat16),
+             nibble_u4(p, 1).astype(jnp.bfloat16)], axis=1
         )
 
     k_bf = unpack2(kp_ref[0])  # (Hkv, page, D)
@@ -176,6 +177,7 @@ def _paged_kernel_int4(
     s = jax.lax.dot_general(
         q, k_bf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
     )  # (Hkv, g, page)
+    s = s - KV4_BIAS * jnp.sum(q.astype(jnp.float32), axis=2, keepdims=True)
     s = s * (ks * scale)
     cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
     valid = cell < length
@@ -193,6 +195,7 @@ def _paged_kernel_int4(
         p.astype(jnp.bfloat16), v_bf,
         (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
     )  # (Hkv, g, d)
+    pv = pv - KV4_BIAS * jnp.sum(p, axis=2, keepdims=True)
     acc = acc_scr[...].reshape(hkv, g, d) * corr + pv
     m_scr[...] = jnp.broadcast_to(m_new, (hkv, g, 128)).reshape(hkv * g, 128)
     l_scr[...] = jnp.broadcast_to(l_new, (hkv, g, 128)).reshape(hkv * g, 128)

@@ -216,7 +216,7 @@ def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_pos,
 
     slot_idx = jnp.arange(s)
     if quantized4:
-        from ..models.qwen2_5_vl.text import _quantize_kv4
+        from ..models.qwen2_5_vl.text import KV4_BIAS, _quantize_kv4
 
         u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
         kq, ks = _quantize_kv4(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
@@ -227,7 +227,7 @@ def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_pos,
 
         def nibble_write(arr, q4):
             cur = arr[layer_idx, slot_idx, :, row]  # (S, Hkv, D) uint8
-            qb = u8(q4[:, 0])
+            qb = u8(q4[:, 0] + jnp.int8(KV4_BIAS))  # biased storage
             merged = jnp.where(
                 is_high,
                 (cur & jnp.uint8(0x0F)) | (qb << 4),

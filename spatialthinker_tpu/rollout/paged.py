@@ -245,7 +245,7 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, pools, layer_idx,
     q, knew, vnew = attention_inputs(layer_p, t, x2, cos, sin)
 
     if quantized and pools[0].dtype == jnp.uint8:  # int4 page-local split-half
-        from ..models.qwen2_5_vl.text import _quantize_kv4
+        from ..models.qwen2_5_vl.text import KV4_BIAS, _quantize_kv4
 
         u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
         kq, ks = _quantize_kv4(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
@@ -256,7 +256,7 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, pools, layer_idx,
 
         def nibble_write(pool, q4):
             cur = pool[layer_idx, write_page, :, row]  # (S, Hkv, D) uint8
-            qb = u8(q4[:, 0])
+            qb = u8(q4[:, 0] + jnp.int8(KV4_BIAS))  # biased storage
             merged = jnp.where(
                 is_high,
                 (cur & jnp.uint8(0x0F)) | (qb << 4),

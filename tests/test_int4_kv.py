@@ -56,7 +56,9 @@ def test_update_traced_single_token():
     toks = np.asarray(_unpack_kv4(arr[0], seq_axis=2))
     np.testing.assert_array_equal(toks[:, :, 1], np.asarray(tok)[:, :, 0])
     np.testing.assert_array_equal(toks[:, :, half + 1], np.asarray(tok2)[:, :, 0])
-    assert (toks[:, :, 0] == 0).all() and (toks[:, :, 2] == 0).all()
+    # untouched cells hold byte 0 = biased -8 (never read unmasked: engines
+    # gate on segment ids/length and their scales are 0)
+    assert (toks[:, :, 0] == -8).all() and (toks[:, :, 2] == -8).all()
 
 
 def test_decode_attention_int4_matches_dequant():

@@ -27,9 +27,9 @@ def test_pack_round_trip():
     p = pack_int4_grouped(w, 0)
     assert p["q4"].shape == (k // 2, n) and p["q4"].dtype == jnp.uint8
     assert p["gscale"].shape == (k // GROUP, n)
-    pi = np.asarray(jax.lax.bitcast_convert_type(p["q4"], jnp.int8))
-    low = (pi.astype(np.int32) << 28) >> 28  # sign-extended low nibble
-    high = pi.astype(np.int32) >> 4
+    pu = np.asarray(p["q4"]).astype(np.int32)  # biased storage (value + 8)
+    low = (pu & 15) - 8
+    high = (pu >> 4) - 8
     q = np.concatenate([low, high], axis=0)
     assert q.min() >= -7 and q.max() <= 7
     gs = np.repeat(np.asarray(p["gscale"]), GROUP, axis=0)

@@ -296,9 +296,9 @@ def test_paged_kernel_int4_matches_fallback():
     vals_v = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
     half = page // 2
 
-    def pack(vals):
-        low = vals[:, :, :, :half].astype(np.uint8) & 0xF
-        high = vals[:, :, :, half:].astype(np.uint8) << 4
+    def pack(vals):  # biased storage: nibble = value + 8 (text.KV4_BIAS)
+        low = (vals[:, :, :, :half] + 8).astype(np.uint8) & 0xF
+        high = (vals[:, :, :, half:] + 8).astype(np.uint8) << 4
         return jnp.asarray(low | high)
 
     k_pool, v_pool = pack(vals_k), pack(vals_v)
