@@ -131,27 +131,33 @@ def train_bench() -> dict:
 # (batch, prompt, gen, kv_dtype, prefill_chunk, group_n) — memory-validated on
 # a 16GB v5e with int8 weights. "grpo" is the training workload: rollout.n
 # samples per prompt, prompt prefilled ONCE with KV fanout (engine.generate
-# n>1); batch counts UNIQUE prompts there (26 x 5 = 130 decode lanes).
+# n>1); batch counts UNIQUE prompts there (64 x 5 = 320 decode lanes).
 # "flagship" is the reference scripts' full sequence budget
 # (/root/reference/scripts/spatialthinker_3b_grpo.sh:33-34).
+#
+# Long/grpo/flagship default to int4 KV: the packed cache admits ~2x the
+# decode lanes at the same HBM, and the biased-nibble kernel reads it at
+# int8's wall time — measured 2534 -> 2715 (long, b128 int8 -> b256 int4),
+# 5028 -> 6720 (grpo, b26 -> b64), 1964 -> 2348+ (flagship, b32 -> b64+).
 SHAPES = {
     "short": (256, 128, 128, "bfloat16", 0, 1),
     "long": (
-        int(os.environ.get("BENCH_BATCH", "128")),
+        int(os.environ.get("BENCH_BATCH", "256")),
         int(os.environ.get("BENCH_PROMPT", "2048")),
         int(os.environ.get("BENCH_GEN", "256")),
-        os.environ.get("BENCH_KV", "int8"),
-        # 512 measured +3% over 256 at this shape (bigger matmul M per chunk)
-        int(os.environ.get("BENCH_CHUNK", "512")),
+        os.environ.get("BENCH_KV", "int4"),
+        # chunk 256 at batch 256: 512-chunks put 131k token-rows in one
+        # prefill forward (5.4GB gate_up temp, OOM)
+        int(os.environ.get("BENCH_CHUNK", "256")),
         1,
     ),
     "grpo": (
-        int(os.environ.get("BENCH_GRPO_BATCH", "26")), 2048, 256,
-        os.environ.get("BENCH_GRPO_KV", "int8"), 512, 5,
+        int(os.environ.get("BENCH_GRPO_BATCH", "64")), 2048, 256,
+        os.environ.get("BENCH_GRPO_KV", "int4"), 512, 5,
     ),
     "flagship": (
-        int(os.environ.get("BENCH_FLAGSHIP_BATCH", "32")),
-        6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int8"), 512, 1,
+        int(os.environ.get("BENCH_FLAGSHIP_BATCH", "64")),
+        6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int4"), 512, 1,
     ),
 }
 # decode dominates the flagship shape (2048 steps); 2 timed iters keep the
