@@ -31,6 +31,7 @@ def main():
         da._pick_block_b = lambda *_a, **_k: int(bb)
     if bs:
         da._pick_block = lambda *_a, **_k: int(bs)
+        da.INT4_BLOCK_S_CAP = int(bs)  # the int4 path additionally caps
 
     # generate ON DEVICE: materializing the 5+GB cache on the host and pushing
     # it through the axon relay costs minutes per array

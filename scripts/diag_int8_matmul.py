@@ -62,6 +62,16 @@ def bench_one(name, m, k, n, iters):
     results = {}
     results["bf16"] = timed(lambda xx: jnp.dot(xx, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
     results["xla_w8a8"] = timed(lambda xx: quantized_dot(xx, qw, 0))
+    # int8-stored weights, bf16 MXU dot (dequant fused by XLA): if XLA's int8
+    # dot caps below its bf16 dot, prefill (compute-bound) should dequantize
+    # and ride the bf16 path while decode keeps reading int8 bytes
+    results["dequant"] = timed(
+        lambda xx: jnp.dot(
+            xx,
+            qw["qvalue"].astype(jnp.bfloat16) * qw["scale"].astype(jnp.bfloat16)[None, :],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+    )
     pal = fused_w8a8_matmul(x, qw["qvalue"], qw["scale"])
     if pal is not None:
         results["pallas"] = timed(lambda xx: fused_w8a8_matmul(xx, qw["qvalue"], qw["scale"]))

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 DEFAULT_BLOCK_S = 512
+INT4_BLOCK_S_CAP = 128  # packed rows per int4 block (see _pallas_decode)
 
 
 def _interpret() -> bool:
@@ -284,8 +285,9 @@ def _pallas_decode(
         # stack (> the 16M scoped-VMEM limit) at ctx 2304. 128 packed rows =
         # 256 tokens per fused update (the int8 kernel's block) keeps the
         # stack ~10M; int4 cache widths are 256-multiples so 128 always
-        # divides s_rows.
-        block_s = min(block_s, 128)
+        # divides s_rows. (Module constant so the block-sweep diag can probe
+        # other caps.)
+        block_s = min(block_s, INT4_BLOCK_S_CAP)
     grid = (b // block_b, s_rows // block_s)
     s_max = 2 * s_rows if int4 else s_rows  # token width
 
