@@ -181,6 +181,11 @@ class RolloutConfig:
     # recomputed by the bf16 training graph (ops/quant.py)
     quantization: str = "none"      # {none, int8, w4a8}
     page_size: int = 128            # tokens per KV page (paged attention granularity)
+    # fixed page-pool size, bypassing the free-HBM measurement (vLLM
+    # num_gpu_blocks_override parity): cache-size experiments, forcing
+    # preemption in tests, and pinning the pool on hosts whose free-HBM
+    # estimates would drift. 0 = measure.
+    kv_pages_override: int = 0
     decode_batch_size: int = -1     # -1: infer from batch
     prefill_chunk_size: int = 2048
     tensor_parallel_size: int = 1   # decode-time model-axis sharding

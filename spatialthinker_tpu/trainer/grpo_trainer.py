@@ -397,6 +397,9 @@ class GRPOTrainer:
         changed pool size changes the (L, N, ...) pool shapes — recompiling
         prefill + the decode scan every train step (minutes through the
         remote-compile relay). vLLM likewise profiles once at engine build."""
+        override = self.config.worker.rollout.kv_pages_override
+        if override > 0:  # vLLM num_gpu_blocks_override parity
+            return override
         cached = getattr(self, "_paged_pool_cache", None)
         if cached is not None:
             return cached

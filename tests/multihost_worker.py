@@ -20,6 +20,9 @@ def main():
     continuous = "cont" in flags
     kv4 = "kv4" in flags
     paged = "paged" in flags
+    # tiny fixed page pool (vLLM num_gpu_blocks_override parity): forces the
+    # lockstep youngest-group preemption path under multi-host
+    pg_small = "pgsmall" in flags
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     local_devices = 8 // nprocs  # 8 global devices either way
@@ -69,6 +72,7 @@ def main():
         # over the allgathered global queue
         f"worker.rollout.name={'continuous' if (continuous or paged) else 'jax'}",
         f"worker.rollout.page_size={4 if paged else 0}",
+        f"worker.rollout.kv_pages_override={24 if pg_small else 0}",
         f"worker.rollout.kv_cache_dtype={'int4' if kv4 else 'bfloat16'}",
         "worker.reward.score_function=r1v",
         "trainer.logger=['console']",

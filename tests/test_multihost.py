@@ -118,6 +118,26 @@ def test_two_process_paged_rollout_matches_single(tmp_path):
     )
 
 
+def test_two_process_paged_preemption_matches_single(tmp_path):
+    """Paged engine under POOL PRESSURE across 2 processes: a tiny fixed pool
+    (rollout.kv_pages_override, vLLM num_gpu_blocks_override parity) forces
+    youngest-group preemption; every process must preempt/requeue the SAME
+    groups at the same steps, and the numerics must match a single process
+    running the identical schedule."""
+    single = _run_workers(1, 0, "pgp_single", tmp_path, mode="paged,pgsmall")[0]
+    duo = _run_workers(2, 29571, "pgp_duo", tmp_path, mode="paged,pgsmall")
+
+    assert single["rollout/kv_preemptions"] > 0  # pressure actually happened
+    assert duo[0]["rollout/kv_preemptions"] == single["rollout/kv_preemptions"]
+    for key in ("actor/loss", "actor/pg_loss", "actor/grad_norm"):
+        assert np.isfinite(duo[0][key])
+        np.testing.assert_allclose(duo[0][key], duo[1][key], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(duo[0][key], single[key], rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        duo[0]["reward/overall"], single["reward/overall"], rtol=1e-6, atol=1e-8
+    )
+
+
 def test_two_process_multimodal_train_step(tmp_path):
     """Multimodal across processes: hosts hold different patch counts, the
     vision pack is globally negotiated (padded slices, per-host offsets, per-
