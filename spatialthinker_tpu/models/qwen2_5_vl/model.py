@@ -132,13 +132,23 @@ def prefill_forward(
     rollout engines. Returns (last chunk's hidden states, filled cache)."""
     p = input_ids.shape[1]
     if prefill_chunk and prefill_chunk < p:
-        embeds = embed_inputs(params, cfg, input_ids, vision)
+        # Vision prompts embed ONCE up front (the tower is not chunkable).
+        # Text-only prompts embed per chunk instead: a (B, P, E) bf16 embeds
+        # buffer plus its live per-chunk slices costs ~2x B*P*E HBM — at
+        # b=320/p=2048/3B that's ~5 GB, the difference between fitting and
+        # OOM for the long-context decode batch the int4 KV cache admits.
+        embeds = embed_inputs(params, cfg, input_ids, vision) if vision is not None else None
         hidden = None
         for c in range(0, p, prefill_chunk):
             e = min(c + prefill_chunk, p)
+            chunk_embeds = (
+                embeds[:, c:e]
+                if embeds is not None
+                else embed_inputs(params, cfg, input_ids[:, c:e], None)
+            )
             hidden, cache = forward_hidden(
                 params["text"], cfg.text,
-                inputs_embeds=embeds[:, c:e],
+                inputs_embeds=chunk_embeds,
                 position_ids=position_ids[:, :, c:e],
                 segment_ids=segment_ids[:, c:e],
                 cache=cache, kv_segment_ids=kv_segment_ids,
