@@ -139,25 +139,34 @@ def train_bench() -> dict:
 # decode lanes at the same HBM, and the biased-nibble kernel reads it at
 # int8's wall time — measured 2534 -> 2715 (long, b128 int8 -> b256 int4),
 # 5028 -> 6720 (grpo, b26 -> b64), 1964 -> 2348+ (flagship, b32 -> b64+).
+# final field = prefill_rows: > 0 prefills in row groups at FULL sequence
+# length (no per-chunk pass over the live cache prefix, one weight read per
+# group) instead of sequence chunks — same rows*P activation bound as
+# b*chunk, higher measured prefill MFU at uniform prompt lengths.
 SHAPES = {
-    "short": (256, 128, 128, "bfloat16", 0, 1),
+    "short": (256, 128, 128, "bfloat16", 0, 1, 0),
     "long": (
         int(os.environ.get("BENCH_BATCH", "256")),
         int(os.environ.get("BENCH_PROMPT", "2048")),
         int(os.environ.get("BENCH_GEN", "256")),
         os.environ.get("BENCH_KV", "int4"),
         # chunk 256 at batch 256: 512-chunks put 131k token-rows in one
-        # prefill forward (5.4GB gate_up temp, OOM)
-        int(os.environ.get("BENCH_CHUNK", "256")),
+        # prefill forward (5.4GB gate_up temp, OOM); rows-mode bounds the
+        # same memory as 32-row groups at the unchunked MFU instead
+        int(os.environ.get("BENCH_CHUNK", "0")),
         1,
+        int(os.environ.get("BENCH_ROWS", "32")),
     ),
     "grpo": (
         int(os.environ.get("BENCH_GRPO_BATCH", "64")), 2048, 256,
         os.environ.get("BENCH_GRPO_KV", "int4"), 512, 5,
+        int(os.environ.get("BENCH_GRPO_ROWS", "0")),
     ),
     "flagship": (
         int(os.environ.get("BENCH_FLAGSHIP_BATCH", "64")),
-        6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int4"), 512, 1,
+        6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int4"),
+        int(os.environ.get("BENCH_FLAGSHIP_CHUNK", "0")), 1,
+        int(os.environ.get("BENCH_FLAGSHIP_ROWS", "8")),
     ),
 }
 # decode dominates the flagship shape (2048 steps); 2 timed iters keep the
@@ -172,7 +181,7 @@ def _measure(gen, params, cfg, shape, iters: int) -> float:
 
     from spatialthinker_tpu.rollout.sampling import SamplingParams
 
-    b, p, r, kv_name, chunk, group_n = shape
+    b, p, r, kv_name, chunk, group_n, rows = shape
     # uint8 = the packed-int4 marker dtype (models/.../text.KVCache)
     kv_dtype = {"int8": jnp.int8, "int4": jnp.uint8}.get(kv_name, jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -186,7 +195,7 @@ def _measure(gen, params, cfg, shape, iters: int) -> float:
         out = gen(
             params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
             max_new_tokens=r, sampling=sampling, key=k, kv_cache_dtype=kv_dtype,
-            prefill_chunk=chunk, n=group_n,
+            prefill_chunk=chunk, prefill_rows=rows, n=group_n,
         )
         # NOTE: through the axon relay, block_until_ready returns before the
         # device finishes; a scalar fetch is the only reliable sync.
@@ -231,7 +240,8 @@ def main() -> None:
     gen = jax.jit(
         generate,
         static_argnames=(
-            "cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk", "n"
+            "cfg", "max_new_tokens", "sampling", "kv_cache_dtype", "prefill_chunk",
+            "prefill_rows", "n",
         ),
     )
     iters = int(os.environ.get("BENCH_ITERS", "3"))
@@ -250,9 +260,9 @@ def main() -> None:
     headline = "grpo" if "grpo" in names else names[-1]
 
     def shape_cfg(name):
-        b, p, r, kv_name, chunk, group_n = SHAPES[name]
+        b, p, r, kv_name, chunk, group_n, rows = SHAPES[name]
         return {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "wq": WQ,
-                "prefill_chunk": chunk, "n": group_n}
+                "prefill_chunk": chunk, "prefill_rows": rows, "n": group_n}
 
     out = {
         "metric": f"rollout_tokens_per_sec_per_chip_{headline}"

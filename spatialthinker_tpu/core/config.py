@@ -188,6 +188,12 @@ class RolloutConfig:
     kv_pages_override: int = 0
     decode_batch_size: int = -1     # -1: infer from batch
     prefill_chunk_size: int = 2048
+    # > 0: prefill the dense engine in row groups at FULL sequence length
+    # instead of sequence chunks — same rows*P activation bound as
+    # B*prefill_chunk but no per-chunk pass over the live cache prefix and
+    # one weight read per group (higher measured prefill MFU at uniform
+    # prompt lengths); overrides sequence chunking when set
+    prefill_rows: int = 0
     tensor_parallel_size: int = 1   # decode-time model-axis sharding
     # reuse the decode-time sampled-token log-probs as old_log_probs instead of
     # recomputing with the training graph (skips one full forward per step;

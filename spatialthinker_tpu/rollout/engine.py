@@ -101,6 +101,7 @@ def generate(
     vision: Optional[VisionInputs] = None,
     kv_cache_dtype=jnp.bfloat16,
     prefill_chunk: int = 0,
+    prefill_rows: int = 0,
     n: int = 1,
 ) -> RolloutResult:
     """Jittable generation: prefill + scan-decode. Callers jit this with
@@ -143,7 +144,7 @@ def generate(
     # ---- prefill ----
     hidden, cache = prefill_forward(
         params, cfg, input_ids, position_ids, seg32, cache, prefill_seg,
-        vision=vision, prefill_chunk=prefill_chunk,
+        vision=vision, prefill_chunk=prefill_chunk, prefill_rows=prefill_rows,
     )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 

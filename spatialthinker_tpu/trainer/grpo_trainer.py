@@ -341,7 +341,7 @@ class GRPOTrainer:
             generate,
             static_argnames=(
                 "cfg", "max_new_tokens", "sampling", "kv_cache_dtype",
-                "prefill_chunk", "n",
+                "prefill_chunk", "prefill_rows", "n",
             ),
         )
         # rollout W8A8 quantization (vLLM `quantization` parity): re-quantize
@@ -698,10 +698,11 @@ class GRPOTrainer:
                 key=key,
                 vision=vision,
                 kv_cache_dtype=kv_dtype,
-                prefill_chunk=effective_prefill_chunk(
+                prefill_chunk=0 if rollout_cfg.prefill_rows > 0 else effective_prefill_chunk(
                     input_ids.shape[1], len(eng) * self.n_proc,
                     rollout_cfg.prefill_chunk_size, rollout_cfg.max_num_batched_tokens,
                 ),
+                prefill_rows=rollout_cfg.prefill_rows,
                 n=n if grouped else 1,
             )
         responses = self._host(result.responses)

@@ -301,3 +301,57 @@ def test_grouped_generation_int8_chunked(jax_params):
     np.testing.assert_array_equal(
         np.asarray(grouped.responses), np.repeat(np.asarray(plain.responses), n, axis=0)
     )
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.bfloat16, jnp.int8, jnp.uint8])
+def test_dense_engine_batch_chunked_prefill_matches(jax_params, kv_dtype):
+    """Batch-chunked prefill (prefill_rows: row groups at full sequence
+    length) must produce the same greedy generation as one-shot prefill for
+    every KV dtype, including a partial final row group and left padding."""
+    rng = np.random.default_rng(23)
+    b, p, r = 5, 12, 5
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    seg = np.ones((b, p), np.int32)
+    seg[0, :3] = 0  # left padding
+    prompts[0, :3] = 0
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), kv_cache_dtype=kv_dtype,
+    )
+    full = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), **kwargs,
+    )
+    rows = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.full((b,), p, jnp.int32), prefill_rows=2, **kwargs,  # groups 2/2/1
+    )
+    np.testing.assert_array_equal(np.asarray(full.responses), np.asarray(rows.responses))
+    mask = np.asarray(full.response_mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(rows.rollout_log_probs)[mask],
+        np.asarray(full.rollout_log_probs)[mask], rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_batch_chunked_prefill_composes_with_seq_chunk_and_groups(jax_params):
+    """prefill_rows composes with sequence chunking inside each row group and
+    with grouped sampling (n>1 prompt-KV fanout)."""
+    rng = np.random.default_rng(29)
+    b, p, r, n = 4, 12, 5, 2
+    prompts = rng.integers(5, 900, size=(b, p), dtype=np.int64)
+    pos = np.tile(np.arange(p)[None, None], (3, b, 1))
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    plain = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.ones((b, p), jnp.int32),
+        jnp.asarray(pos), jnp.full((b,), p, jnp.int32), n=n, **kwargs,
+    )
+    rows = generate(
+        jax_params, GOLD_CFG, jnp.asarray(prompts), jnp.ones((b, p), jnp.int32),
+        jnp.asarray(pos), jnp.full((b,), p, jnp.int32), n=n,
+        prefill_rows=2, prefill_chunk=4, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(plain.responses), np.asarray(rows.responses))
