@@ -138,7 +138,10 @@ def train_bench() -> dict:
 # Long/grpo/flagship default to int4 KV: the packed cache admits ~2x the
 # decode lanes at the same HBM, and the biased-nibble kernel reads it at
 # int8's wall time — measured 2534 -> 2715 (long, b128 int8 -> b256 int4),
-# 5028 -> 6720 (grpo, b26 -> b64), 1964 -> 2348+ (flagship, b32 -> b64+).
+# 5028 -> 6720 (grpo, b26 -> b64), 1964 -> 2348 (flagship, b32 -> b64).
+# Long/flagship additionally default to rows-mode prefill (batch-chunked,
+# full sequence length): long 2715 -> 2918 (1.04x anchor), flagship
+# 2348 -> 2603 (0.93x) — same activation bound as seq chunks, unchunked MFU.
 # final field = prefill_rows: > 0 prefills in row groups at FULL sequence
 # length (no per-chunk pass over the live cache prefix, one weight read per
 # group) instead of sequence chunks — same rows*P activation bound as
@@ -163,6 +166,10 @@ SHAPES = {
         int(os.environ.get("BENCH_GRPO_ROWS", "0")),
     ),
     "flagship": (
+        # b=64 is the HBM ceiling: the packed int4 k+v caches are 70MB/row at
+        # width 8192 (b=96 ResourceExhausted at runtime; b=128 fails compile
+        # needing 2x4.5GB cache zero-inits) — measured 2026-08 with int8
+        # weights + rows-mode prefill
         int(os.environ.get("BENCH_FLAGSHIP_BATCH", "64")),
         6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int4"),
         int(os.environ.get("BENCH_FLAGSHIP_CHUNK", "0")), 1,
