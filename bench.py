@@ -167,9 +167,9 @@ SHAPES = {
     ),
     "flagship": (
         # b=64 is the HBM ceiling: the packed int4 k+v caches are 70MB/row at
-        # width 8192 (b=96 ResourceExhausted at runtime; b=128 fails compile
-        # needing 2x4.5GB cache zero-inits) — measured 2026-08 with int8
-        # weights + rows-mode prefill
+        # width 8192 (b=80 and b=96 ResourceExhausted at runtime; b=128 fails
+        # compile needing 2x4.5GB cache zero-inits) — measured 2026-08 with
+        # int8 weights + rows-mode prefill
         int(os.environ.get("BENCH_FLAGSHIP_BATCH", "64")),
         6144, 2048, os.environ.get("BENCH_FLAGSHIP_KV", "int4"),
         int(os.environ.get("BENCH_FLAGSHIP_CHUNK", "0")), 1,
