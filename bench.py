@@ -38,6 +38,11 @@ H100_VLLM_3B_TOKS = 2800.0  # nominal anchor, see module docstring
 PRESET = os.environ.get("BENCH_PRESET", "3b")
 SHAPE = os.environ.get("BENCH_SHAPE", "all")
 WQ = os.environ.get("BENCH_WQ", "int8")
+# which rollout engine serves the shapes: the dense grouped-fanout engine
+# (default), the continuous slot-refill engine, or the paged pool engine
+# (the vLLM-scheduler replacements — BENCH_ENGINE={continuous,paged} records
+# their on-chip numbers; VERDICT r3 task 1)
+ENGINE = os.environ.get("BENCH_ENGINE", "dense")
 
 
 def train_bench() -> dict:
@@ -120,7 +125,7 @@ def train_bench() -> dict:
         "metric": "grpo_update_tokens_per_sec_per_chip",
         "value": round(tokens / elapsed, 2),
         "unit": "tok/s/chip",
-        "vs_baseline": round((iters / elapsed) * 3600, 1),  # update steps/hr
+        "steps_per_hr": round((iters / elapsed) * 3600, 1),
         "mfu": round(mfu, 4),
         "config": {"preset": preset, "seq": s, "micro_bs": micro_bs,
                    "n_micro": n_micro, "remat": os.environ.get("BENCH_REMAT", "full"),
@@ -179,6 +184,88 @@ SHAPES = {
 # decode dominates the flagship shape (2048 steps); 2 timed iters keep the
 # whole suite inside the driver budget without moving the number
 SHAPE_ITERS = {"flagship": 2}
+
+
+def _pool_pages(cfg, page_size: int, kv_dtype) -> int:
+    """Page-pool size from free HBM (mirrors trainer._paged_pool_size_uncached;
+    0 = let the engine fall back to worst-case sizing)."""
+    import jax
+    import jax.numpy as jnp
+
+    override = int(os.environ.get("BENCH_PAGES", "0"))
+    if override:
+        return override
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        stats = {}
+    limit = stats.get("bytes_limit")
+    if not limit:
+        return 0
+    t = cfg.text
+    elem = {jnp.dtype(jnp.int8): 1.0, jnp.dtype(jnp.uint8): 0.5}.get(
+        jnp.dtype(kv_dtype), 2.0
+    )
+    cell = int(2 * t.num_hidden_layers * t.num_key_value_heads * t.head_dim * elem)
+    if elem < 2:
+        cell += 2 * t.num_hidden_layers * t.num_key_value_heads * 2
+    util = float(os.environ.get("BENCH_MEM_UTIL", "0.9"))
+    free = int(limit * util) - int(stats.get("bytes_in_use") or 0)
+    return max(free // (cell * page_size), 0)
+
+
+def _measure_host_engine(params, cfg, shape, iters: int) -> float:
+    """Time the continuous or paged engine (host-orchestrated scheduling;
+    their internal jits are module-level functions, so the warmup call's
+    compilations are reused by the timed iterations)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spatialthinker_tpu.rollout.sampling import SamplingParams
+
+    b, p, r, kv_name, chunk, group_n, rows = shape
+    kv_dtype = {"int8": jnp.int8, "int4": jnp.uint8}.get(kv_name, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    input_ids = rng.integers(1, 1000, size=(b, p), dtype=np.int32)
+    segment_ids = np.ones((b, p), np.int32)
+    position_ids = np.broadcast_to(np.arange(p, dtype=np.int32)[None, None], (3, b, p))
+    gen_pos_start = np.full((b,), p, np.int32)
+    sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
+    slots = int(os.environ.get("BENCH_SLOTS", "0")) or b * group_n
+    common = dict(
+        max_new_tokens=r, sampling=sampling, slots=slots,
+        decode_chunk_size=int(os.environ.get("BENCH_DECODE_CHUNK", "64")),
+        kv_cache_dtype=kv_dtype, prefill_chunk_size=chunk,
+        max_num_batched_tokens=0, prefill_rows=rows, group_n=group_n,
+    )
+    if ENGINE == "paged":
+        from spatialthinker_tpu.rollout.paged import generate_paged
+
+        page_size = int(os.environ.get("BENCH_PAGE_SIZE", "256"))
+        pages = _pool_pages(cfg, page_size, kv_dtype)
+        fn = lambda k: generate_paged(
+            params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
+            key=k, page_size=page_size, total_pages=pages, **common,
+        )
+    else:
+        from spatialthinker_tpu.rollout.continuous import generate_continuous
+
+        fn = lambda k: generate_continuous(
+            params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
+            key=k, **common,
+        )
+
+    out = fn(jax.random.key(1))  # compile + warm
+    if ENGINE == "paged":
+        import sys
+
+        print(f"[bench] paged stats: {out.stats}", file=sys.stderr, flush=True)
+    start = time.perf_counter()
+    for i in range(iters):
+        fn(jax.random.key(2 + i))  # host engines sync via their own fetches
+    elapsed = time.perf_counter() - start
+    return b * group_n * r * iters / elapsed
 
 
 def _measure(gen, params, cfg, shape, iters: int) -> float:
@@ -258,10 +345,21 @@ def main() -> None:
     names = ["short", "long", "grpo", "flagship"] if SHAPE == "all" else [SHAPE]
     results = {}
     for name in names:
-        results[name] = round(
-            _measure(gen, params, cfg, SHAPES[name], SHAPE_ITERS.get(name, iters))
-            / n_chips, 2,
-        )
+        shape = SHAPES[name]
+        if name in ("long", "flagship") and shape[4] == 0 and shape[6] == 0:
+            # a fully unchunked b x p prefill at these shapes OOMs (the 5.4GB
+            # gate_up temp) — reinstate the seq-chunk bound when a BENCH_ROWS=0
+            # override forgets to also set a chunk
+            shape = shape[:4] + (512,) + shape[5:]
+        n_iters = SHAPE_ITERS.get(name, iters)
+        if ENGINE != "dense":
+            results[name] = round(
+                _measure_host_engine(params, cfg, shape, n_iters) / n_chips, 2
+            )
+        else:
+            results[name] = round(
+                _measure(gen, params, cfg, shape, n_iters) / n_chips, 2,
+            )
         # progress to stderr: a late-shape failure must not lose earlier numbers
         print(f"[bench] {name}: {results[name]} tok/s/chip", file=sys.stderr, flush=True)
     headline = "grpo" if "grpo" in names else names[-1]
@@ -269,7 +367,8 @@ def main() -> None:
     def shape_cfg(name):
         b, p, r, kv_name, chunk, group_n, rows = SHAPES[name]
         return {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "wq": WQ,
-                "prefill_chunk": chunk, "prefill_rows": rows, "n": group_n}
+                "prefill_chunk": chunk, "prefill_rows": rows, "n": group_n,
+                "engine": ENGINE}
 
     out = {
         "metric": f"rollout_tokens_per_sec_per_chip_{headline}"

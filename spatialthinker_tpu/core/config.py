@@ -188,11 +188,16 @@ class RolloutConfig:
     kv_pages_override: int = 0
     decode_batch_size: int = -1     # -1: infer from batch
     prefill_chunk_size: int = 2048
-    # > 0: prefill the dense engine in row groups at FULL sequence length
-    # instead of sequence chunks — same rows*P activation bound as
-    # B*prefill_chunk but no per-chunk pass over the live cache prefix and
-    # one weight read per group (higher measured prefill MFU at uniform
-    # prompt lengths); overrides sequence chunking when set
+    # > 0: prefill in row groups at FULL sequence length instead of sequence
+    # chunks — same rows*P activation bound as B*prefill_chunk but no
+    # per-chunk pass over the live cache prefix and one weight read per group
+    # (higher measured prefill MFU at uniform prompt lengths). Applies to all
+    # engines (dense, continuous, paged); COMPOSES with the token budget —
+    # when rows*P still exceeds max_num_batched_tokens the groups are
+    # additionally sequence-chunked. Row groups slice the batch axis inside
+    # the jitted program: on a batch-sharded multi-host mesh keep prefill_rows
+    # a multiple of the per-shard batch (rows below that leave batch devices
+    # idle per group forward); the single-chip bench shapes are unaffected.
     prefill_rows: int = 0
     tensor_parallel_size: int = 1   # decode-time model-axis sharding
     # reuse the decode-time sampled-token log-probs as old_log_probs instead of

@@ -157,7 +157,22 @@ def prefill_forward(
         for r0 in range(0, b, prefill_rows):
             r1 = min(r0 + prefill_rows, b)
             sub = KVCache.init(ln, r1 - r0, width, hkv, d, dtype=marker)
-            if embeds is not None:
+            if embeds is not None and prefill_chunk and prefill_chunk < p:
+                # vision rows compose with sequence chunking too: the merged
+                # embeds pre-slice per group, so the activation bound stays
+                # rows*chunk even for image prompts
+                h = None
+                for c in range(0, p, prefill_chunk):
+                    e = min(c + prefill_chunk, p)
+                    h, sub = forward_hidden(
+                        params["text"], cfg.text,
+                        inputs_embeds=embeds[r0:r1, c:e],
+                        position_ids=position_ids[:, r0:r1, c:e],
+                        segment_ids=segment_ids[r0:r1, c:e],
+                        cache=sub, kv_segment_ids=kv_segment_ids[r0:r1],
+                        attend_to_cache=True,
+                    )
+            elif embeds is not None:
                 h, sub = forward_hidden(
                     params["text"], cfg.text,
                     inputs_embeds=embeds[r0:r1],

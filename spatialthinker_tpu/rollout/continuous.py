@@ -106,6 +106,7 @@ def prefill_slots(
     sampling: SamplingParams,
     vision=None,                  # Optional[VisionInputs] for this prompt batch
     prefill_chunk: int = 0,       # >0: sequence-chunked prefill (token budget)
+    prefill_rows: int = 0,        # >0: batch-chunked prefill (rows mode)
     group_n: int = 1,             # samples per prompt (vLLM SamplingParams.n)
 ) -> SlotState:
     """Run the prompt forward for u UNIQUE sequences and install each into
@@ -129,7 +130,7 @@ def prefill_slots(
     seg32 = segment_ids.astype(jnp.int32)
     hidden, scratch = prefill_forward(
         params, cfg, input_ids, position_ids, seg32, scratch, seg32,
-        vision=vision, prefill_chunk=prefill_chunk,
+        vision=vision, prefill_chunk=prefill_chunk, prefill_rows=prefill_rows,
     )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
@@ -403,6 +404,7 @@ def generate_continuous(
     vision_bucket: int = 0,      # patches per refill batch (0 = auto)
     prefill_chunk_size: int = 0,     # vLLM enable_chunked_prefill equivalent
     max_num_batched_tokens: int = 0,  # token budget per prefill forward
+    prefill_rows: int = 0,       # >0: batch-chunked (rows mode) refill prefill
     group_n: int = 1,            # samples per prompt; output has B*group_n rows
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
 ) -> ContinuousResult:
@@ -457,12 +459,23 @@ def generate_continuous(
     slots = min(slots, n_out)
     slots = max(slots - slots % group_n, group_n)  # whole groups only
     u_batch = slots // group_n  # unique prompts per prefill
-    prefill_chunk = effective_prefill_chunk(
-        p, u_batch, prefill_chunk_size, max_num_batched_tokens
-    )
+    if prefill_rows and prefill_rows < u_batch:
+        # rows mode: the activation bound is rows*P (or rows*chunk when the
+        # token budget still binds within a group), so the chunk is computed
+        # against the ROW GROUP, not the whole refill batch — a budget that
+        # rows already satisfy yields chunk 0 (full-length rows, unchunked MFU)
+        prefill_chunk = effective_prefill_chunk(
+            p, prefill_rows, prefill_chunk_size, max_num_batched_tokens
+        )
+    else:
+        prefill_rows = 0  # inert: fall back to the sequence-chunk bound
+        prefill_chunk = effective_prefill_chunk(
+            p, u_batch, prefill_chunk_size, max_num_batched_tokens
+        )
 
     prefill_jit = jax.jit(
-        prefill_slots, static_argnames=("cfg", "sampling", "prefill_chunk", "group_n"),
+        prefill_slots,
+        static_argnames=("cfg", "sampling", "prefill_chunk", "prefill_rows", "group_n"),
     )
     decode_jit = jax.jit(
         decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
@@ -587,6 +600,7 @@ def generate_continuous(
             sampling,
             vision,
             prefill_chunk=prefill_chunk,
+            prefill_rows=prefill_rows,
             group_n=group_n,
         )
         return state, free  # leftover slots stay in the caller's pool

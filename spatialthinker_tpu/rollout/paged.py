@@ -126,6 +126,7 @@ def prefill_paged(
     sampling: SamplingParams,
     vision=None,
     prefill_chunk: int = 0,
+    prefill_rows: int = 0,
     group_n: int = 1,
 ) -> PagedState:
     """Prompt forward for u unique prompts; the prompt KV scatters COMPACTED
@@ -141,7 +142,7 @@ def prefill_paged(
     seg32 = segment_ids.astype(jnp.int32)
     hidden, scratch = prefill_forward(
         params, cfg, input_ids, position_ids, seg32, scratch, seg32,
-        vision=vision, prefill_chunk=prefill_chunk,
+        vision=vision, prefill_chunk=prefill_chunk, prefill_rows=prefill_rows,
     )
     last_logits = logits_from_hidden(params["text"], hidden[:, -1:, :], cfg.text)[:, 0, :]
 
@@ -443,6 +444,7 @@ def generate_paged(
     vision_bucket: int = 0,
     prefill_chunk_size: int = 0,
     max_num_batched_tokens: int = 0,
+    prefill_rows: int = 0,       # >0: batch-chunked (rows mode) refill prefill
     group_n: int = 1,
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
 ) -> PagedResult:
@@ -497,9 +499,17 @@ def generate_paged(
     slots = min(slots, n_out)
     slots = max(slots - slots % group_n, group_n)
     u_batch = slots // group_n
-    prefill_chunk = effective_prefill_chunk(
-        p, u_batch, prefill_chunk_size, max_num_batched_tokens
-    )
+    if prefill_rows and prefill_rows < u_batch:
+        # rows mode bounds activations by rows*P per group (see
+        # rollout/continuous.py): the chunk budget applies within a row group
+        prefill_chunk = effective_prefill_chunk(
+            p, prefill_rows, prefill_chunk_size, max_num_batched_tokens
+        )
+    else:
+        prefill_rows = 0
+        prefill_chunk = effective_prefill_chunk(
+            p, u_batch, prefill_chunk_size, max_num_batched_tokens
+        )
     p_max = -(-(p + max_new_tokens) // page_size) + 1   # table width (pages)
     pages_per_slot_worst = p_max
     if total_pages <= 0:
@@ -515,7 +525,8 @@ def generate_paged(
         total_pages = -(-total_pages // batch_devs) * batch_devs
 
     prefill_jit = jax.jit(
-        prefill_paged, static_argnames=("cfg", "sampling", "prefill_chunk", "group_n"),
+        prefill_paged,
+        static_argnames=("cfg", "sampling", "prefill_chunk", "prefill_rows", "group_n"),
     )
     decode_jit = jax.jit(
         decode_chunk_paged, static_argnames=("cfg", "sampling", "chunk"),
@@ -726,6 +737,7 @@ def generate_paged(
             sampling,
             vision,
             prefill_chunk=prefill_chunk,
+            prefill_rows=prefill_rows,
             group_n=group_n,
         )
         used = int(allocator.refcount[1:].astype(bool).sum())

@@ -603,6 +603,7 @@ class GRPOTrainer:
         repeated to match the [prompt0 x n, ...] row order."""
         n = sampling.n
         key = key if key is not None else self._rollout_key(0)
+        self._last_rollout_stats = {}  # per-rollout telemetry, never stale
         gen_params = self.params
         if self.quantize_fn is not None:
             gen_params = self.quantize_fn(self.params)
@@ -642,6 +643,7 @@ class GRPOTrainer:
                 kv_cache_dtype=kv_dtype,
                 prefill_chunk_size=rollout_cfg.prefill_chunk_size,
                 max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
+                prefill_rows=rollout_cfg.prefill_rows,
                 group_n=n,
             )
             if rollout_cfg.page_size > 0:
@@ -683,7 +685,24 @@ class GRPOTrainer:
             sh = self.config.worker.actor.sharding
             batch_devs = max(1, sh.data_size * sh.fsdp_size)
             grouped = n > 1 and (len(base) * self.n_proc) % batch_devs == 0
+            if n > 1 and not grouped:
+                # per-sample prefill pays n x the prompt forward the grouped
+                # path exists to avoid — surface it so a misconfigured run
+                # (unique-prompt batch not dividing the batch devices) is
+                # visible in the step metrics, not silent
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "grouped prefill fell back to per-sample prefill: "
+                    "unique prompts (%d) %% batch devices (%d) != 0 — paying "
+                    "%dx prompt FLOPs", len(base) * self.n_proc, batch_devs, n,
+                )
+                self._last_rollout_stats["rollout/grouped_fallback"] = 1.0
             eng = base if grouped else repeated
+            eng_b = len(eng) * self.n_proc
+            rows = rollout_cfg.prefill_rows
+            if not (0 < rows < eng_b):
+                rows = 0  # inert (rows >= batch): keep the sequence-chunk bound
             vision = self._pack_vision(eng)  # multi-host: globalized pack
             eng_pos = np.transpose(eng.tensors["position_ids"], (1, 0, 2))
             result = self.generate_fn(
@@ -698,11 +717,16 @@ class GRPOTrainer:
                 key=key,
                 vision=vision,
                 kv_cache_dtype=kv_dtype,
-                prefill_chunk=0 if rollout_cfg.prefill_rows > 0 else effective_prefill_chunk(
-                    input_ids.shape[1], len(eng) * self.n_proc,
+                # rows mode composes with sequence chunking (the token budget
+                # binds WITHIN a row group), so the chunk is computed against
+                # the rows actually in flight — rows that already satisfy the
+                # budget get 0 (full-length, unchunked MFU), and an inert
+                # prefill_rows >= batch falls back to the whole-batch bound
+                prefill_chunk=effective_prefill_chunk(
+                    input_ids.shape[1], rows if rows else eng_b,
                     rollout_cfg.prefill_chunk_size, rollout_cfg.max_num_batched_tokens,
                 ),
-                prefill_rows=rollout_cfg.prefill_rows,
+                prefill_rows=rows,
                 n=n if grouped else 1,
             )
         responses = self._host(result.responses)

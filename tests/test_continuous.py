@@ -307,3 +307,32 @@ def test_effective_prefill_chunk_respects_budget():
     assert effective_prefill_chunk(2048, 4, 300, 0) == 256
     # chunk >= prompt -> unchunked
     assert effective_prefill_chunk(512, 4, 0, 8192) == 0
+
+
+def test_continuous_rows_prefill_matches_dense(jax_params):
+    """Batch-chunked (rows-mode) refill prefill must match dense greedy: the
+    refill's unique-prompt batch runs in row groups at full sequence length
+    instead of sequence chunks."""
+    rng = np.random.default_rng(31)
+    b, p, r = 8, 8, 5
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), slots=4, decode_chunk_size=2,
+        prefill_rows=2,  # 2-row groups inside each 4-prompt refill
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), cont.responses)
+    # rows >= the refill batch is inert (falls back to the seq-chunk bound)
+    cont2 = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), slots=4, decode_chunk_size=2,
+        prefill_rows=64,
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), cont2.responses)

@@ -22,7 +22,6 @@ VOCAB = 1024
 def build_trainer(tmp_path, total_episodes=1, max_steps=2, save_freq=-1, load_path=None,
                   adv="grpo", disable_kl=False, extra_overrides=()):
     cfg = build_config(
-        list(extra_overrides) +
         [
             "data.max_prompt_length=32",
             "data.max_response_length=8",
@@ -46,6 +45,7 @@ def build_trainer(tmp_path, total_episodes=1, max_steps=2, save_freq=-1, load_pa
             "worker.actor.sharding.model_size=2",
         ]
         + ([f"trainer.load_checkpoint_path={load_path}"] if load_path else [])
+        + list(extra_overrides)  # last: extras override the defaults above
     )
     tok = FakeTokenizer(VOCAB)
     model_cfg = qwen25_vl_tiny(VOCAB)
@@ -261,3 +261,34 @@ def test_host_offload_params_rejected():
 
     with pytest.raises(ValueError, match="host_offload_params"):
         build_config(["worker.actor.sharding.host_offload_params=true"])
+
+
+def test_grouped_prefill_fallback_metric(tmp_path):
+    """When the unique-prompt batch doesn't divide the batch-sharded device
+    count, grouped prefill silently degrading to per-sample prefill must be
+    VISIBLE: the step metrics carry rollout/grouped_fallback=1 (VERDICT r3
+    task 10 — at n=8 the fallback pays 8x the prompt FLOPs)."""
+    trainer, cfg = build_trainer(
+        tmp_path, max_steps=1,
+        extra_overrides=[
+            # 8 batch devices, 4 unique prompts -> 4 % 8 != 0 -> fallback
+            "worker.actor.sharding.data_size=1",
+            "worker.actor.sharding.fsdp_size=8",
+            "worker.actor.sharding.model_size=1",
+        ],
+    )
+    logged = {}
+    orig_log = trainer.tracker.log
+    trainer.tracker.log = lambda data, step: (logged.update({step: data}), orig_log(data, step))[1]
+    trainer.fit()
+    assert logged[1].get("rollout/grouped_fallback") == 1.0
+
+    # the well-configured default (4 prompts over 4 batch devices) stays silent
+    trainer2, _ = build_trainer(tmp_path, max_steps=1)
+    logged2 = {}
+    orig_log2 = trainer2.tracker.log
+    trainer2.tracker.log = (
+        lambda data, step: (logged2.update({step: data}), orig_log2(data, step))[1]
+    )
+    trainer2.fit()
+    assert "rollout/grouped_fallback" not in logged2[1]

@@ -354,3 +354,23 @@ def test_paged_int4_matches_dense_int4(jax_params):
         paged.rollout_log_probs[mask], np.asarray(dense.rollout_log_probs)[mask],
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_paged_rows_prefill_matches_dense(jax_params):
+    """Rows-mode refill prefill through the paged engine: the scratch cache
+    fills in row groups at full sequence length, then scatters to pages."""
+    rng = np.random.default_rng(33)
+    b, p, r = 8, 8, 5
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0), key=jax.random.key(0),
+    )
+    paged = generate_paged(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(1), slots=4, page_size=4, decode_chunk_size=2,
+        prefill_rows=2,
+    )
+    np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)

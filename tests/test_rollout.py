@@ -355,3 +355,57 @@ def test_batch_chunked_prefill_composes_with_seq_chunk_and_groups(jax_params):
         prefill_rows=2, prefill_chunk=4, **kwargs,
     )
     np.testing.assert_array_equal(np.asarray(plain.responses), np.asarray(rows.responses))
+
+
+def test_vision_rows_prefill_composes_with_seq_chunk(jax_params):
+    """Rows-mode prefill with IMAGE prompts must honor prefill_chunk inside
+    each row group (the activation bound stays rows*chunk for vision prompts
+    too) and still match the one-shot forward."""
+    from spatialthinker_tpu.data.packing import pack_vision_batch
+    from spatialthinker_tpu.models.qwen2_5_vl import get_mrope_position_ids
+    from spatialthinker_tpu.rollout.engine import generate
+    from tests.test_model_golden import CFG as G
+
+    rng = np.random.default_rng(37)
+    b, r = 4, 4
+    din = 3 * G.vision.temporal_patch_size * G.vision.patch_size**2
+    grid = np.asarray([[1, 4, 4]])
+    patches_list, grids_list, prompts = [], [], []
+    for i in range(b):
+        patches_list.append(rng.normal(size=(16, din)).astype(np.float32))
+        grids_list.append(grid)
+        prompts.append(
+            [5 + i, G.vision_start_token_id] + [G.image_token_id] * 4
+            + [G.vision_end_token_id, 9, 10 + i, 11, 12, 13 + i]
+        )
+    p = len(prompts[0])
+    input_ids = np.asarray(prompts, dtype=np.int32)
+    seg = np.ones((b, p), dtype=np.int32)
+    pos = np.zeros((3, b, p), dtype=np.int64)
+    gen_start = np.zeros(b, dtype=np.int32)
+    for i in range(b):
+        pi, _ = get_mrope_position_ids(
+            input_ids[i], grid,
+            spatial_merge_size=G.vision.spatial_merge_size,
+            image_token_id=G.image_token_id,
+            video_token_id=G.video_token_id,
+            vision_start_token_id=G.vision_start_token_id,
+        )
+        pos[:, i] = pi
+        gen_start[i] = pi.max() + 1
+    vision = jax.tree.map(
+        jnp.asarray, pack_vision_batch(patches_list, grids_list, G.vision, granularity=16)
+    )
+    kwargs = dict(
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), vision=vision,
+    )
+    plain = generate(
+        jax_params, G, jnp.asarray(input_ids), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.asarray(gen_start), **kwargs,
+    )
+    rows = generate(
+        jax_params, G, jnp.asarray(input_ids), jnp.asarray(seg), jnp.asarray(pos),
+        jnp.asarray(gen_start), prefill_rows=2, prefill_chunk=4, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(plain.responses), np.asarray(rows.responses))
