@@ -237,7 +237,9 @@ def _measure_host_engine(params, cfg, shape, iters: int) -> float:
         max_new_tokens=r, sampling=sampling, slots=slots,
         decode_chunk_size=int(os.environ.get("BENCH_DECODE_CHUNK", "64")),
         kv_cache_dtype=kv_dtype, prefill_chunk_size=chunk,
-        max_num_batched_tokens=0, prefill_rows=rows, group_n=group_n,
+        max_num_batched_tokens=0, prefill_rows=rows,
+        refill_batch=int(os.environ.get("BENCH_REFILL", "16")),
+        group_n=group_n,
     )
     if ENGINE == "paged":
         from spatialthinker_tpu.rollout.paged import generate_paged

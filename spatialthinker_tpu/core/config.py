@@ -187,6 +187,12 @@ class RolloutConfig:
     # estimates would drift. 0 = measure.
     kv_pages_override: int = 0
     decode_batch_size: int = -1     # -1: infer from batch
+    # > 0: cap UNIQUE prompts per continuous/paged refill prefill. The refill
+    # runs through a u x P scratch KV cache before installing into slots or
+    # pages; at long prompts that transient rivals the slot cache / page pool
+    # itself, so slots fill over several small refills instead (vLLM
+    # schedules prefills under a separate budget from running sequences)
+    refill_batch: int = 0
     prefill_chunk_size: int = 2048
     # > 0: prefill in row groups at FULL sequence length instead of sequence
     # chunks — same rows*P activation bound as B*prefill_chunk but no

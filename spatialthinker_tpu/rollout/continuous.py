@@ -405,6 +405,7 @@ def generate_continuous(
     prefill_chunk_size: int = 0,     # vLLM enable_chunked_prefill equivalent
     max_num_batched_tokens: int = 0,  # token budget per prefill forward
     prefill_rows: int = 0,       # >0: batch-chunked (rows mode) refill prefill
+    refill_batch: int = 0,       # >0: cap unique prompts per refill prefill
     group_n: int = 1,            # samples per prompt; output has B*group_n rows
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
 ) -> ContinuousResult:
@@ -459,6 +460,13 @@ def generate_continuous(
     slots = min(slots, n_out)
     slots = max(slots - slots % group_n, group_n)  # whole groups only
     u_batch = slots // group_n  # unique prompts per prefill
+    if refill_batch > 0:
+        # decouple the prefill batch from the slot count (vLLM schedules
+        # prefills under a token budget separately from running sequences):
+        # the refill's SCRATCH cache is u_batch x P of KV — at long prompts
+        # that transient dwarfs the slot cache, so filling `slots` lanes over
+        # several small refills admits far more decode lanes at the same HBM
+        u_batch = max(min(u_batch, refill_batch), 1)
     if prefill_rows and prefill_rows < u_batch:
         # rows mode: the activation bound is rows*P (or rows*chunk when the
         # token budget still binds within a group), so the chunk is computed
@@ -557,7 +565,7 @@ def generate_continuous(
 
     def refill(state, free_slot_list):
         nonlocal next_prompt, slot_owner
-        targets = np.full(slots, trash, dtype=np.int64)
+        targets = np.full(u_batch * group_n, trash, dtype=np.int64)
         rows = np.zeros(u_batch, dtype=np.int64)
         valid = np.zeros(u_batch, dtype=bool)
         free = list(free_slot_list)
@@ -624,17 +632,18 @@ def generate_continuous(
             )
         return state, done_slots
 
-    # initial fill covers min(slots // group_n, b) prompts
-    state, free_pool = refill(state, list(range(slots)))
+    # fill every slot (several refills when refill_batch caps the prefill)
+    free_pool = list(range(slots))
+    while next_prompt < b and len(free_pool) >= group_n:
+        state, free_pool = refill(state, free_pool)
     while True:
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
         state, done_slots = harvest(state)
         free_pool.extend(done_slots)
-        pending = next_prompt < b
-        if pending and len(free_pool) >= group_n:
+        while next_prompt < b and len(free_pool) >= group_n:
             state, free_pool = refill(state, free_pool)
         active_left = bool(fetch_lane(state.active).any())
-        if not active_left and not pending:
+        if not active_left and next_prompt >= b:
             break
 
     from .sampling import get_response_mask

@@ -445,6 +445,7 @@ def generate_paged(
     prefill_chunk_size: int = 0,
     max_num_batched_tokens: int = 0,
     prefill_rows: int = 0,       # >0: batch-chunked (rows mode) refill prefill
+    refill_batch: int = 0,       # >0: cap unique prompts per refill prefill
     group_n: int = 1,
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
 ) -> PagedResult:
@@ -499,6 +500,12 @@ def generate_paged(
     slots = min(slots, n_out)
     slots = max(slots - slots % group_n, group_n)
     u_batch = slots // group_n
+    if refill_batch > 0:
+        # cap the prefill batch independently of the slot count (see
+        # rollout/continuous.py): the u_batch x P scratch cache is the
+        # transient that competes with the PAGE POOL for HBM — small refills
+        # keep the pool budget honest at long prompts
+        u_batch = max(min(u_batch, refill_batch), 1)
     if prefill_rows and prefill_rows < u_batch:
         # rows mode bounds activations by rows*P per group (see
         # rollout/continuous.py): the chunk budget applies within a row group
@@ -637,7 +644,7 @@ def generate_paged(
 
     def refill(state, free_slot_list):
         nonlocal birth_counter
-        targets = np.full(slots, trash, dtype=np.int64)
+        targets = np.full(u_batch * group_n, trash, dtype=np.int64)
         rows = np.zeros(u_batch, dtype=np.int64)
         valid = np.zeros(u_batch, dtype=bool)
         full_src_row = np.zeros(t_full, dtype=np.int64)
@@ -841,14 +848,20 @@ def generate_paged(
             )
         return state, done_slots
 
-    state, free_pool, _ = refill(state, list(range(slots)))
+    # fill every slot (several refills when refill_batch caps the prefill);
+    # a refill that installs nothing (pool pressure) stops the fill loop
+    free_pool = list(range(slots))
+    installed = True
+    while work and len(free_pool) >= group_n and installed:
+        state, free_pool, installed = refill(state, free_pool)
     while True:
         state = ensure_capacity(state)
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
         state, done_slots = harvest(state)
         free_pool.extend(done_slots)
-        if work and len(free_pool) >= group_n:
-            state, free_pool, _ = refill(state, free_pool)
+        installed = True
+        while work and len(free_pool) >= group_n and installed:
+            state, free_pool, installed = refill(state, free_pool)
         active_left = bool(fetch_lane(state.active).any())
         if not active_left and not work:
             break

@@ -644,6 +644,7 @@ class GRPOTrainer:
                 prefill_chunk_size=rollout_cfg.prefill_chunk_size,
                 max_num_batched_tokens=rollout_cfg.max_num_batched_tokens,
                 prefill_rows=rollout_cfg.prefill_rows,
+                refill_batch=rollout_cfg.refill_batch,
                 group_n=n,
             )
             if rollout_cfg.page_size > 0:

@@ -336,3 +336,26 @@ def test_continuous_rows_prefill_matches_dense(jax_params):
         prefill_rows=64,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), cont2.responses)
+
+
+def test_continuous_refill_batch_cap_matches_dense(jax_params):
+    """refill_batch caps unique prompts per prefill: slots fill over several
+    small refills (bounded scratch-cache transient) with identical greedy
+    output, including grouped fan-out."""
+    rng = np.random.default_rng(37)
+    b, p, r, n = 6, 8, 5, 2
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), n=n,
+    )
+    cont = generate_continuous(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=8, decode_chunk_size=2, group_n=n,
+        refill_batch=1,  # 4-group slot bank fills one unique prompt at a time
+    )
+    np.testing.assert_array_equal(cont.responses, np.asarray(dense.responses))
+    np.testing.assert_array_equal(cont.response_mask, np.asarray(dense.response_mask))

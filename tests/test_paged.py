@@ -374,3 +374,24 @@ def test_paged_rows_prefill_matches_dense(jax_params):
         prefill_rows=2,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)
+
+
+def test_paged_refill_batch_cap_matches_dense(jax_params):
+    """refill_batch bounds the scratch-prefill transient: the pool fills over
+    several small refills, greedy output and page sharing unchanged."""
+    rng = np.random.default_rng(41)
+    b, p, r, n = 4, 8, 5, 2
+    ids, seg, pos, gs = _prompts(rng, b, p)
+    dense = generate(
+        jax_params, GOLD_CFG,
+        jnp.asarray(ids), jnp.asarray(seg), jnp.asarray(pos), jnp.asarray(gs),
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), n=n,
+    )
+    paged = generate_paged(
+        jax_params, GOLD_CFG, ids, seg, pos, gs,
+        max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
+        key=jax.random.key(0), slots=8, decode_chunk_size=2, page_size=4,
+        group_n=n, refill_batch=1,
+    )
+    np.testing.assert_array_equal(paged.responses, np.asarray(dense.responses))
