@@ -77,12 +77,17 @@ class HashNgramBackend:
 
 
 class TableBackend:
-    """Cosine over a word->vector table (npz with 'words' and 'vectors')."""
+    """Cosine over a word->vector table (npz with 'words' and 'vectors'), or
+    directly over a (words, vectors) pair (the in-repo curated VG table)."""
 
-    def __init__(self, npz_path: str):
-        data = np.load(npz_path, allow_pickle=True)
-        words = [str(w) for w in data["words"]]
-        vectors = np.asarray(data["vectors"], dtype=np.float64)
+    def __init__(self, npz_path: Optional[str] = None, words=None, vectors=None):
+        if npz_path is not None:
+            data = np.load(npz_path, allow_pickle=True)
+            words = [str(w) for w in data["words"]]
+            vectors = np.asarray(data["vectors"], dtype=np.float64)
+        else:
+            words = [str(w) for w in words]
+            vectors = np.asarray(vectors, dtype=np.float64)
         self.index = {w: i for i, w in enumerate(words)}
         norms = np.linalg.norm(vectors, axis=1, keepdims=True)
         self.vectors = vectors / np.where(norms == 0, 1.0, norms)
@@ -124,13 +129,36 @@ class SpacyBackend:
 _BACKEND: Optional[SimilarityBackend] = None
 
 
+def _default_backend() -> SimilarityBackend:
+    """Resolution order: spaCy (exact reference parity) -> exported .npz
+    (SPATIALTHINKER_SEMSIM_TABLE, see scripts/export_spacy_vectors.py) ->
+    the in-repo curated VG feature table (zero-egress default; OOV phrases
+    fall back per-phrase to char-ngram hashing inside TableBackend)."""
+    try:
+        return SpacyBackend()
+    except Exception:
+        pass
+    import os
+
+    npz = os.environ.get("SPATIALTHINKER_SEMSIM_TABLE")
+    if npz:
+        try:
+            return TableBackend(npz)
+        except Exception:
+            pass
+    try:
+        from .vg_table import build_table
+
+        words, vectors = build_table()
+        return TableBackend(words=words, vectors=vectors)
+    except Exception:
+        return HashNgramBackend()
+
+
 def get_backend() -> SimilarityBackend:
     global _BACKEND
     if _BACKEND is None:
-        try:
-            _BACKEND = SpacyBackend()
-        except Exception:
-            _BACKEND = HashNgramBackend()
+        _BACKEND = _default_backend()
     return _BACKEND
 
 
