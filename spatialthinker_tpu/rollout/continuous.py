@@ -68,15 +68,19 @@ def init_slot_state(cfg: Qwen25VLConfig, slots: int, prompt_len: int,
     mult = 256 if kv_dtype == jnp.uint8 else 128
     total = -(-(prompt_len + max_new_tokens) // mult) * mult
     shape = (t.num_hidden_layers, slots, t.num_key_value_heads, total, t.head_dim)
-    scales = None
+    # k/v scales must be DISTINCT buffers (not one shared array): the state is
+    # donated into prefill/decode, and donating the same buffer twice is an
+    # XLA execution error
+    k_scales = v_scales = None
     if kv_dtype in (jnp.int8, jnp.uint8):
-        scales = jnp.zeros(shape[:-1], jnp.bfloat16)
+        k_scales = jnp.zeros(shape[:-1], jnp.bfloat16)
+        v_scales = jnp.zeros(shape[:-1], jnp.bfloat16)
     kv_shape = shape[:3] + ((total // 2 if kv_dtype == jnp.uint8 else total),) + shape[4:]
     return SlotState(
         cache_k=jnp.zeros(kv_shape, kv_dtype),
         cache_v=jnp.zeros(kv_shape, kv_dtype),
-        k_scale=scales,
-        v_scale=scales,
+        k_scale=k_scales,
+        v_scale=v_scales,
         kv_seg=jnp.zeros((slots, total), jnp.int32),
         length=jnp.zeros((slots,), jnp.int32),
         cur_tokens=jnp.zeros((slots,), jnp.int32),
@@ -428,6 +432,9 @@ def generate_continuous(
     schedulers here (/root/reference/verl/workers/rollout/vllm_rollout_spmd.py)
     — per-host dynamic batching with no cross-host agreement to maintain;
     one SPMD program needs the lockstep schedule instead."""
+    # the caller's key lands inside the donated state — clone it so the
+    # caller may reuse the same key array (donation deletes the buffer)
+    key = jax.random.clone(key)
     multihost = mesh is not None and jax.process_count() > 1
     if multihost:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -481,12 +488,20 @@ def generate_continuous(
             p, u_batch, prefill_chunk_size, max_num_batched_tokens
         )
 
+    # DONATE the state (arg 2): it threads linearly through the host loop, so
+    # the slot caches update in place. Without donation the slots x width KV
+    # cache double-buffers inside every prefill/decode call — at the flagship
+    # shape that alone exceeds the HBM the slot budget was sized against (the
+    # dense engine never hits this: its cache is a while_loop carry inside
+    # ONE jit).
     prefill_jit = jax.jit(
         prefill_slots,
         static_argnames=("cfg", "sampling", "prefill_chunk", "prefill_rows", "group_n"),
+        donate_argnums=(2,),
     )
     decode_jit = jax.jit(
         decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
+        donate_argnums=(2,),
     )
 
     # slot indices >= `slots` are TRASH slots: queue-padding prefill rows land

@@ -72,17 +72,21 @@ def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
     t = cfg.text
     pool_shape = (t.num_hidden_layers, total_pages, t.num_key_value_heads,
                   page_size, t.head_dim)
-    scales = None
+    # k/v scales must be DISTINCT buffers (not one shared array): the state is
+    # donated into prefill/decode, and donating the same buffer twice is an
+    # XLA execution error
+    k_scales = v_scales = None
     if kv_dtype in (jnp.int8, jnp.uint8):
-        scales = jnp.zeros(pool_shape[:-1], jnp.bfloat16)
+        k_scales = jnp.zeros(pool_shape[:-1], jnp.bfloat16)
+        v_scales = jnp.zeros(pool_shape[:-1], jnp.bfloat16)
     if kv_dtype == jnp.uint8:  # int4: page-local split-half packed rows
         assert page_size % 2 == 0, page_size
         pool_shape = pool_shape[:3] + (page_size // 2, t.head_dim)
     return PagedState(
         k_pool=jnp.zeros(pool_shape, kv_dtype),
         v_pool=jnp.zeros(pool_shape, kv_dtype),
-        k_scale=scales,
-        v_scale=scales,
+        k_scale=k_scales,
+        v_scale=v_scales,
         page_table=jnp.zeros((slots, p_max), jnp.int32),
         length=jnp.zeros((slots,), jnp.int32),
         cur_tokens=jnp.zeros((slots,), jnp.int32),
@@ -467,6 +471,9 @@ def generate_paged(
     the per-process free-HBM estimate)."""
     from .continuous import effective_prefill_chunk
 
+    # the caller's key lands inside the donated state — clone it so the
+    # caller may reuse the same key array (donation deletes the buffer)
+    key = jax.random.clone(key)
     multihost = mesh is not None and jax.process_count() > 1
     if multihost:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -531,12 +538,20 @@ def generate_paged(
         n_lanes = -(-n_lanes // batch_devs) * batch_devs
         total_pages = -(-total_pages // batch_devs) * batch_devs
 
+    # DONATE the state (arg 2): the host loop threads it linearly, so the old
+    # buffers are dead the moment each call returns. Without donation XLA must
+    # preserve the caller's pools while computing the updated ones — the
+    # multi-GB page pool double-buffers INSIDE every prefill/decode call,
+    # which is exactly the HBM the pool budget thought it had (measured: the
+    # flagship shape OOMs with a pool sized to the dense engine's cache).
     prefill_jit = jax.jit(
         prefill_paged,
         static_argnames=("cfg", "sampling", "prefill_chunk", "prefill_rows", "group_n"),
+        donate_argnums=(2,),
     )
     decode_jit = jax.jit(
         decode_chunk_paged, static_argnames=("cfg", "sampling", "chunk"),
+        donate_argnums=(2,),
     )
 
     if multihost:
