@@ -25,4 +25,16 @@ python3 -m spatialthinker_tpu.trainer.main \
     data.max_prompt_length=6144 \
     data.max_response_length=2048 \
     worker.rollout.max_num_batched_tokens=8192 \
+    worker.rollout.kv_cache_dtype=int4 \
+    worker.rollout.quantization=int8 \
+    worker.rollout.prefill_rows=8 \
     "$@"
+
+# The three rollout knobs above are the bench-proven perf path (BENCH_r03+:
+# int4 KV admits ~2x the decode lanes per HBM byte and the biased-nibble
+# kernel reads it at int8 wall time; W8A8 weights halve the decode weight
+# stream; rows-mode prefill recovers unchunked MFU at this 6144-token prompt).
+# Guardrail: rollout/probs_diff_mean|max in the step metrics reports the
+# engine-vs-bf16-graph sampling drift every step (CPU smoke: mean ~2e-3).
+# Revert to exact-parity rollout with:
+#   worker.rollout.kv_cache_dtype=bfloat16 worker.rollout.quantization=none
