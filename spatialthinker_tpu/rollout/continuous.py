@@ -435,7 +435,12 @@ def generate_continuous(
     # the caller's key lands inside the donated state — clone it so the
     # caller may reuse the same key array (donation deletes the buffer)
     key = jax.random.clone(key)
-    multihost = mesh is not None and jax.process_count() > 1
+    # sharded SPMD mode whenever the mesh spans >1 device — NOT only >1
+    # process: a single-controller pod slice (one process, N chips) must
+    # shard the slot caches over the batch devices too, or every chip holds
+    # the full KV. All multihost helpers degrade to identity/device_put at
+    # process_count()==1, so the same code serves both.
+    multihost = mesh is not None and (mesh.size > 1 or jax.process_count() > 1)
     if multihost:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

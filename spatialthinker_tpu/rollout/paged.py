@@ -474,7 +474,10 @@ def generate_paged(
     # the caller's key lands inside the donated state — clone it so the
     # caller may reuse the same key array (donation deletes the buffer)
     key = jax.random.clone(key)
-    multihost = mesh is not None and jax.process_count() > 1
+    # sharded SPMD mode whenever the mesh spans >1 device (see
+    # rollout/continuous.py): one-process pod slices shard the page pool over
+    # the batch devices exactly like multi-process runs do
+    multihost = mesh is not None and (mesh.size > 1 or jax.process_count() > 1)
     if multihost:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
