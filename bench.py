@@ -186,11 +186,15 @@ SHAPES = {
 SHAPE_ITERS = {"flagship": 2}
 
 
-def _pool_pages(cfg, page_size: int, kv_dtype) -> int:
-    """Page-pool size from free HBM (mirrors trainer._paged_pool_size_uncached;
-    0 = let the engine fall back to worst-case sizing)."""
+def _pool_pages(cfg, page_size: int, kv_dtype, prompt: int, u_batch: int,
+                rows: int) -> int:
+    """Page-pool size from free HBM (mirrors trainer._paged_pool_size_uncached
+    including the refill-prefill transient reserve; 0 = let the engine fall
+    back to worst-case sizing)."""
     import jax
     import jax.numpy as jnp
+
+    from spatialthinker_tpu.rollout.paged import prefill_transient_bytes
 
     override = int(os.environ.get("BENCH_PAGES", "0"))
     if override:
@@ -210,7 +214,8 @@ def _pool_pages(cfg, page_size: int, kv_dtype) -> int:
     if elem < 2:
         cell += 2 * t.num_hidden_layers * t.num_key_value_heads * 2
     util = float(os.environ.get("BENCH_MEM_UTIL", "0.9"))
-    free = int(limit * util) - int(stats.get("bytes_in_use") or 0)
+    transient = prefill_transient_bytes(cfg, prompt, u_batch, rows, cell)
+    free = int(limit * util) - int(stats.get("bytes_in_use") or 0) - transient
     return max(free // (cell * page_size), 0)
 
 
@@ -245,7 +250,11 @@ def _measure_host_engine(params, cfg, shape, iters: int) -> float:
         from spatialthinker_tpu.rollout.paged import generate_paged
 
         page_size = int(os.environ.get("BENCH_PAGE_SIZE", "256"))
-        pages = _pool_pages(cfg, page_size, kv_dtype)
+        u_batch = max(slots // group_n, 1)
+        refill = int(os.environ.get("BENCH_REFILL", "16"))
+        if refill > 0:
+            u_batch = min(u_batch, refill)
+        pages = _pool_pages(cfg, page_size, kv_dtype, p, u_batch, rows)
         fn = lambda k: generate_paged(
             params, cfg, input_ids, segment_ids, position_ids, gen_pos_start,
             key=k, page_size=page_size, total_pages=pages, **common,

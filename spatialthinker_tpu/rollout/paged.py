@@ -105,6 +105,29 @@ def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
 # ---------------------------------------------------------------------------
 
 
+def prefill_transient_bytes(cfg: Qwen25VLConfig, prompt_len: int, u_batch: int,
+                            prefill_rows: int, cell_bytes: int) -> int:
+    """Peak transient HBM of one refill-prefill program, for POOL SIZING.
+
+    The pool budget (free HBM x gpu_memory_utilization, vLLM parity) must
+    leave room for the refill program's own transients or the prefill jit
+    fails to COMPILE once the pool is resident (measured: flagship-shape
+    refill at util 0.9 needed 16.96G of 15.75G). Two dominant terms:
+    the u_batch x padded-width scratch prompt KV (``cell_bytes`` per token,
+    same accounting as the pool cell), and the gate_up activation of the
+    rows actually in flight (rows x P x 2I bf16). vLLM solves the same
+    problem by profiling a forward before sizing its cache
+    (/root/reference: vllm gpu_memory_utilization semantics); a static
+    estimate with 25% headroom avoids running a throwaway forward through
+    the remote-compile relay."""
+    t = cfg.text
+    width = -(-prompt_len // 256) * 256  # engines round the scratch width
+    scratch = u_batch * width * cell_bytes
+    rows = prefill_rows if 0 < prefill_rows < u_batch else u_batch
+    act = rows * prompt_len * 2 * t.intermediate_size * 2
+    return int((scratch + act) * 1.25)
+
+
 class PrefillInstall(NamedTuple):
     """Host-computed scatter plan (fixed shapes per refill-batch geometry)."""
 

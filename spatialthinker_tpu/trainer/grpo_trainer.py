@@ -430,7 +430,23 @@ class GRPOTrainer:
         cell = int(2 * t.num_hidden_layers * t.num_key_value_heads * t.head_dim * elem)
         if elem < 2:  # bf16 scales per (k, v) token-head in both int modes
             cell += 2 * t.num_hidden_layers * t.num_key_value_heads * 2
-        free = int(limit * self.config.worker.rollout.gpu_memory_utilization) - int(in_use or 0)
+        roll = self.config.worker.rollout
+        # leave room for the refill-prefill program's transients (scratch
+        # prompt KV + rows-in-flight activations): a pool sized to the raw
+        # budget makes the prefill jit fail to COMPILE (rollout/paged.py
+        # prefill_transient_bytes)
+        from ..rollout.paged import prefill_transient_bytes
+
+        slots = roll.decode_batch_size or 32
+        u = max(slots // max(roll.n, 1), 1)
+        if roll.refill_batch > 0:
+            u = min(u, roll.refill_batch)
+        transient = prefill_transient_bytes(
+            self.model_cfg, self.config.data.max_prompt_length, u,
+            roll.prefill_rows, cell,
+        )
+        free = (int(limit * roll.gpu_memory_utilization)
+                - int(in_use or 0) - transient)
         return max(free // (cell * page_size), 0)
 
     def _replicate_stragglers(self, tree):
