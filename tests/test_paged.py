@@ -395,3 +395,21 @@ def test_paged_refill_batch_cap_matches_dense(jax_params):
         group_n=n, refill_batch=1,
     )
     np.testing.assert_array_equal(paged.responses, np.asarray(dense.responses))
+
+
+def test_prefill_transient_bytes_reserve():
+    """Pool sizing must reserve the refill-prefill transients: the estimate
+    covers the measured flagship overrun (1.21GB at util 0.9, 2026-08) and
+    scales with the rows actually in flight."""
+    from spatialthinker_tpu.models.qwen2_5_vl import get_config
+    from spatialthinker_tpu.rollout.paged import prefill_transient_bytes
+
+    cfg = get_config("3b")
+    cell = int(2 * 36 * 2 * 128 * 0.5) + 2 * 36 * 2 * 2  # int4 + scales
+    t = prefill_transient_bytes(cfg, 6144, 16, 8, cell)
+    assert t > int(1.21e9)  # covers the measured compile-time overrun
+    # rows-in-flight bound: inert prefill_rows (>= u_batch) costs more
+    t_full = prefill_transient_bytes(cfg, 6144, 16, 0, cell)
+    assert t_full > t
+    # monotone in the refill batch (scratch prompt KV term)
+    assert prefill_transient_bytes(cfg, 6144, 8, 8, cell) < t
