@@ -40,6 +40,44 @@ class AnyPrecisionAdamWState(NamedTuple):
     compensation: optax.Updates  # param-dtype Kahan remainder
 
 
+def adamw_leaf_core(g, mu, nu, comp, p, *, lr, c1, c2, b1, b2, eps,
+                    weight_decay, use_kahan_summation,
+                    momentum_dtype=jnp.bfloat16, variance_dtype=jnp.bfloat16,
+                    finite=None, scale=None):
+    """One AdamW update on one leaf (or a layer slice of a stacked leaf):
+    returns (t = rounded new param, mu', nu', comp'); all fp32 math internal.
+    Module-level so the host-streamed optimizer (trainer/streamed_opt.py) can
+    run the IDENTICAL math per layer slice with the moments living on the
+    host. ``finite`` (scalar bool or None) fuses the NaN-grad skip into the
+    leaf math; ``scale`` (scalar or None) fuses the clip/accum rescale —
+    both avoid tree-wide temporaries that defeat buffer donation (see
+    any_precision_adamw)."""
+    g32 = g.astype(jnp.float32)
+    if scale is not None:
+        g32 = g32 * scale
+    mu32 = mu.astype(jnp.float32) * b1 + (1.0 - b1) * g32
+    nu32 = nu.astype(jnp.float32) * b2 + (1.0 - b2) * g32 * g32
+    denom = jnp.sqrt(nu32 / c2) + eps
+    step = -lr * (mu32 / c1 / denom + weight_decay * p.astype(jnp.float32))
+    p32 = p.astype(jnp.float32)
+    if use_kahan_summation:
+        y = step - comp.astype(jnp.float32)
+        t = (p32 + y).astype(p.dtype)  # the rounded new parameter
+        new_comp = ((t.astype(jnp.float32) - p32) - y).astype(p.dtype)
+    else:
+        t = (p32 + step).astype(p.dtype)
+        new_comp = comp
+    mu_n = mu32.astype(momentum_dtype)
+    nu_n = nu32.astype(variance_dtype)
+    if finite is not None:
+        t = jnp.where(finite, t, p)
+        mu_n = jnp.where(finite, mu_n, mu)
+        nu_n = jnp.where(finite, nu_n, nu)
+        if use_kahan_summation:
+            new_comp = jnp.where(finite, new_comp, comp)
+    return t, mu_n, nu_n, new_comp
+
+
 class FusedGradientTransformation(NamedTuple):
     """optax.GradientTransformation + a fused (new_params, new_state) path."""
 
@@ -79,37 +117,12 @@ def any_precision_adamw(
         return count, lr, c1, c2
 
     def _leaf_core(g, mu, nu, comp, p, lr, c1, c2, finite, scale):
-        """Returns (t = rounded new param, mu', nu', comp'); all fp32 math is
-        internal to this call. ``finite`` (scalar bool or None) fuses the
-        NaN-grad skip INTO the leaf math — an outer where(new, old) over the
-        whole tree keeps both copies alive and defeats buffer donation (a
-        doubled param+state footprint: the 1B fit-or-OOM term). ``scale``
-        (scalar or None) likewise fuses the clip/accum rescale here — a
-        caller-side rescaled grad tree is one param copy of HBM temps."""
-        g32 = g.astype(jnp.float32)
-        if scale is not None:
-            g32 = g32 * scale
-        mu32 = mu.astype(jnp.float32) * b1 + (1.0 - b1) * g32
-        nu32 = nu.astype(jnp.float32) * b2 + (1.0 - b2) * g32 * g32
-        denom = jnp.sqrt(nu32 / c2) + eps
-        step = -lr * (mu32 / c1 / denom + weight_decay * p.astype(jnp.float32))
-        p32 = p.astype(jnp.float32)
-        if use_kahan_summation:
-            y = step - comp.astype(jnp.float32)
-            t = (p32 + y).astype(p.dtype)  # the rounded new parameter
-            new_comp = ((t.astype(jnp.float32) - p32) - y).astype(p.dtype)
-        else:
-            t = (p32 + step).astype(p.dtype)
-            new_comp = comp
-        mu_n = mu32.astype(momentum_dtype)
-        nu_n = nu32.astype(variance_dtype)
-        if finite is not None:
-            t = jnp.where(finite, t, p)
-            mu_n = jnp.where(finite, mu_n, mu)
-            nu_n = jnp.where(finite, nu_n, nu)
-            if use_kahan_summation:
-                new_comp = jnp.where(finite, new_comp, comp)
-        return t, mu_n, nu_n, new_comp
+        return adamw_leaf_core(
+            g, mu, nu, comp, p, lr=lr, c1=c1, c2=c2, b1=b1, b2=b2, eps=eps,
+            weight_decay=weight_decay, use_kahan_summation=use_kahan_summation,
+            momentum_dtype=momentum_dtype, variance_dtype=variance_dtype,
+            finite=finite, scale=scale,
+        )
 
     def _leaf(g, mu, nu, comp, p, lr, c1, c2, finite, scale):
         """Chunk big (stacked (L, ...)) leaves over axis 0 with an IN-PLACE
