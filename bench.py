@@ -71,21 +71,39 @@ def train_bench() -> dict:
     # copy of HBM (2.5GB) — the difference between 1B fitting and OOM
     # (params 2.5 + grads 2.5 + bf16 moments 5.1 leaves ~3G for activations)
     kahan = os.environ.get("BENCH_KAHAN", "0") == "1"
-    opt = make_optimizer(1e-6, strategy="adamw_bf16", use_kahan_summation=kahan)
-    opt_state = opt.init(params)
-    update = jax.jit(
-        make_update_fn(
-            cfg, opt, clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
-            use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
-            max_grad_norm=1.0,
-            # "full" remat: the "dots" policy's saved gate_up stack is 6GB at
-            # 1B/seq-4096 — full recompute is what fits 1B+ on one 16GB chip
-            remat=os.environ.get("BENCH_REMAT", "full"),
-            chunk_size=int(os.environ.get("BENCH_TRAIN_CHUNK", "128")),
-            grad_accum_dtype=jnp.bfloat16,
-        ),
-        donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
+    # BENCH_STREAM_OPT=1: host-streamed optimizer (trainer/streamed_opt.py) —
+    # moments live on the host and stream through in layer slices, which is
+    # what fits the 3B preset on one 16GB chip (fused needs 22.4GB; VERDICT
+    # r3 task 3). The grad program jits alone; the apply runs host-side.
+    stream = os.environ.get("BENCH_STREAM_OPT", "0") == "1"
+    common_update = dict(
+        clip_ratio_low=0.2, clip_ratio_high=0.3, clip_ratio_dual=3.0,
+        use_kl_loss=True, kl_loss_coef=0.01, kl_penalty="low_var_kl",
+        max_grad_norm=1.0,
+        # "full" remat: the "dots" policy's saved gate_up stack is 6GB at
+        # 1B/seq-4096 — full recompute is what fits 1B+ on one 16GB chip
+        remat=os.environ.get("BENCH_REMAT", "full"),
+        chunk_size=int(os.environ.get("BENCH_TRAIN_CHUNK", "128")),
+        grad_accum_dtype=jnp.bfloat16,
     )
+    offload_s = [0.0]
+    if stream:
+        from spatialthinker_tpu.trainer.streamed_opt import StreamedAdamW
+        from spatialthinker_tpu.trainer.train_step import make_grad_fn
+
+        opt = StreamedAdamW(
+            1e-6, use_kahan_summation=kahan,
+            layer_chunk=int(os.environ.get("BENCH_STREAM_CHUNK", "4")),
+        )
+        opt_state = opt.init(params)  # host numpy (12.4GB at 3B)
+        grad_jit = jax.jit(make_grad_fn(cfg, **common_update))
+    else:
+        opt = make_optimizer(1e-6, strategy="adamw_bf16", use_kahan_summation=kahan)
+        opt_state = opt.init(params)
+        update = jax.jit(
+            make_update_fn(cfg, opt, **common_update),
+            donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
+        )
     n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "4"))
     p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "4096")) // 2
     s = p + r
@@ -107,6 +125,15 @@ def train_bench() -> dict:
 
     def run():
         nonlocal params, opt_state
+        if stream:
+            grads, metrics, finite, factor = grad_jit(params, batch)
+            float(np.asarray(metrics["actor/loss"]))  # sync the grad program
+            t0 = time.perf_counter()
+            params, opt_state = opt.apply(
+                params, grads, opt_state, finite=finite, grad_scale=factor
+            )
+            offload_s[0] = time.perf_counter() - t0  # moment round-trip cost
+            return
         params, opt_state, metrics = update(params, opt_state, batch)
         float(np.asarray(metrics["actor/loss"]))  # sync through the relay
 
@@ -129,7 +156,8 @@ def train_bench() -> dict:
         "mfu": round(mfu, 4),
         "config": {"preset": preset, "seq": s, "micro_bs": micro_bs,
                    "n_micro": n_micro, "remat": os.environ.get("BENCH_REMAT", "full"),
-                   "kahan": kahan},
+                   "kahan": kahan, "stream_opt": stream,
+                   **({"offload_s_per_step": round(offload_s[0], 2)} if stream else {})},
     }
 
 

@@ -141,6 +141,65 @@ def make_update_fn(
     accumulating grads, one optimizer step, NaN-grad skip
     (parity: reference dp_actor.py:155-166 + micro-batch loop :212-292)."""
 
+    grad_step = make_grad_fn(
+        cfg,
+        clip_ratio_low=clip_ratio_low,
+        clip_ratio_high=clip_ratio_high,
+        clip_ratio_dual=clip_ratio_dual,
+        use_kl_loss=use_kl_loss,
+        kl_loss_coef=kl_loss_coef,
+        kl_penalty=kl_penalty,
+        entropy_coeff=entropy_coeff,
+        max_grad_norm=max_grad_norm,
+        remat=remat,
+        chunk_size=chunk_size,
+        grad_accum_dtype=grad_accum_dtype,
+        freeze_vision_tower=freeze_vision_tower,
+        temperature=temperature,
+        sp=sp,
+    )
+
+    def update(params, opt_state, micro_batches: TrainBatch, vision: Optional[VisionInputs] = None):
+        """micro_batches: TrainBatch with a leading (n_micro,) dim on each array.
+        `vision`, when present, is a VisionInputs stacked the same way (one
+        pack per micro-batch, common bucket size)."""
+        grads, metrics, finite, factor = grad_step(params, micro_batches, vision)
+        new_params, new_opt_state = apply_optimizer_step(
+            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor,
+            freeze_vision_tower=freeze_vision_tower,
+        )
+        return new_params, new_opt_state, metrics
+
+    return update
+
+
+def make_grad_fn(
+    cfg: Qwen25VLConfig,
+    *,
+    clip_ratio_low: float,
+    clip_ratio_high: float,
+    clip_ratio_dual: float,
+    use_kl_loss: bool,
+    kl_loss_coef: float,
+    kl_penalty: str,
+    entropy_coeff: float = 0.0,
+    max_grad_norm: float = 1.0,
+    remat: bool = True,
+    chunk_size: int = 1024,
+    grad_accum_dtype=jnp.float32,
+    freeze_vision_tower: bool = False,
+    temperature: float = 1.0,
+    sp=None,
+):
+    """The accumulation half of the update step: scan micro-batches, sum
+    grads, fold the clip/accum rescale and the NaN-skip decision into two
+    scalars. Returns ``grad_step(params, micro_batches, vision) -> (grads,
+    metrics, finite, factor)``. make_update_fn composes it with the fused
+    in-HBM optimizer; the host-streamed optimizer (trainer/streamed_opt.py)
+    jits THIS alone and applies the moments in layer-slice round trips —
+    grads must come back to the host loop, so the optimizer apply cannot
+    live in the same program."""
+
     loss_kwargs = dict(
         sp=sp,
         clip_ratio_low=clip_ratio_low,
@@ -155,11 +214,7 @@ def make_update_fn(
         temperature=temperature,
     )
 
-    def update(params, opt_state, micro_batches: TrainBatch, vision: Optional[VisionInputs] = None):
-        """micro_batches: TrainBatch with a leading (n_micro,) dim on each array.
-        `vision`, when present, is a VisionInputs stacked the same way (one
-        pack per micro-batch, common bucket size)."""
-
+    def grad_step(params, micro_batches: TrainBatch, vision: Optional[VisionInputs] = None):
         grad_fn = jax.value_and_grad(
             lambda p, mb, vis: actor_loss_fn(p, cfg, mb, vis, **loss_kwargs), has_aux=True
         )
@@ -205,13 +260,9 @@ def make_update_fn(
         scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6)) / n_micro
         finite = jnp.isfinite(grad_norm)
         factor = jnp.where(finite, scale, 0.0)
-        new_params, new_opt_state = apply_optimizer_step(
-            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor,
-            freeze_vision_tower=freeze_vision_tower,
-        )
-        return new_params, new_opt_state, metrics
+        return grads, metrics, finite, factor
 
-    return update
+    return grad_step
 
 
 def _global_norm_f32(tree) -> jnp.ndarray:
