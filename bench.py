@@ -427,6 +427,29 @@ def main() -> None:
     if SHAPE == "all" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
         del params  # free rollout weights before the train-bench allocates
         out["train"] = train_bench()
+        # 3B train entry (streamed optimizer: the only single-chip fit at 3B
+        # — moments host-resident, layer-slice round trips). Alarm-guarded:
+        # the moment streaming rides the relay here and a hang must not lose
+        # the rollout numbers above.
+        if os.environ.get("BENCH_SKIP_TRAIN3B") != "1":
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError("train_3b exceeded its budget")
+
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(int(os.environ.get("BENCH_TRAIN3B_BUDGET", "1500")))
+            try:
+                os.environ["BENCH_TRAIN_PRESET"] = "3b"
+                os.environ["BENCH_STREAM_OPT"] = "1"
+                os.environ["BENCH_ITERS"] = "1"
+                os.environ.setdefault("BENCH_TRAIN_BS", "1")
+                out["train_3b"] = train_bench()
+            except Exception as e:  # noqa: BLE001 — record, don't lose the run
+                out["train_3b"] = {"error": f"{type(e).__name__}: {e}"}
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
     print(json.dumps(out))
 
 

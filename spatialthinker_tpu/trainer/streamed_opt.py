@@ -146,9 +146,15 @@ class StreamedAdamW:
             if p.ndim == 0 or p.size < _STREAM_THRESHOLD:
                 spans = [(0, dim0)]
             else:
+                # rows per slice: layer_chunk rows of a stacked (L, ...) leaf
+                # whose rows are huge, but never slices smaller than
+                # ~_STREAM_THRESHOLD elements — a (vocab, E) embedding leaf
+                # would otherwise shatter into tens of thousands of transfers
+                per_row = max(p.size // dim0, 1)
+                span = max(self.layer_chunk, _STREAM_THRESHOLD // per_row, 1)
+                span = min(span, dim0)
                 spans = [
-                    (l0, min(self.layer_chunk, dim0 - l0))
-                    for l0 in range(0, dim0, self.layer_chunk)
+                    (l0, min(span, dim0 - l0)) for l0 in range(0, dim0, span)
                 ]
             if p.ndim == 0:  # scalars can't slice; run the core directly
                 t, mu_n, nu_n, comp_n = adamw_leaf_core(
