@@ -70,12 +70,50 @@ def quantize_activation(x: jnp.ndarray):
     return q, scale
 
 
+def _prefill_dequant_min_m() -> int:
+    """m threshold above which a quantized matmul dequantizes its weight and
+    runs the bf16 MXU path instead of W8A8 (0 = disabled, the DEFAULT).
+
+    Measured OFF (2026-08, v5e, 3B flagship rows-group b=8 x p=6144, int4 KV,
+    scripts/diag_prefill_dtype.py): the W8A8 prefill forward runs 1850 ms
+    (147 matmul-eff-TOPS, 75% of bf16 peak) vs 2443 ms for this dequant path
+    (112) and 2533 ms for a plain bf16 tree (108) — at prefill shapes the int8
+    MXU path is ~32% FASTER than bf16 dots, so dequantizing can only lose.
+    Kept as an opt-in escape hatch for future hardware where the bf16/int8
+    ratio flips: above the threshold numerics get slightly more accurate
+    (weight-rounding error only, no activation quantization), i.e.
+    rollout/probs_diff_* drift shrinks."""
+    import os
+
+    return int(os.environ.get("SPATIALTHINKER_PREFILL_DEQUANT_M", "0"))
+
+
+def dequantize_weight(qw: Dict[str, jnp.ndarray], contract_axis: int,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    return qw["qvalue"].astype(dtype) * jnp.expand_dims(
+        qw["scale"], contract_axis
+    ).astype(dtype)
+
+
 def quantized_dot(x: jnp.ndarray, qw: Dict[str, jnp.ndarray], contract_axis: int,
                   out_dtype=None) -> jnp.ndarray:
     """x (..., K) @ qw (K at ``contract_axis``) with both operands int8 on the
     MXU. Output shape = x's lead dims + qw's non-contracted dims in order
-    (matches einsum "...k,<pre>k<post>-><pre><post>")."""
+    (matches einsum "...k,<pre>k<post>-><pre><post>").
+
+    Prefill-scale m (see _prefill_dequant_min_m) dequantizes the weight and
+    runs the bf16 dot instead — same output contract, higher eff-TOPS."""
+    import math
+
     out_dtype = out_dtype if out_dtype is not None else x.dtype
+    min_m = _prefill_dequant_min_m()
+    if min_m and math.prod(x.shape[:-1]) >= min_m:
+        w = dequantize_weight(qw, contract_axis, jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w,
+            (((x.ndim - 1,), (contract_axis,)), ((), ())),
+        )
+        return acc.astype(out_dtype)
     xq, xs = quantize_activation(x)
     acc = jax.lax.dot_general(
         xq, qw["qvalue"],
@@ -123,6 +161,12 @@ def fused_silu_quant_dot(gu: jnp.ndarray, qdown: Dict[str, jnp.ndarray],
     # decode steps (m = lanes) are HBM-floor-bound on weights, not the
     # junction — keep the XLA path there
     if m < 1024 or m % 8:
+        return None
+    min_m = _prefill_dequant_min_m()
+    if min_m and m >= min_m:
+        # prefill-dequant mode: the down dot runs bf16 (quantized_dot's
+        # large-m dispatch), so the int8 junction would only re-quantize —
+        # fall through to silu + linear, which XLA fuses around the bf16 dot
         return None
     from .int8_matmul import fused_silu_quantize
 

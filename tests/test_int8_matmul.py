@@ -27,9 +27,12 @@ def test_matches_xla_pipeline():
     assert err < 2e-3, err
 
 
-def test_multi_block_grid():
+def test_multi_block_grid(monkeypatch):
     """m, n spanning several blocks: the persistent x-quantization scratch
     must refresh at each new m row-sweep (n == 0)."""
+    # pin the reference to the int8 XLA pipeline — at m=1024 quantized_dot's
+    # default large-m dispatch would dequantize instead (different rounding)
+    monkeypatch.setenv("SPATIALTHINKER_PREFILL_DEQUANT_M", "0")
     x, qw = _case(1024, 128, 1024, seed=1)
     ref = np.asarray(quantized_dot(x, qw, 0), np.float32)
     got = np.asarray(fused_w8a8_matmul(x, qw["qvalue"], qw["scale"]), np.float32)

@@ -151,6 +151,9 @@ def test_fused_silu_quant_dot_matches_fallback(monkeypatch):
     p = {"gate_up_proj": quantize_weight(gu2, 0), "down_proj": quantize_weight(down, 0)}
     x = jnp.asarray(rng.normal(size=(m, e)).astype(np.float32), jnp.bfloat16)
 
+    # disable the large-m dequant dispatch: this test pins the int8 junction
+    # kernel against the int8 XLA fallback at prefill-scale m
+    monkeypatch.setenv("SPATIALTHINKER_PREFILL_DEQUANT_M", "0")
     monkeypatch.setenv("SPATIALTHINKER_FUSED_SILU", "0")
     ref = np.asarray(swiglu_mlp(p, x), np.float32)
     monkeypatch.setenv("SPATIALTHINKER_FUSED_SILU", "force")
@@ -159,6 +162,47 @@ def test_fused_silu_quant_dot_matches_fallback(monkeypatch):
     # the kernel computes silu in f32 where the fallback rounds h to the
     # compute dtype before quantizing: one int8 grid step apart -> ~1%
     assert err < 2e-2, err
+
+
+def test_prefill_dequant_dispatch(monkeypatch):
+    """Above the m threshold quantized_dot runs the dequantized bf16 path:
+    closer to the exact product than W8A8 (weight rounding only, no activation
+    quantization), same output contract on both contract-axis layouts."""
+    from spatialthinker_tpu.ops.quant import fused_silu_quant_dot
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2048, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
+    qw = quantize_weight(w, 0)
+    exact = np.asarray(jnp.dot(x, w), np.float32)
+
+    monkeypatch.setenv("SPATIALTHINKER_PREFILL_DEQUANT_M", "1024")
+    deq = np.asarray(quantized_dot(x, qw, 0, out_dtype=jnp.float32))
+    monkeypatch.setenv("SPATIALTHINKER_PREFILL_DEQUANT_M", "0")
+    w8a8 = np.asarray(quantized_dot(x, qw, 0, out_dtype=jnp.float32))
+
+    err_deq = np.linalg.norm(deq - exact) / np.linalg.norm(exact)
+    err_w8a8 = np.linalg.norm(w8a8 - exact) / np.linalg.norm(exact)
+    assert err_deq < 0.01, err_deq
+    assert err_deq < err_w8a8  # weight-only error < weight+activation error
+
+    # middle contract axis (fused-QKV layout) takes the same dispatch
+    monkeypatch.setenv("SPATIALTHINKER_PREFILL_DEQUANT_M", "1024")
+    x3 = jnp.asarray(rng.normal(size=(32, 64, 32)).astype(np.float32))
+    w3 = jnp.asarray(rng.normal(size=(3, 32, 16)).astype(np.float32) * 0.05)
+    got = np.asarray(quantized_dot(x3, quantize_weight(w3, 1), 1, out_dtype=jnp.float32))
+    exact3 = np.asarray(jnp.einsum("bse,gef->bsgf", x3, w3), np.float32)
+    err3 = np.linalg.norm(got - exact3) / np.linalg.norm(exact3)
+    assert got.shape == exact3.shape and err3 < 0.01, err3
+
+    # the int8 silu junction steps aside in dequant mode (the down dot runs
+    # bf16, so the junction's int8 re-quantize would only add error)
+    monkeypatch.setenv("SPATIALTHINKER_FUSED_SILU", "force")
+    gu = jnp.asarray(rng.normal(size=(2048, 256)).astype(np.float32), jnp.bfloat16)
+    qdown = quantize_weight(jnp.asarray(rng.normal(size=(128, 64)), jnp.float32), 0)
+    assert fused_silu_quant_dot(gu, qdown, jnp.bfloat16) is None
+    monkeypatch.setenv("SPATIALTHINKER_PREFILL_DEQUANT_M", "0")
+    assert fused_silu_quant_dot(gu, qdown, jnp.bfloat16) is not None
 
 
 def test_rollout_quantization_config_wiring():
