@@ -347,9 +347,34 @@ def paged_attention(
                 q, k_pool, v_pool, page_table, lengths, layer_idx,
                 k_scale, v_scale, scale,
             )
-        except Exception:
+        except Exception as e:
             if backend == "pallas":
                 raise
+            _warn_fallback(f"kernel raised {type(e).__name__}: {e}", q, k_pool)
+    elif jax.default_backend() == "tpu":
+        _warn_fallback("shape ineligible", q, k_pool)
     return _xla_paged(
         q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale
+    )
+
+
+_warned_fallbacks: set = set()
+
+
+def _warn_fallback(reason: str, q, k_pool) -> None:
+    """The XLA fallback gathers every slot's pages to a dense cache PER LAYER
+    — measured ~16x slower than the kernel at flagship scale. Falling back
+    silently turns a config error into a throughput mystery, so say it once
+    per (reason, shape)."""
+    key = (reason, q.shape, k_pool.shape, str(k_pool.dtype))
+    if key in _warned_fallbacks:
+        return
+    _warned_fallbacks.add(key)
+    import warnings
+
+    warnings.warn(
+        f"paged_attention: Pallas kernel unavailable ({reason}) for q={q.shape} "
+        f"pool={k_pool.shape} {k_pool.dtype}; using the dense-gather XLA "
+        "fallback (~16x slower at flagship scale)",
+        stacklevel=3,
     )

@@ -546,6 +546,12 @@ def generate_continuous(
     responses = np.full((n_out, max_new_tokens), cfg.pad_token_id, dtype=np.int32)
     logps_out = np.zeros((n_out, max_new_tokens), dtype=np.float32)
     slot_owner = np.full(n_lanes, -1, dtype=np.int64)  # output-row index
+    # host mirror of `active`: the host performs every install/release itself,
+    # so the steady-state loop needs ONE device->host read per decode chunk
+    # (which slots finished) instead of three (finished + active in harvest,
+    # active.any() for the loop condition) — each fetch is a full round trip,
+    # and over a relay-backed chip those round trips dominate the host loop.
+    h_active = np.zeros(n_lanes, dtype=bool)
     next_prompt = 0
 
     multimodal = patches_list is not None and any(p is not None for p in patches_list)
@@ -598,6 +604,7 @@ def generate_continuous(
             for j, slot in enumerate(group_slots):
                 targets[g * group_n + j] = slot
                 slot_owner[slot] = next_prompt * group_n + j
+                h_active[slot] = True
             next_prompt += 1
         ids_batch = input_ids[rows].copy()
         seg_batch = segment_ids[rows].copy()
@@ -633,11 +640,9 @@ def generate_continuous(
         )
         return state, free  # leftover slots stay in the caller's pool
 
-    def harvest(state) -> Tuple[SlotState, List[int]]:
+    def harvest(state, finished_np) -> Tuple[SlotState, List[int]]:
         nonlocal responses, logps_out, slot_owner
-        finished = fetch_lane(state.finished)
-        active = fetch_lane(state.active)
-        done_slots = [int(i) for i in np.nonzero(finished & active)[0]]
+        done_slots = [int(i) for i in np.nonzero(finished_np & h_active)[0]]
         if done_slots:
             resp_rows = fetch_lane(state.responses, 1)[done_slots]
             logp_rows = fetch_lane(state.logps, 1)[done_slots]
@@ -647,6 +652,7 @@ def generate_continuous(
                     responses[owner] = resp_rows[row]
                     logps_out[owner] = logp_rows[row]
                     slot_owner[slot] = -1
+                h_active[slot] = False
             state = state._replace(
                 active=state.active.at[jnp.asarray(done_slots)].set(False)
             )
@@ -658,12 +664,13 @@ def generate_continuous(
         state, free_pool = refill(state, free_pool)
     while True:
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
-        state, done_slots = harvest(state)
+        # the one fetch per sync: which slots finished during this chunk
+        finished_np = np.asarray(fetch_lane(state.finished), dtype=bool)
+        state, done_slots = harvest(state, finished_np)
         free_pool.extend(done_slots)
         while next_prompt < b and len(free_pool) >= group_n:
             state, free_pool = refill(state, free_pool)
-        active_left = bool(fetch_lane(state.active).any())
-        if not active_left and next_prompt >= b:
+        if not h_active.any() and next_prompt >= b:
             break
 
     from .sampling import get_response_mask

@@ -641,6 +641,23 @@ def generate_paged(
     logps_out = np.zeros((n_out, max_new_tokens), dtype=np.float32)
     mask_out = np.zeros((n_out, max_new_tokens), dtype=np.int32)
 
+    # host MIRRORS of the slot status flags: the host makes every scheduling
+    # transition itself (install, release, preempt), and a running slot
+    # advances EXACTLY decode_chunk_size cells per decode call (slots only
+    # stop by finishing, which excludes them from `run`), so the steady-state
+    # loop needs ONE device->host read per sync — which slots finished this
+    # chunk — instead of six (active/finished/length in ensure_capacity,
+    # finished/active in harvest, active.any() in the loop condition). Each
+    # fetch is a full host<->device round trip; over a relay-backed chip
+    # those round trips, not the decode program, set the rollout rate.
+    # First-token-EOS slots (finished in the prefill itself) are discovered
+    # one sync late: they idle through one decode chunk masked off and may
+    # hold one transiently over-allocated page — both also true of the
+    # fetch-everything loop this replaces (its harvest also ran post-decode).
+    h_active = np.zeros(n_lanes, dtype=bool)
+    h_finished = np.ones(n_lanes, dtype=bool)
+    h_length = np.zeros(n_lanes, dtype=np.int64)
+
     # host bookkeeping per slot
     slot_owner = np.full(n_lanes, -1, dtype=np.int64)     # output-row index
     slot_shared: List[List[int]] = [[] for _ in range(n_lanes)]  # refcounted prompt pages
@@ -738,6 +755,9 @@ def generate_paged(
                     tail_dst[ti] = tails[j][0]
                 host_table[slot] = row
                 slot_capacity[slot] = (n_full + (1 if tail else 0)) * page_size
+                h_active[slot] = True
+                h_finished[slot] = False
+                h_length[slot] = ell
             birth_counter += 1
         if not valid.any():
             return state, free, False
@@ -823,6 +843,7 @@ def generate_paged(
         for s in victim_slots:
             release_slot(s)
             slot_owner[s] = -1
+            h_finished[s] = True  # keep the mirror in lockstep with the flag
         work.insert(0, prompt_idx)
         stats["preemptions"] += 1
         dev_idx = jnp.asarray(victim_slots)
@@ -837,16 +858,14 @@ def generate_paged(
 
     def ensure_capacity(state: PagedState) -> PagedState:
         """Grow running slots' page tables to cover the next decode chunk;
-        preempt (youngest-group recompute) on pool exhaustion."""
+        preempt (youngest-group recompute) on pool exhaustion. Runs entirely
+        on the host mirrors — no device fetch."""
         while True:
-            active = fetch_lane(state.active)
-            finished = fetch_lane(state.finished)
-            lengths_np = fetch_lane(state.length)
-            run = active & ~finished
+            run = h_active & ~h_finished
             table_dirty = False
             ok = True
             for s in np.nonzero(run)[0]:
-                budget = min(int(lengths_np[s]) + decode_chunk_size,
+                budget = min(int(h_length[s]) + decode_chunk_size,
                              int(prompt_lens[slot_owner[s] // group_n]) + max_new_tokens)
                 while slot_capacity[s] < budget:
                     got = allocator.alloc(1)
@@ -870,10 +889,8 @@ def generate_paged(
                 return state
             state = preempt_youngest(run, state)
 
-    def harvest(state) -> Tuple[PagedState, List[int]]:
-        finished = fetch_lane(state.finished)
-        active = fetch_lane(state.active)
-        done_slots = [int(i) for i in np.nonzero(finished & active)[0]]
+    def harvest(state, finished_np) -> Tuple[PagedState, List[int]]:
+        done_slots = [int(i) for i in np.nonzero(finished_np & h_active)[0]]
         if done_slots:
             resp_rows = fetch_lane(state.responses, 1)[done_slots]
             logp_rows = fetch_lane(state.logps, 1)[done_slots]
@@ -884,6 +901,8 @@ def generate_paged(
                     logps_out[owner] = logp_rows[row]
                     slot_owner[slot] = -1
                 release_slot(slot)
+                h_active[slot] = False
+                h_finished[slot] = True
             state = state._replace(
                 active=state.active.at[jnp.asarray(done_slots)].set(False)
             )
@@ -898,13 +917,19 @@ def generate_paged(
     while True:
         state = ensure_capacity(state)
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
-        state, done_slots = harvest(state)
+        # the one fetch per sync: which slots finished during this chunk
+        running = h_active & ~h_finished
+        finished_np = np.asarray(fetch_lane(state.finished), dtype=bool)
+        h_finished |= finished_np
+        # slots still running advanced exactly the chunk; finished slots'
+        # lengths are never read again (their pages release in harvest)
+        h_length[running & ~finished_np] += decode_chunk_size
+        state, done_slots = harvest(state, finished_np)
         free_pool.extend(done_slots)
         installed = True
         while work and len(free_pool) >= group_n and installed:
             state, free_pool, installed = refill(state, free_pool)
-        active_left = bool(fetch_lane(state.active).any())
-        if not active_left and not work:
+        if not h_active.any() and not work:
             break
 
     mask = np.asarray(get_response_mask(jnp.asarray(responses), cfg.eos_token_id))
