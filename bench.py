@@ -23,7 +23,17 @@ in each shape's config.
 
 BENCH_MODE=train measures ONLY the update-step entry. BENCH_SHAPE selects a
 single rollout shape (short|long|grpo|flagship) or "all" (default:
-short+long+grpo+flagship+train; headline = grpo).
+short+long+grpo+flagship+sched+train; headline = grpo).
+
+The default run additionally records, each alarm-guarded so a stall can't
+lose the numbers above it:
+  continuous_long_ctx / paged_long_ctx — the vLLM-scheduler replacement
+    engines at the long shape, 256 prompts through BENCH_SCHED_SLOTS=128
+    slots (exercises slot refill / page-pool admission);
+    BENCH_SKIP_SCHED=1 skips, BENCH_SCHED_BUDGET seconds (1200).
+  train     — update step at the 1b preset (fused in-place AdamW);
+  train_3b  — the 3B text stack via the host-streamed optimizer
+    (BENCH_SKIP_TRAIN3B=1 skips, BENCH_TRAIN3B_BUDGET seconds).
 """
 
 from __future__ import annotations
@@ -104,7 +114,11 @@ def train_bench() -> dict:
             make_update_fn(cfg, opt, **common_update),
             donate_argnums=(0, 1),  # in-place params/opt update (no double buffer)
         )
-    n_micro, micro_bs = 2, int(os.environ.get("BENCH_TRAIN_BS", "4"))
+    # n_micro=1 matters at the 3B scale: micro-batch accumulation holds the
+    # grad accumulator AND the current micro's grads live together — 2x 6.2GB
+    # at 3B bf16, the difference between fitting and OOM on one 16GB chip
+    n_micro = int(os.environ.get("BENCH_TRAIN_NMICRO", "2"))
+    micro_bs = int(os.environ.get("BENCH_TRAIN_BS", "4"))
     p = r = int(os.environ.get("BENCH_TRAIN_SEQ", "4096")) // 2
     s = p + r
     rng = np.random.default_rng(0)
@@ -247,7 +261,8 @@ def _pool_pages(cfg, page_size: int, kv_dtype, prompt: int, u_batch: int,
     return max(free // (cell * page_size), 0)
 
 
-def _measure_host_engine(params, cfg, shape, iters: int) -> float:
+def _measure_host_engine(params, cfg, shape, iters: int, engine: str = None,
+                         slots_override: int = 0) -> float:
     """Time the continuous or paged engine (host-orchestrated scheduling;
     their internal jits are module-level functions, so the warmup call's
     compilations are reused by the timed iterations)."""
@@ -257,6 +272,7 @@ def _measure_host_engine(params, cfg, shape, iters: int) -> float:
 
     from spatialthinker_tpu.rollout.sampling import SamplingParams
 
+    engine = engine or ENGINE
     b, p, r, kv_name, chunk, group_n, rows = shape
     kv_dtype = {"int8": jnp.int8, "int4": jnp.uint8}.get(kv_name, jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -265,7 +281,8 @@ def _measure_host_engine(params, cfg, shape, iters: int) -> float:
     position_ids = np.broadcast_to(np.arange(p, dtype=np.int32)[None, None], (3, b, p))
     gen_pos_start = np.full((b,), p, np.int32)
     sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
-    slots = int(os.environ.get("BENCH_SLOTS", "0")) or b * group_n
+    slots = (slots_override or int(os.environ.get("BENCH_SLOTS", "0"))
+             or b * group_n)
     common = dict(
         max_new_tokens=r, sampling=sampling, slots=slots,
         decode_chunk_size=int(os.environ.get("BENCH_DECODE_CHUNK", "64")),
@@ -424,6 +441,45 @@ def main() -> None:
                 "vs_baseline": round(results[name] / H100_VLLM_3B_TOKS, 4),
                 "config": shape_cfg(name),
             }
+    if SHAPE == "all" and os.environ.get("BENCH_SKIP_SCHED") != "1":
+        # the vLLM-scheduler replacements (continuous slot-refill, paged pool)
+        # at the long shape: 256 prompts through 128 slots, so the measurement
+        # exercises refill / page admission — not just a one-wave dense decode.
+        # Alarm-guarded: a scheduler stall must not lose the numbers above.
+        import signal
+
+        long_shape = SHAPES["long"]
+        if long_shape[4] == 0 and long_shape[6] == 0:
+            long_shape = long_shape[:4] + (512,) + long_shape[5:]
+        sched_slots = int(os.environ.get("BENCH_SCHED_SLOTS", "128"))
+        for eng in ("continuous", "paged"):
+
+            def _alarm(signum, frame, eng=eng):
+                raise TimeoutError(f"{eng} engine exceeded its budget")
+
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(int(os.environ.get("BENCH_SCHED_BUDGET", "1200")))
+            try:
+                v = round(
+                    _measure_host_engine(
+                        params, cfg, long_shape,
+                        int(os.environ.get("BENCH_SCHED_ITERS", "1")),
+                        engine=eng, slots_override=sched_slots,
+                    ) / n_chips, 2,
+                )
+                out[f"{eng}_long_ctx"] = {
+                    "value": v,
+                    "vs_baseline": round(v / H100_VLLM_3B_TOKS, 4),
+                    "config": {**shape_cfg("long"), "engine": eng,
+                               "slots": sched_slots},
+                }
+            except Exception as e:  # noqa: BLE001 — record, don't lose the run
+                out[f"{eng}_long_ctx"] = {"error": f"{type(e).__name__}: {e}"}
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+            print(f"[bench] {eng}_long: {out[f'{eng}_long_ctx']}",
+                  file=sys.stderr, flush=True)
     if SHAPE == "all" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
         del params  # free rollout weights before the train-bench allocates
         out["train"] = train_bench()
