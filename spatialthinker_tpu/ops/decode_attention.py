@@ -254,6 +254,122 @@ def _decode_kernel_int4(
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
+def _int4_i8dot_enabled() -> bool:
+    """Opt-in int4 kernel variant with both attention dots on the int8 MXU
+    (SPATIALTHINKER_INT4_I8DOT=1). The default int4 kernel is VPU-bound on
+    its nibble->bf16 convert chain (4-5 lane ops/element — Mosaic has no
+    direct u8->bf16 convert); this variant unpacks nibbles to INT8 lanes
+    instead (widen + mask/shift + one narrow convert) and quantizes q and the
+    softmax weights per row in-register, recovering exact magnitudes in the
+    f32 score/output epilogues. Costs ~0.8% extra rounding error on the
+    behavior policy's logits (q and p int8 rounding; KV itself is already
+    int4) — guarded by rollout/probs_diff_* like every rollout approximation."""
+    import os
+
+    return os.environ.get("SPATIALTHINKER_INT4_I8DOT", "0") == "1"
+
+
+def _decode_kernel_int4_i8(
+    idx_ref,      # scalar prefetch: (1,) layer index (consumed by index maps)
+    seg_lo_ref, seg_hi_ref,
+    q_ref,        # (block_b, Hq_pad, D)
+    kp_ref,       # (block_b, Hkv, block_sh, D) uint8 — packed nibble rows
+    vp_ref,
+    ks_lo_ref, ks_hi_ref, vs_lo_ref, vs_hi_ref,
+    o_ref, m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    hkv: int,
+    g: int,
+    block_b: int,
+):
+    """int4 split-half decode block with int8 MXU dots (see
+    _int4_i8dot_enabled). Same grid/specs/scratches as _decode_kernel_int4."""
+    si = pl.program_id(1)
+    n_grp = block_b * hkv
+    d = q_ref.shape[-1]
+    block_sh = kp_ref.shape[-2]
+    block_s = 2 * block_sh
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    from ..models.qwen2_5_vl.text import KV4_BIAS
+
+    # q int8, one scale per (row, head) — error ~0.4% of the row max, folded
+    # back exactly via qscale in the score epilogue
+    qf = q_ref[...].reshape(n_grp, g, d).astype(jnp.float32)
+    qa = jnp.max(jnp.abs(qf), axis=2, keepdims=True)
+    qscale = jnp.maximum(qa, 1e-8) * (1.0 / 127.0)
+    q_i8 = jnp.round(qf / qscale).astype(jnp.int8)
+    sumq = jnp.sum(q_i8.astype(jnp.float32), axis=2, keepdims=True)
+
+    # ONE widen per packed byte, reused by both nibble extracts; the only
+    # per-element converts are the narrow i32->i8 ones feeding the MXU
+    kp = kp_ref[...].reshape(n_grp, block_sh, d).astype(jnp.int32)
+    vp = vp_ref[...].reshape(n_grp, block_sh, d).astype(jnp.int32)
+    lo = lambda x: (x & 15).astype(jnp.int8)
+    hi = lambda x: (x >> 4).astype(jnp.int8)
+
+    def qk(k_i8):
+        return jax.lax.dot_general(
+            q_i8, k_i8, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+
+    s = jnp.concatenate([qk(lo(kp)), qk(hi(kp))], axis=2).astype(jnp.float32)
+    ks = jnp.concatenate([ks_lo_ref[...], ks_hi_ref[...]], axis=2)
+    vs = jnp.concatenate([vs_lo_ref[...], vs_hi_ref[...]], axis=2)
+    seg = jnp.concatenate([seg_lo_ref[...], seg_hi_ref[...]], axis=2)
+    # debias the +8 nibble storage, restore q magnitude, fold k scales
+    s = (s - KV4_BIAS * sumq) * qscale
+    s = s * (ks.reshape(n_grp, 1, block_s).astype(jnp.float32) * scale)
+    valid = jnp.broadcast_to(
+        seg != 0, (block_b, hkv, block_s)
+    ).reshape(n_grp, 1, block_s)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[...].reshape(n_grp, g, 128)[:, :, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[...].reshape(n_grp, g, 128)[:, :, 0:1] * corr + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    p = p * vs.reshape(n_grp, 1, block_s).astype(jnp.float32)
+    # softmax weights int8, one scale per row (p >= 0 so amax == max); the
+    # epilogue restores pscale exactly — error ~0.4% of the row's max weight
+    pa = jnp.max(p, axis=2, keepdims=True)
+    pscale = jnp.maximum(pa, 1e-20) * (1.0 / 127.0)
+    p_i8 = jnp.round(p / pscale).astype(jnp.int8)
+    sump = jnp.sum(p_i8.astype(jnp.float32), axis=2, keepdims=True)
+
+    def pv_dot(p_part, v_i8):
+        return jax.lax.dot_general(
+            p_part, v_i8, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+
+    pv = (
+        pv_dot(p_i8[:, :, :block_sh], lo(vp))
+        + pv_dot(p_i8[:, :, block_sh:], hi(vp))
+    ).astype(jnp.float32)
+    pv = (pv - KV4_BIAS * sump) * pscale
+    acc = acc_scr[...].reshape(n_grp, g, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(m_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
+    l_scr[...] = jnp.broadcast_to(l_new, (n_grp, g, 128)).reshape(n_grp * g, 128)
+    acc_scr[...] = acc.reshape(n_grp * g, d)
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows emit zeros
+        o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
 def _pick_block_b(b: int, quantized: bool) -> int:
     # int8 halves the KV block bytes, so twice the rows fit in VMEM; more rows
     # per program = bigger DMAs = less launch overhead per byte
@@ -313,7 +429,8 @@ def _pallas_decode(
             lambda bi, si, idx, n=n_blk: (idx[0], bi, 0, si + n),
         )
         kernel = functools.partial(
-            _decode_kernel_int4, scale=scale, hkv=hkv, g=gp, block_b=block_b
+            _decode_kernel_int4_i8 if _int4_i8dot_enabled() else _decode_kernel_int4,
+            scale=scale, hkv=hkv, g=gp, block_b=block_b,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

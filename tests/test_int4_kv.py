@@ -129,6 +129,39 @@ def test_pallas_int4_kernel_interpret_matches_xla():
     assert err < 2e-2, err
 
 
+def test_pallas_int4_i8dot_variant_matches_xla(monkeypatch):
+    """The int8-MXU int4 kernel variant (q + softmax weights quantized
+    in-register, nibbles unpacked to int8 lanes) stays within its expected
+    rounding envelope of the exact XLA fallback."""
+    from spatialthinker_tpu.ops.decode_attention import _pallas_decode, _xla_decode
+
+    monkeypatch.setenv("SPATIALTHINKER_INT4_I8DOT", "1")
+    L, B, Hkv, S, D = 2, 4, 2, 512, 128
+    hq = 4
+    rng = np.random.default_rng(7)
+    kv = rng.normal(size=(2, L, B, Hkv, S, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(B, hq, D)).astype(np.float32), jnp.bfloat16)
+    seg = (rng.random((B, S)) < 0.6).astype(np.int32)
+    seg[:, :4] = 1
+
+    kq, ks = _quantize_kv4(jnp.asarray(kv[0]))
+    vq, vs = _quantize_kv4(jnp.asarray(kv[1]))
+    half = S // 2
+    kp = _pack_nibbles(kq[:, :, :, :half], kq[:, :, :, half:])
+    vp = _pack_nibbles(vq[:, :, :, :half], vq[:, :, :, half:])
+    scale = D**-0.5
+
+    got = _pallas_decode(
+        q, kp, vp, jnp.asarray(seg), jnp.asarray(1), ks, vs, scale, block_s=128
+    )
+    ref = _xla_decode(q, kp, vp, jnp.asarray(seg), jnp.asarray(1), ks, vs, scale)
+    err = np.linalg.norm(np.asarray(got, np.float32) - np.asarray(ref, np.float32)) / (
+        np.linalg.norm(np.asarray(ref, np.float32)) + 1e-9
+    )
+    # int4 KV rounding (shared with the default kernel) + q/p int8 rounding
+    assert err < 3e-2, err
+
+
 @pytest.mark.parametrize("chunk,n", [(0, 1), (8, 1), (0, 2)])
 def test_generate_int4_kv(chunk, n):
     """Tiny-model dense-engine rollout with the packed int4 cache: output
