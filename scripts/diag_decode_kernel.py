@@ -5,6 +5,9 @@ long-context bench shape and prints achieved GB/s vs the ~840GB/s v5e peak.
 Env: DK_BATCH, DK_WIDTH, DK_KV (int8|bf16), DK_BLOCK_S.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

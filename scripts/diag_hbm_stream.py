@@ -7,6 +7,9 @@ axon relay sync cost is amortized. This is the number the decode kernel's
 ideal access patterns and no relay).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

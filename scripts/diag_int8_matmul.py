@@ -10,6 +10,9 @@ Iterations ride inside one jit (traced loop bound; single relay sync).
 Env: IM_M, IM_ITERS.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

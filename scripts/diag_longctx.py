@@ -5,6 +5,9 @@ bench shape; the difference is decode. Env: DIAG_BATCH, DIAG_PROMPT,
 DIAG_CHUNK, DIAG_WQ, DIAG_KV.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

@@ -8,6 +8,9 @@ Prints both plus the implied HBM floor for the decode step (weights + KV).
 Env: DR_BATCH, DR_PROMPT, DR_GEN (hi), DR_KV, DR_WQ, DR_CHUNK, DR_N.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

@@ -9,6 +9,9 @@ Measures the FULL quantized_dot (activation quantize + int8 dot + scale
 fold epilogue) per shape/layout at the long-bench chunk m.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

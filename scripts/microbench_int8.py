@@ -5,6 +5,9 @@ per-token activation quant + int8 dot + rescale — the op the rollout
 quantization path would run. Run on the real chip: python scripts/microbench_int8.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -5,6 +5,9 @@ Question: does XLA's int8 x int8 -> int32 dot hit the native int8 MXU rate
 path should run a Pallas matmul kernel instead.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 
