@@ -53,6 +53,15 @@ WQ = os.environ.get("BENCH_WQ", "int8")
 # (the vLLM-scheduler replacements — BENCH_ENGINE={continuous,paged} records
 # their on-chip numbers; VERDICT r3 task 1)
 ENGINE = os.environ.get("BENCH_ENGINE", "dense")
+# int4 decode attention with both dots on the int8 MXU (nibbles unpacked to
+# int8 lanes; q + softmax weights quantized per row in-register, scales
+# recovered exactly in the f32 epilogues): measured 11.37 vs 14.68 ms/pass at
+# the flagship decode shape (b=64, width 8192) and 15.17 vs 16.8 at
+# b=256/2304 — the default for the int4-KV shapes. BENCH_I8DOT=0 reverts to
+# the bf16-lane kernel.
+I8DOT = os.environ.get("BENCH_I8DOT", "1") == "1"
+if I8DOT:
+    os.environ["SPATIALTHINKER_INT4_I8DOT"] = "1"
 
 
 def train_bench() -> dict:
@@ -422,9 +431,12 @@ def main() -> None:
 
     def shape_cfg(name):
         b, p, r, kv_name, chunk, group_n, rows = SHAPES[name]
-        return {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "wq": WQ,
-                "prefill_chunk": chunk, "prefill_rows": rows, "n": group_n,
-                "engine": ENGINE}
+        out = {"batch": b, "prompt": p, "gen": r, "kv": kv_name, "wq": WQ,
+               "prefill_chunk": chunk, "prefill_rows": rows, "n": group_n,
+               "engine": ENGINE}
+        if kv_name == "int4":
+            out["i8dot"] = I8DOT
+        return out
 
     out = {
         "metric": f"rollout_tokens_per_sec_per_chip_{headline}"
@@ -467,11 +479,14 @@ def main() -> None:
                         engine=eng, slots_override=sched_slots,
                     ) / n_chips, 2,
                 )
+                eng_cfg = {**shape_cfg("long"), "engine": eng,
+                           "slots": sched_slots}
+                if eng == "paged":  # the page-table kernel has no i8dot path
+                    eng_cfg.pop("i8dot", None)
                 out[f"{eng}_long_ctx"] = {
                     "value": v,
                     "vs_baseline": round(v / H100_VLLM_3B_TOKS, 4),
-                    "config": {**shape_cfg("long"), "engine": eng,
-                               "slots": sched_slots},
+                    "config": eng_cfg,
                 }
             except Exception as e:  # noqa: BLE001 — record, don't lose the run
                 out[f"{eng}_long_ctx"] = {"error": f"{type(e).__name__}: {e}"}
