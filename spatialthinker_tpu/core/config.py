@@ -186,6 +186,17 @@ class RolloutConfig:
     # preemption in tests, and pinning the pool on hosts whose free-HBM
     # estimates would drift. 0 = measure.
     kv_pages_override: int = 0
+    # int4-KV decode attention with both dots on the int8 MXU: the nibble
+    # unpack stays in int8 lanes (one widen per packed byte) and q + the
+    # softmax weights are quantized per row in-register with exact scale
+    # recovery in the f32 epilogues. Measured on v5e: 11.37 vs 14.68 ms/pass
+    # at the flagship decode shape (b=64, width 8192) and 15.17 vs 16.8 at
+    # b=256/2304 — takes the flagship rollout 0.93x -> 1.06x anchor. Adds
+    # ~0.3% rounding on the behavior policy's logits on top of the int4 KV
+    # error (guarded by rollout/probs_diff_* like every rollout
+    # approximation). Inert unless kv_cache_dtype=int4; selected at kernel
+    # trace time (ops/decode_attention._int4_i8dot_enabled).
+    int4_i8dot: bool = False
     decode_batch_size: int = -1     # -1: infer from batch
     # > 0: cap UNIQUE prompts per continuous/paged refill prefill. The refill
     # runs through a u x P scratch KV cache before installing into slots or

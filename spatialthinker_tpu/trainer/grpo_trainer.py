@@ -108,6 +108,11 @@ class GRPOTrainer:
                     f"rollout_batch_size * n = {rollout_bs} must be divisible by "
                     f"worker.{role}.global_batch_size = {gbs}"
                 )
+        if config.worker.rollout.int4_i8dot:
+            # kernel variant is selected at trace time from the process env
+            # (ops/decode_attention._int4_i8dot_enabled) — set it before any
+            # rollout program traces so every engine's int4 decode rides it
+            os.environ["SPATIALTHINKER_INT4_I8DOT"] = "1"
         self.use_kl_in_reward = not algo.disable_kl and not algo.use_kl_loss
         self.use_kl_loss = not algo.disable_kl and algo.use_kl_loss
         self.use_ref = not algo.disable_kl
