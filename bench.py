@@ -300,7 +300,7 @@ def _measure_host_engine(params, cfg, shape, iters: int, engine: str = None,
         refill_batch=int(os.environ.get("BENCH_REFILL", "16")),
         group_n=group_n,
     )
-    if ENGINE == "paged":
+    if engine == "paged":
         from spatialthinker_tpu.rollout.paged import generate_paged
 
         page_size = int(os.environ.get("BENCH_PAGE_SIZE", "256"))
@@ -322,7 +322,7 @@ def _measure_host_engine(params, cfg, shape, iters: int, engine: str = None,
         )
 
     out = fn(jax.random.key(1))  # compile + warm
-    if ENGINE == "paged":
+    if engine == "paged":
         import sys
 
         print(f"[bench] paged stats: {out.stats}", file=sys.stderr, flush=True)

@@ -61,24 +61,33 @@ def _paged_kernel(
     meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
     pt_ref,       # (S, P_max) int32 page table
     # blocks
-    q_ref,        # (1, Hq_pad, D)
-    k_ref,        # (1, Hkv, page, D) int8 | bf16 — page pt[si, pi]
-    v_ref,        # (1, Hkv, page, D)
-    *rest,        # [ks_ref, vs_ref] if quantized, then o_ref + scratches
+    q_ref,        # (block_s, Hq_pad, D)
+    *rest,        # k_0..k_{bs-1}, v_0.., [ks_0.., vs_0..], o_ref + scratches
     scale: float,
     hkv: int,
     g: int,       # padded group size (multiple of 8)
     quantized: bool,
+    block_s: int,
 ):
+    # block_s slots per program: every grid program serializes on the one TPU
+    # core, so per-program pipeline overhead is paid S*P_max times — blocking
+    # slots cuts the program count block_s x and grows each pipeline wait's
+    # DMA to block_s pages (the dense kernel's whole advantage is exactly its
+    # multi-megabyte per-program reads). Each slot keeps its own pool spec
+    # (pages are scattered; one BlockSpec can't span two table entries).
+    k_refs = rest[:block_s]
+    v_refs = rest[block_s:2 * block_s]
+    idx = 2 * block_s
     if quantized:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        o_ref, m_scr, l_scr, acc_scr = rest
+        ks_refs = rest[idx:idx + block_s]
+        vs_refs = rest[idx + block_s:idx + 2 * block_s]
+        idx += 2 * block_s
+    o_ref, m_scr, l_scr, acc_scr = rest[idx:idx + 4]
     si = pl.program_id(0)
     pi = pl.program_id(1)
-    page = k_ref.shape[-2]
+    page = k_refs[0].shape[-2]
     d = q_ref.shape[-1]
-    length = meta_ref[1 + si]
+    hq_p = hkv * g
 
     @pl.when(pi == 0)
     def _init():
@@ -86,38 +95,53 @@ def _paged_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # one (kv-head)-batched dot per program: (Hkv, g, d) x (Hkv, page, d)
-    q = q_ref[0].reshape(hkv, g, d)
-    k = k_ref[0].astype(jnp.bfloat16)  # int8 -> exact
+    # BATCH the whole block's math: concatenating the block_s slot pages into
+    # one (block_s*Hkv, page, d) operand turns 8 short per-slot VPU/MXU chains
+    # into single wide ops (the per-slot loop measured ~2x slower at the same
+    # DMA volume — small (Hkv, g, page) chains can't fill the vector units)
+    bsk = block_s * hkv
+    cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
+    valid = jnp.concatenate(
+        [cell < meta_ref[1 + si * block_s + r] for r in range(block_s)], axis=0
+    )  # (block_s, 1, page)
+    q = q_ref[...].reshape(bsk, g, d)
+    k = jnp.concatenate([r[0] for r in k_refs], axis=0).astype(jnp.bfloat16)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (Hkv, g, page)
+    )  # (bsk, g, page)
     if quantized:
-        s = s * (ks_ref[0].reshape(hkv, 1, page).astype(jnp.float32) * scale)
+        ks = jnp.concatenate([r[0] for r in ks_refs], axis=0)
+        s = s * (ks.reshape(bsk, 1, page).astype(jnp.float32) * scale)
     else:
         s = s * scale
     # validity: global cell index pi*page + j < length (compacted pages)
-    cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
-    valid = cell < length
+    s = s.reshape(block_s, hq_p, page)
     s = jnp.where(valid, s, NEG_INF)
 
-    m_prev = m_scr[...].reshape(hkv, g, 128)[:, :, 0:1]
+    m_prev = m_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
     p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
     corr = jnp.exp(m_prev - m_new)
-    l_new = l_scr[...].reshape(hkv, g, 128)[:, :, 0:1] * corr + jnp.sum(
+    l_new = l_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1] * corr + jnp.sum(
         p, axis=2, keepdims=True
     )
+    p = p.reshape(bsk, g, page)
     if quantized:
-        p = p * vs_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
+        vs = jnp.concatenate([r[0] for r in vs_refs], axis=0)
+        p = p * vs.reshape(bsk, 1, page).astype(jnp.float32)
+    v = jnp.concatenate([r[0] for r in v_refs], axis=0).astype(jnp.bfloat16)
     pv = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+        p.astype(jnp.bfloat16), v,
         (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    )  # (Hkv, g, d)
-    acc = acc_scr[...].reshape(hkv, g, d) * corr + pv
-    m_scr[...] = jnp.broadcast_to(m_new, (hkv, g, 128)).reshape(hkv * g, 128)
-    l_scr[...] = jnp.broadcast_to(l_new, (hkv, g, 128)).reshape(hkv * g, 128)
-    acc_scr[...] = acc.reshape(hkv * g, d)
+    ).reshape(block_s, hq_p, d)
+    acc = acc_scr[...].reshape(block_s, hq_p, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(
+        m_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    l_scr[...] = jnp.broadcast_to(
+        l_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    acc_scr[...] = acc.reshape(block_s * hq_p, d)
 
     @pl.when(pi == pl.num_programs(1) - 1)
     def _flush():
@@ -129,25 +153,28 @@ def _paged_kernel(
 def _paged_kernel_int4(
     meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
     pt_ref,       # (S, P_max) int32 page table
-    q_ref,        # (1, Hq_pad, D)
-    kp_ref,       # (1, Hkv, page/2, D) uint8 — page-local split-half nibbles
-    vp_ref,
-    ks_ref, vs_ref,  # (1, Hkv, page) per-cell scales
-    o_ref, m_scr, l_scr, acc_scr,
-    *,
+    q_ref,        # (block_s, Hq_pad, D)
+    *rest,        # kp_0..kp_{bs-1}, vp_0.., ks_0.., vs_0.., o_ref + scratches
     scale: float,
     hkv: int,
     g: int,
+    block_s: int,
 ):
     """int4 pool pages: each packed byte row holds cells (r, r + page/2) of
     its page; both nibble halves unpack into ONE fused online-softmax update
-    per page (mirroring ops/decode_attention._decode_kernel_int4)."""
+    per page (mirroring ops/decode_attention._decode_kernel_int4). block_s
+    slots per program — see _paged_kernel."""
+    kp_refs = rest[:block_s]
+    vp_refs = rest[block_s:2 * block_s]
+    ks_refs = rest[2 * block_s:3 * block_s]
+    vs_refs = rest[3 * block_s:4 * block_s]
+    o_ref, m_scr, l_scr, acc_scr = rest[4 * block_s:4 * block_s + 4]
     si = pl.program_id(0)
     pi = pl.program_id(1)
-    half = kp_ref.shape[-2]
+    half = kp_refs[0].shape[-2]
     page = 2 * half
     d = q_ref.shape[-1]
-    length = meta_ref[1 + si]
+    hq_p = hkv * g
 
     @pl.when(pi == 0)
     def _init():
@@ -155,7 +182,6 @@ def _paged_kernel_int4(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].reshape(hkv, g, d)
     from ..models.qwen2_5_vl.text import KV4_BIAS
     from .int4_mlp import nibble_u4
 
@@ -170,42 +196,67 @@ def _paged_kernel_int4(
              nibble_u4(p, 1).astype(jnp.bfloat16)], axis=1
         )
 
-    k_bf = unpack2(kp_ref[0])  # (Hkv, page, D)
-    v_bf = unpack2(vp_ref[0])
-    ks = ks_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
-    vs = vs_ref[0].reshape(hkv, 1, page).astype(jnp.float32)
+    # batched block math — see _paged_kernel: one concat + one unpack + one
+    # batched dot instead of block_s short per-slot chains
+    bsk = block_s * hkv
+    cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
+    valid = jnp.concatenate(
+        [cell < meta_ref[1 + si * block_s + r] for r in range(block_s)], axis=0
+    )  # (block_s, 1, page)
+    q = q_ref[...].reshape(bsk, g, d)
+    k_bf = unpack2(jnp.concatenate([r[0] for r in kp_refs], axis=0))  # (bsk, page, D)
+    v_bf = unpack2(jnp.concatenate([r[0] for r in vp_refs], axis=0))
+    ks = jnp.concatenate([r[0] for r in ks_refs], axis=0)
+    vs = jnp.concatenate([r[0] for r in vs_refs], axis=0)
     s = jax.lax.dot_general(
         q, k_bf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    )  # (Hkv, g, page)
+    )  # (bsk, g, page)
     s = s - KV4_BIAS * jnp.sum(q.astype(jnp.float32), axis=2, keepdims=True)
-    s = s * (ks * scale)
-    cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
-    valid = cell < length
+    s = s * (ks.reshape(bsk, 1, page).astype(jnp.float32) * scale)
+    s = s.reshape(block_s, hq_p, page)
     s = jnp.where(valid, s, NEG_INF)
 
-    m_prev = m_scr[...].reshape(hkv, g, 128)[:, :, 0:1]
+    m_prev = m_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
     p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
     corr = jnp.exp(m_prev - m_new)
-    l_new = l_scr[...].reshape(hkv, g, 128)[:, :, 0:1] * corr + jnp.sum(
+    l_new = l_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1] * corr + jnp.sum(
         p, axis=2, keepdims=True
     )
-    p = p * vs
+    p = p.reshape(bsk, g, page) * vs.reshape(bsk, 1, page).astype(jnp.float32)
     pv = jax.lax.dot_general(
         p.astype(jnp.bfloat16), v_bf,
         (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    )  # (Hkv, g, d)
+    )  # (bsk, g, d)
     pv = pv - KV4_BIAS * jnp.sum(p, axis=2, keepdims=True)
-    acc = acc_scr[...].reshape(hkv, g, d) * corr + pv
-    m_scr[...] = jnp.broadcast_to(m_new, (hkv, g, 128)).reshape(hkv * g, 128)
-    l_scr[...] = jnp.broadcast_to(l_new, (hkv, g, 128)).reshape(hkv * g, 128)
-    acc_scr[...] = acc.reshape(hkv * g, d)
+    pv = pv.reshape(block_s, hq_p, d)
+    acc = acc_scr[...].reshape(block_s, hq_p, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(
+        m_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    l_scr[...] = jnp.broadcast_to(
+        l_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    acc_scr[...] = acc.reshape(block_s * hq_p, d)
 
     @pl.when(pi == pl.num_programs(1) - 1)
     def _flush():
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def _block_slots(s_slots: int) -> int:
+    """Slots per kernel program. Grid programs serialize on the one TPU core,
+    so per-program pipeline overhead is paid (S/block_s)*P_max times — 8 slots
+    per program turns 64x33 = 2112 ~131KB programs into 264 ~1MB ones
+    (measured 50 -> low-teens ms per 36-layer flagship pass). Each slot needs
+    its own BlockSpec pair (scattered pages), so block_s also sets the kernel
+    operand count: 1 + 2*block_s (+2*block_s quantized) stays ~33 at 8."""
+    import os
+
+    bs = int(os.environ.get("SPATIALTHINKER_PAGED_BS", "8"))
+    return max(1, min(bs, s_slots))
 
 
 def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
@@ -223,53 +274,81 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
     quantized = k_scale is not None
     int4 = k_pool.dtype == jnp.uint8
 
+    # pad the slot axis to a block_s multiple: padded rows have length 0 and
+    # page-table 0 (the reserved dummy page) — fetched but fully masked, and
+    # dropped from the output below
+    block_s = _block_slots(s_slots)
+    s_pad = -(-s_slots // block_s) * block_s
+    lengths = lengths.astype(jnp.int32)
+    if s_pad != s_slots:
+        q = jnp.pad(q, ((0, s_pad - s_slots), (0, 0), (0, 0)))
+        page_table = jnp.pad(page_table, ((0, s_pad - s_slots), (0, 0)))
+        lengths = jnp.pad(lengths, (0, s_pad - s_slots))
+
     meta = jnp.concatenate(
-        [jnp.asarray(layer_idx, jnp.int32).reshape(1), lengths.astype(jnp.int32)]
+        [jnp.asarray(layer_idx, jnp.int32).reshape(1), lengths]
     )
     if int4:
-        kernel = functools.partial(_paged_kernel_int4, scale=scale, hkv=hkv, g=gp)
+        kernel = functools.partial(
+            _paged_kernel_int4, scale=scale, hkv=hkv, g=gp, block_s=block_s,
+        )
     else:
         kernel = functools.partial(
             _paged_kernel, scale=scale, hkv=hkv, g=gp, quantized=quantized,
+            block_s=block_s,
         )
+
     # index maps receive (si, pi, meta_ref, pt_ref); the page block index is
-    # the page-table entry itself — no gathered cache ever exists in HBM
-    pool_spec = pl.BlockSpec(
-        (None, 1, hkv, page, d), lambda si, pi, meta, pt: (meta[0], pt[si, pi], 0, 0, 0)
-    )
+    # the page-table entry itself — no gathered cache ever exists in HBM.
+    # One pool spec per slot row of the block (pages are scattered: a single
+    # BlockSpec cannot span two table entries).
+    def pool_spec(r):
+        return pl.BlockSpec(
+            (None, 1, hkv, page, d),
+            lambda si, pi, meta, pt, r=r: (meta[0], pt[si * block_s + r, pi], 0, 0, 0),
+        )
+
     in_specs = [
-        pl.BlockSpec((1, hq_p, d), lambda si, pi, meta, pt: (si, 0, 0)),
-        pool_spec,
-        pool_spec,
+        pl.BlockSpec((block_s, hq_p, d), lambda si, pi, meta, pt: (si, 0, 0)),
     ]
-    args = [q, k_pool, v_pool]
+    in_specs += [pool_spec(r) for r in range(block_s)]
+    in_specs += [pool_spec(r) for r in range(block_s)]
+    args = [q] + [k_pool] * block_s + [v_pool] * block_s
     if quantized:
         # scales stay per token CELL: 2x the packed row width under int4
         cell_page = 2 * page if int4 else page
-        scale_spec = pl.BlockSpec(
-            (None, 1, hkv, cell_page),
-            lambda si, pi, meta, pt: (meta[0], pt[si, pi], 0, 0),
-        )
-        in_specs += [scale_spec, scale_spec]
-        args += [k_scale, v_scale]
+
+        def scale_spec(r):
+            return pl.BlockSpec(
+                (None, 1, hkv, cell_page),
+                lambda si, pi, meta, pt, r=r: (meta[0], pt[si * block_s + r, pi], 0, 0),
+            )
+
+        in_specs += [scale_spec(r) for r in range(block_s)]
+        in_specs += [scale_spec(r) for r in range(block_s)]
+        args += [k_scale] * block_s + [v_scale] * block_s
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(s_slots, p_max),
+        grid=(s_pad // block_s, p_max),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hq_p, d), lambda si, pi, meta, pt: (si, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (block_s, hq_p, d), lambda si, pi, meta, pt: (si, 0, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((hq_p, 128), jnp.float32),
-            pltpu.VMEM((hq_p, 128), jnp.float32),
-            pltpu.VMEM((hq_p, d), jnp.float32),
+            pltpu.VMEM((block_s * hq_p, 128), jnp.float32),
+            pltpu.VMEM((block_s * hq_p, 128), jnp.float32),
+            pltpu.VMEM((block_s * hq_p, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s_slots, hq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((s_pad, hq_p, d), q.dtype),
         interpret=_interpret(),
     )(meta, page_table.astype(jnp.int32), *args)
+    if s_pad != s_slots:
+        out = out[:s_slots]
     if gp != g:
         out = out.reshape(s_slots, hkv, gp, d)[:, :, :g].reshape(s_slots, hq, d)
     return out

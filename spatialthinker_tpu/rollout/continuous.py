@@ -653,25 +653,57 @@ def generate_continuous(
                     logps_out[owner] = logp_rows[row]
                     slot_owner[slot] = -1
                 h_active[slot] = False
+            # SHAPE-STABLE scatter: the number of finished slots varies every
+            # chunk, and a `.at[idx]` whose index count changes is a fresh XLA
+            # program each time — through the remote-compile relay that's
+            # seconds per chunk of pure recompilation. Pad to n_lanes with an
+            # out-of-bounds index (mode="drop") so one program serves every
+            # chunk.
+            idx = np.full(n_lanes, n_lanes, np.int32)
+            idx[: len(done_slots)] = done_slots
             state = state._replace(
-                active=state.active.at[jnp.asarray(done_slots)].set(False)
+                active=state.active.at[jnp.asarray(idx)].set(False, mode="drop")
             )
         return state, done_slots
 
     # fill every slot (several refills when refill_batch caps the prefill)
+    import os as _os
+    import time as _time
+
+    trace = _os.environ.get("SPATIALTHINKER_ENGINE_TRACE") == "1"
+    t_acc = {"refill": 0.0, "dispatch": 0.0, "sync": 0.0, "harvest": 0.0,
+             "chunks": 0, "refills": 0}
     free_pool = list(range(slots))
     while next_prompt < b and len(free_pool) >= group_n:
+        t0 = _time.perf_counter()
         state, free_pool = refill(state, free_pool)
+        t_acc["refill"] += _time.perf_counter() - t0
+        t_acc["refills"] += 1
     while True:
+        t0 = _time.perf_counter()
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
+        t1 = _time.perf_counter()
         # the one fetch per sync: which slots finished during this chunk
         finished_np = np.asarray(fetch_lane(state.finished), dtype=bool)
+        t2 = _time.perf_counter()
         state, done_slots = harvest(state, finished_np)
+        t3 = _time.perf_counter()
         free_pool.extend(done_slots)
+        t_acc["dispatch"] += t1 - t0
+        t_acc["sync"] += t2 - t1
+        t_acc["harvest"] += t3 - t2
+        t_acc["chunks"] += 1
         while next_prompt < b and len(free_pool) >= group_n:
+            t0 = _time.perf_counter()
             state, free_pool = refill(state, free_pool)
+            t_acc["refill"] += _time.perf_counter() - t0
+            t_acc["refills"] += 1
         if not h_active.any() and next_prompt >= b:
             break
+    if trace:
+        import sys as _sys
+
+        print(f"[continuous trace] {t_acc}", file=_sys.stderr, flush=True)
 
     from .sampling import get_response_mask
 

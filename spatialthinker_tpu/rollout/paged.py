@@ -846,14 +846,17 @@ def generate_paged(
             h_finished[s] = True  # keep the mirror in lockstep with the flag
         work.insert(0, prompt_idx)
         stats["preemptions"] += 1
-        dev_idx = jnp.asarray(victim_slots)
+        # shape-stable scatter (see harvest): pad to `slots`, drop OOB
+        pad_idx = np.full(slots, slots, np.int32)
+        pad_idx[: len(victim_slots)] = victim_slots
+        dev_idx = jnp.asarray(pad_idx)
         # finished while still ACTIVE: the next harvest() collects the victim
         # slots into free_pool (owner == -1 skips the response copy; the page
         # release above already happened, release_slot is idempotent). Setting
         # active=False here instead would leak the lanes out of circulation —
         # every preemption would permanently shrink the decode batch.
         return state._replace(
-            finished=state.finished.at[dev_idx].set(True),
+            finished=state.finished.at[dev_idx].set(True, mode="drop"),
         )
 
     def ensure_capacity(state: PagedState) -> PagedState:
@@ -903,34 +906,66 @@ def generate_paged(
                 release_slot(slot)
                 h_active[slot] = False
                 h_finished[slot] = True
+            # shape-stable scatter: pad the varying done count to `slots` with
+            # an out-of-bounds index (mode="drop") so every chunk reuses ONE
+            # compiled program instead of recompiling per distinct count
+            # through the remote-compile relay (see rollout/continuous.py)
+            idx = np.full(slots, slots, np.int32)
+            idx[: len(done_slots)] = done_slots
             state = state._replace(
-                active=state.active.at[jnp.asarray(done_slots)].set(False)
+                active=state.active.at[jnp.asarray(idx)].set(False, mode="drop")
             )
         return state, done_slots
 
     # fill every slot (several refills when refill_batch caps the prefill);
     # a refill that installs nothing (pool pressure) stops the fill loop
+    import os as _os
+    import time as _time
+
+    trace = _os.environ.get("SPATIALTHINKER_ENGINE_TRACE") == "1"
+    t_acc = {"refill": 0.0, "capacity": 0.0, "dispatch": 0.0, "sync": 0.0,
+             "harvest": 0.0, "chunks": 0, "refills": 0}
     free_pool = list(range(slots))
     installed = True
     while work and len(free_pool) >= group_n and installed:
+        t0 = _time.perf_counter()
         state, free_pool, installed = refill(state, free_pool)
+        t_acc["refill"] += _time.perf_counter() - t0
+        t_acc["refills"] += 1
     while True:
+        t0 = _time.perf_counter()
         state = ensure_capacity(state)
+        t1 = _time.perf_counter()
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
+        t2 = _time.perf_counter()
         # the one fetch per sync: which slots finished during this chunk
         running = h_active & ~h_finished
         finished_np = np.asarray(fetch_lane(state.finished), dtype=bool)
+        t3 = _time.perf_counter()
         h_finished |= finished_np
         # slots still running advanced exactly the chunk; finished slots'
         # lengths are never read again (their pages release in harvest)
         h_length[running & ~finished_np] += decode_chunk_size
         state, done_slots = harvest(state, finished_np)
+        t4 = _time.perf_counter()
         free_pool.extend(done_slots)
+        t_acc["capacity"] += t1 - t0
+        t_acc["dispatch"] += t2 - t1
+        t_acc["sync"] += t3 - t2
+        t_acc["harvest"] += t4 - t3
+        t_acc["chunks"] += 1
         installed = True
         while work and len(free_pool) >= group_n and installed:
+            t0 = _time.perf_counter()
             state, free_pool, installed = refill(state, free_pool)
+            t_acc["refill"] += _time.perf_counter() - t0
+            t_acc["refills"] += 1
         if not h_active.any() and not work:
             break
+    if trace:
+        import sys as _sys
+
+        print(f"[paged trace] {t_acc}", file=_sys.stderr, flush=True)
 
     mask = np.asarray(get_response_mask(jnp.asarray(responses), cfg.eos_token_id))
     responses_out = np.where(mask == 1, responses, cfg.pad_token_id)

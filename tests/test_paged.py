@@ -68,6 +68,32 @@ def test_paged_kernel_matches_fallback(quantized):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=3e-3, atol=3e-3)
 
 
+def test_paged_kernel_slot_blocking_pads_ragged_slot_count(monkeypatch):
+    """block_s slots per program: a slot count that doesn't divide block_s
+    pads with zero-length dummy slots (page-table 0) that are fetched, fully
+    masked, and dropped from the output."""
+    from spatialthinker_tpu.ops.paged_attention import _pallas_paged, _xla_paged
+
+    monkeypatch.setenv("SPATIALTHINKER_PAGED_BS", "4")
+    rng = np.random.default_rng(7)
+    L, N, hkv, page, d = 2, 14, 2, 128, 128
+    s_slots, hq = 6, 4  # 6 % 4 != 0 -> padded to 8
+    k_pool = jnp.asarray(rng.normal(size=(L, N, hkv, page, d)).astype(np.float32))
+    v_pool = jnp.asarray(rng.normal(size=(L, N, hkv, page, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(s_slots, hq, d)).astype(np.float32))
+    table = np.zeros((s_slots, 2), dtype=np.int32)
+    table[:, 0] = [1, 3, 5, 7, 9, 11]
+    table[:, 1] = [2, 4, 6, 8, 10, 12]
+    lengths = jnp.asarray([200, 128, 37, 256, 1, 190], jnp.int32)
+    layer_idx = jnp.asarray(1, jnp.int32)
+    out_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                          layer_idx, None, None, d**-0.5)
+    out_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                       layer_idx, None, None, d**-0.5)
+    assert out_k.shape == (s_slots, hq, d)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=3e-3, atol=3e-3)
+
+
 def test_paged_kernel_zero_length_slot_emits_zeros():
     from spatialthinker_tpu.ops.paged_attention import _pallas_paged
 
