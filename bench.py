@@ -290,8 +290,12 @@ def _measure_host_engine(params, cfg, shape, iters: int, engine: str = None,
     position_ids = np.broadcast_to(np.arange(p, dtype=np.int32)[None, None], (3, b, p))
     gen_pos_start = np.full((b,), p, np.int32)
     sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
+    # default slot count caps at the sched entries' 128: slots == b*group_n
+    # means no turnover at all (degenerate dense), and at the long shape the
+    # 256-lane slot cache doesn't even compile (measured 18.7G of 15.75G)
     slots = (slots_override or int(os.environ.get("BENCH_SLOTS", "0"))
-             or b * group_n)
+             or min(b * group_n,
+                    int(os.environ.get("BENCH_SCHED_SLOTS", "128"))))
     common = dict(
         max_new_tokens=r, sampling=sampling, slots=slots,
         decode_chunk_size=int(os.environ.get("BENCH_DECODE_CHUNK", "64")),
@@ -515,6 +519,12 @@ def main() -> None:
                 os.environ["BENCH_STREAM_OPT"] = "1"
                 os.environ["BENCH_ITERS"] = "1"
                 os.environ.setdefault("BENCH_TRAIN_BS", "1")
+                # measured single-chip 3B fit (2026-08): micro_bs=1 x seq 2048
+                # with one micro-batch; seq 4096 or n_micro=2 ResourceExhausted
+                # even with the streamed optimizer (grads + params + one
+                # layer-slice of moments is the whole budget)
+                os.environ.setdefault("BENCH_TRAIN_SEQ", "2048")
+                os.environ.setdefault("BENCH_TRAIN_NMICRO", "1")
                 out["train_3b"] = train_bench()
             except Exception as e:  # noqa: BLE001 — record, don't lose the run
                 out["train_3b"] = {"error": f"{type(e).__name__}: {e}"}
