@@ -106,7 +106,8 @@ def main():
         params = jax.jit(functools.partial(quantize_params, mode=wq),
                          donate_argnums=(0,))(params)
     state = init_paged_state(cfg, slots + 1, pages, page_size, p_max, 2048,
-                             jax.random.key(1), kv_dtype)
+                             jax.random.key(1), kv_dtype,
+                             stage_width=int(os.environ.get("PD_CHUNK", "8")))
     pt = np.zeros((slots + 1, p_max), np.int32)
     n_used = filled // page_size
     pid = 1

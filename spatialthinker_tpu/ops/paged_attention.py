@@ -82,7 +82,7 @@ def _paged_kernel(
         ks_refs = rest[idx:idx + block_s]
         vs_refs = rest[idx + block_s:idx + 2 * block_s]
         idx += 2 * block_s
-    o_ref, m_scr, l_scr, acc_scr = rest[idx:idx + 4]
+    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[idx:idx + 6]
     si = pl.program_id(0)
     pi = pl.program_id(1)
     page = k_refs[0].shape[-2]
@@ -148,6 +148,11 @@ def _paged_kernel(
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+        # softmax stats per q row (f32, scaled space): callers that attend
+        # additional non-pool cells (the decode staging ring) combine partial
+        # softmaxes with the standard flash merge
+        m_ref[...] = m_scr[...].reshape(m_ref.shape)
+        l_ref[...] = l_scr[...].reshape(l_ref.shape)
 
 
 def _paged_kernel_int4(
@@ -168,7 +173,7 @@ def _paged_kernel_int4(
     vp_refs = rest[block_s:2 * block_s]
     ks_refs = rest[2 * block_s:3 * block_s]
     vs_refs = rest[3 * block_s:4 * block_s]
-    o_ref, m_scr, l_scr, acc_scr = rest[4 * block_s:4 * block_s + 4]
+    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[4 * block_s:4 * block_s + 6]
     si = pl.program_id(0)
     pi = pl.program_id(1)
     half = kp_refs[0].shape[-2]
@@ -244,6 +249,11 @@ def _paged_kernel_int4(
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+        # softmax stats per q row (f32, scaled space): callers that attend
+        # additional non-pool cells (the decode staging ring) combine partial
+        # softmaxes with the standard flash merge
+        m_ref[...] = m_scr[...].reshape(m_ref.shape)
+        l_ref[...] = l_scr[...].reshape(l_ref.shape)
 
 
 def _block_slots(s_slots: int) -> int:
@@ -332,26 +342,38 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
         num_scalar_prefetch=2,
         grid=(s_pad // block_s, p_max),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (block_s, hq_p, d), lambda si, pi, meta, pt: (si, 0, 0)
-        ),
+        out_specs=[
+            pl.BlockSpec((block_s, hq_p, d), lambda si, pi, meta, pt: (si, 0, 0)),
+            # softmax stats (m, l) per q row — 128-lane replicated (scratch
+            # layout); column 0 is sliced out below
+            pl.BlockSpec((block_s * hq_p, 128), lambda si, pi, meta, pt: (si, 0)),
+            pl.BlockSpec((block_s * hq_p, 128), lambda si, pi, meta, pt: (si, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_s * hq_p, 128), jnp.float32),
             pltpu.VMEM((block_s * hq_p, 128), jnp.float32),
             pltpu.VMEM((block_s * hq_p, d), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s_pad, hq_p, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((s_pad, hq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((s_pad * hq_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad * hq_p, 128), jnp.float32),
+        ],
         interpret=_interpret(),
     )(meta, page_table.astype(jnp.int32), *args)
+    m = m[:, 0].reshape(s_pad, hq_p)
+    l = l[:, 0].reshape(s_pad, hq_p)
     if s_pad != s_slots:
-        out = out[:s_slots]
+        out, m, l = out[:s_slots], m[:s_slots], l[:s_slots]
     if gp != g:
         out = out.reshape(s_slots, hkv, gp, d)[:, :, :g].reshape(s_slots, hq, d)
-    return out
+        m = m.reshape(s_slots, hkv, gp)[:, :, :g].reshape(s_slots, hq)
+        l = l.reshape(s_slots, hkv, gp)[:, :, :g].reshape(s_slots, hq)
+    return out, m, l
 
 
 # ---------------------------------------------------------------------------
@@ -361,36 +383,47 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
 
 def _xla_paged(q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale):
     from ..models.qwen2_5_vl.text import _dequantize_kv, _unpack_kv4
-    from .attention import xla_attention
 
-    s_slots = q.shape[0]
+    s_slots, hq, d = q.shape
     int4 = k_pool.dtype == jnp.uint8
-    n_layers, n_pages, hkv, page, d = k_pool.shape
+    n_layers, n_pages, hkv, page, _ = k_pool.shape
     if int4:
         page = 2 * page  # packed rows -> token cells per page
     p_max = page_table.shape[1]
+    g = hq // hkv
 
     def layer_gather(pool, unpack4=False):
         l = jax.lax.dynamic_index_in_dim(pool, layer_idx, 0, keepdims=False)
         if unpack4:  # per-page split-half nibbles -> token-ordered int8
             l = _unpack_kv4(l, seq_axis=2)
-        g = jnp.take(l, page_table.reshape(-1), axis=0)  # (S*P_max, Hkv, page, D)
-        g = g.reshape(s_slots, p_max, hkv, page, *l.shape[3:])
-        g = jnp.moveaxis(g, 2, 1).reshape(s_slots, hkv, p_max * page, *l.shape[3:])
-        return g
+        gth = jnp.take(l, page_table.reshape(-1), axis=0)  # (S*P_max, Hkv, page, D)
+        gth = gth.reshape(s_slots, p_max, hkv, page, *l.shape[3:])
+        gth = jnp.moveaxis(gth, 2, 1).reshape(s_slots, hkv, p_max * page, *l.shape[3:])
+        return gth
 
     k_l = layer_gather(k_pool, unpack4=int4)  # (S, Hkv, T, D)
     v_l = layer_gather(v_pool, unpack4=int4)
     if k_scale is not None:
         k_l = _dequantize_kv(k_l, layer_gather(k_scale), q.dtype)
         v_l = _dequantize_kv(v_l, layer_gather(v_scale), q.dtype)
-    k_l = k_l.transpose(0, 2, 1, 3)  # (S, T, Hkv, D)
-    v_l = v_l.transpose(0, 2, 1, 3)
+    # explicit masked softmax (not ops.attention.xla_attention) so the partial
+    # stats (m, l) come back for staging-ring merges — same math as the kernel
+    qg = q.reshape(s_slots, hkv, g, d).astype(jnp.float32)
+    s = jnp.einsum("shgd,shtd->shgt", qg, k_l.astype(jnp.float32)) * scale
     mask = (
         jnp.arange(p_max * page, dtype=jnp.int32)[None, :] < lengths[:, None]
     )[:, None, None, :]
-    out = xla_attention(q[:, None].astype(k_l.dtype), k_l, v_l, mask=mask, scale=scale)
-    return out[:, 0]
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=3)  # (S, Hkv, G)
+    p = jnp.where(mask, jnp.exp(s - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=3)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    out = jnp.einsum("shgt,shtd->shgd", p, v_l.astype(jnp.float32)) / safe_l[..., None]
+    return (
+        out.reshape(s_slots, hq, d).astype(q.dtype),
+        m.reshape(s_slots, hq),
+        l.reshape(s_slots, hq),
+    )
 
 
 def _eligible(q, k_pool) -> bool:
@@ -415,14 +448,19 @@ def paged_attention(
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     backend: str = "auto",
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Attention of one decode token per slot over its page-table pages of
-    layer ``layer_idx``. Returns (S, Hq, D)."""
+    layer ``layer_idx``. Returns (S, Hq, D); with ``return_stats`` also the
+    partial-softmax stats (m, l) each (S, Hq) in scaled-score space, for
+    flash-merging with attention over cells outside the pool (the decode
+    staging ring in rollout/paged.py)."""
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
+    out = None
     if backend in ("auto", "pallas") and _eligible(q, k_pool):
         try:
-            return _pallas_paged(
+            out = _pallas_paged(
                 q, k_pool, v_pool, page_table, lengths, layer_idx,
                 k_scale, v_scale, scale,
             )
@@ -432,9 +470,11 @@ def paged_attention(
             _warn_fallback(f"kernel raised {type(e).__name__}: {e}", q, k_pool)
     elif jax.default_backend() == "tpu":
         _warn_fallback("shape ineligible", q, k_pool)
-    return _xla_paged(
-        q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale
-    )
+    if out is None:
+        out = _xla_paged(
+            q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale
+        )
+    return out if return_stats else out[0]
 
 
 _warned_fallbacks: set = set()

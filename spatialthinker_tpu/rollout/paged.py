@@ -64,11 +64,25 @@ class PagedState(NamedTuple):
     key: jax.Array
     k_scale: Optional[jnp.ndarray] = None  # (L, N, Hkv, page) — int8 mode
     v_scale: Optional[jnp.ndarray] = None
+    # Decode staging ring (uniform-index KV writes). Per-slot (page, offset)
+    # pool writes are vector-index scatters, which SERIALIZE on TPU (the
+    # continuous engine measured 473 ms/token-step from the same pattern).
+    # New tokens instead accumulate in this small dense buffer at index
+    # `ring` — a dynamic_update_slice, uniform across slots — attention
+    # flash-merges the pool kernel's partial softmax with the staged cells,
+    # and ONE batched install per chunk moves them into the pools.
+    stage_k: Optional[jnp.ndarray] = None   # (L, S, Hkv, C, D) int8 | bf16 cells
+    stage_v: Optional[jnp.ndarray] = None
+    stage_ks: Optional[jnp.ndarray] = None  # (L, S, Hkv, C) bf16 — quantized pools
+    stage_vs: Optional[jnp.ndarray] = None
+    stage_seg: Optional[jnp.ndarray] = None  # (S, C) int32 — staged-cell validity
+    ring: Optional[jnp.ndarray] = None       # () int32 — position within the chunk
 
 
 def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
                      page_size: int, p_max: int, max_new_tokens: int,
-                     key: jax.Array, kv_dtype=jnp.bfloat16) -> PagedState:
+                     key: jax.Array, kv_dtype=jnp.bfloat16,
+                     stage_width: int = 16) -> PagedState:
     t = cfg.text
     pool_shape = (t.num_hidden_layers, total_pages, t.num_key_value_heads,
                   page_size, t.head_dim)
@@ -82,6 +96,15 @@ def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
     if kv_dtype == jnp.uint8:  # int4: page-local split-half packed rows
         assert page_size % 2 == 0, page_size
         pool_shape = pool_shape[:3] + (page_size // 2, t.head_dim)
+    # staging cells stay UNPACKED (int8 holds the int4 values pre-packing);
+    # nibble packing happens once per chunk at install
+    stage_dtype = jnp.int8 if kv_dtype in (jnp.int8, jnp.uint8) else kv_dtype
+    stage_shape = (t.num_hidden_layers, slots, t.num_key_value_heads,
+                   stage_width, t.head_dim)
+    stage_ks = stage_vs = None
+    if kv_dtype in (jnp.int8, jnp.uint8):
+        stage_ks = jnp.zeros(stage_shape[:-1], jnp.bfloat16)
+        stage_vs = jnp.zeros(stage_shape[:-1], jnp.bfloat16)
     return PagedState(
         k_pool=jnp.zeros(pool_shape, kv_dtype),
         v_pool=jnp.zeros(pool_shape, kv_dtype),
@@ -97,6 +120,12 @@ def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
         responses=jnp.full((slots, max_new_tokens), cfg.pad_token_id, jnp.int32),
         logps=jnp.zeros((slots, max_new_tokens), jnp.float32),
         key=key,
+        stage_k=jnp.zeros(stage_shape, stage_dtype),
+        stage_v=jnp.zeros(stage_shape, stage_dtype),
+        stage_ks=stage_ks,
+        stage_vs=stage_vs,
+        stage_seg=jnp.zeros((slots, stage_width), jnp.int32),
+        ring=jnp.zeros((), jnp.int32),
     )
 
 
@@ -260,68 +289,101 @@ def prefill_paged(
 # ---------------------------------------------------------------------------
 
 
-def _paged_decode_layer(layer_p, cfg, x, cos, sin, pools, layer_idx,
-                        page_table, write_page, write_off, lengths_new):
-    """One decoder layer, one token per slot: per-slot (page, offset) KV
-    write into the pools + page-table attention. Head/tail shared with every
-    other engine (text.attention_inputs / text.finish_layer)."""
+def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
+                        page_table, lengths_installed, pools, ring, stage_seg):
+    """One decoder layer, one token per slot. The new token's KV is written
+    into the STAGING ring at the uniform index ``ring`` (dynamic_update_slice
+    — a per-slot pool scatter would serialize, see PagedState.stage_k);
+    attention flash-merges the pool kernel's partial softmax over the
+    INSTALLED cells with a tiny staged-cell attention. ``stage`` is the
+    carried (stage_k, stage_v[, stage_ks, stage_vs]); the pools are read-only
+    during the chunk. Head/tail shared with every other engine
+    (text.attention_inputs / text.finish_layer)."""
     t = cfg
     s = x.shape[0]
+    int4 = pools[0].dtype == jnp.uint8
     quantized = len(pools) == 4
 
     x2 = x[:, None, :]
     q, knew, vnew = attention_inputs(layer_p, t, x2, cos, sin)
 
-    if quantized and pools[0].dtype == jnp.uint8:  # int4 page-local split-half
-        from ..models.qwen2_5_vl.text import KV4_BIAS, _quantize_kv4
+    zero = jnp.zeros((), jnp.int32)
 
-        u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
-        kq, ks = _quantize_kv4(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
-        vq, vs = _quantize_kv4(vnew)
-        half = pools[0].shape[3]
-        row = write_off % half
-        is_high = (write_off >= half)[:, None, None]
+    def dus_cell(arr, val):  # val (S, Hkv, D) -> arr[layer_idx, :, :, ring]
+        return jax.lax.dynamic_update_slice(
+            arr, val[None, :, :, None, :].astype(arr.dtype),
+            (layer_idx, zero, zero, ring, zero),
+        )
 
-        def nibble_write(pool, q4):
-            cur = pool[layer_idx, write_page, :, row]  # (S, Hkv, D) uint8
-            qb = u8(q4[:, 0] + jnp.int8(KV4_BIAS))  # biased storage
-            merged = jnp.where(
-                is_high,
-                (cur & jnp.uint8(0x0F)) | (qb << 4),
-                (cur & jnp.uint8(0xF0)) | (qb & jnp.uint8(0xF)),
-            )
-            return pool.at[layer_idx, write_page, :, row].set(merged)
+    def dus_scale(arr, val):  # val (S, Hkv) -> arr[layer_idx, :, :, ring]
+        return jax.lax.dynamic_update_slice(
+            arr, val[None, :, :, None].astype(arr.dtype),
+            (layer_idx, zero, zero, ring),
+        )
 
-        k_pool = nibble_write(pools[0], kq)
-        v_pool = nibble_write(pools[1], vq)
-        ks_pool = pools[2].at[layer_idx, write_page, :, write_off].set(ks[:, 0])
-        vs_pool = pools[3].at[layer_idx, write_page, :, write_off].set(vs[:, 0])
-        new_pools = (k_pool, v_pool, ks_pool, vs_pool)
-        scales = (ks_pool, vs_pool)
-    elif quantized:
-        kq, ks = _quantize_kv(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv)
-        vq, vs = _quantize_kv(vnew)
-        k_pool = pools[0].at[layer_idx, write_page, :, write_off].set(kq[:, 0])
-        v_pool = pools[1].at[layer_idx, write_page, :, write_off].set(vq[:, 0])
-        ks_pool = pools[2].at[layer_idx, write_page, :, write_off].set(ks[:, 0])
-        vs_pool = pools[3].at[layer_idx, write_page, :, write_off].set(vs[:, 0])
-        new_pools = (k_pool, v_pool, ks_pool, vs_pool)
-        scales = (ks_pool, vs_pool)
+    if quantized:
+        from ..models.qwen2_5_vl.text import _quantize_kv4
+
+        qfn = _quantize_kv4 if int4 else _quantize_kv
+        kq, ks = qfn(knew)  # (S, 1, Hkv, D) / (S, 1, Hkv) — SIGNED values
+        vq, vs = qfn(vnew)
+        stage_k = dus_cell(stage[0], kq[:, 0])
+        stage_v = dus_cell(stage[1], vq[:, 0])
+        stage_ks = dus_scale(stage[2], ks[:, 0])
+        stage_vs = dus_scale(stage[3], vs[:, 0])
+        new_stage = (stage_k, stage_v, stage_ks, stage_vs)
+        pool_scales = (pools[2], pools[3])
     else:
-        k_pool = pools[0].at[layer_idx, write_page, :, write_off].set(
-            knew[:, 0].astype(pools[0].dtype)
-        )
-        v_pool = pools[1].at[layer_idx, write_page, :, write_off].set(
-            vnew[:, 0].astype(pools[1].dtype)
-        )
-        new_pools = (k_pool, v_pool)
-        scales = (None, None)
+        stage_k = dus_cell(stage[0], knew[:, 0])
+        stage_v = dus_cell(stage[1], vnew[:, 0])
+        new_stage = (stage_k, stage_v)
+        pool_scales = (None, None)
 
-    out = paged_attention(
-        q[:, 0].astype(x.dtype), k_pool, v_pool, page_table, lengths_new,
-        layer_idx, *scales,
+    d = q.shape[-1]
+    scale = d**-0.5
+    qh = q[:, 0].astype(x.dtype)
+    o1, m1, l1 = paged_attention(
+        qh, pools[0], pools[1], page_table, lengths_installed,
+        layer_idx, *pool_scales, return_stats=True,
     )
-    return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_pools
+
+    # staged-cell attention (C cells, plain XLA) + flash merge with the pool
+    # partials — identical math to merging two flash blocks
+    hkv = stage_k.shape[2]
+    hq = qh.shape[1]
+    g = hq // hkv
+    k_st = jax.lax.dynamic_index_in_dim(stage_k, layer_idx, 0, keepdims=False)
+    v_st = jax.lax.dynamic_index_in_dim(stage_v, layer_idx, 0, keepdims=False)
+    k_bf = k_st.astype(jnp.float32)
+    v_bf = v_st.astype(jnp.float32)
+    if quantized:
+        ks_st = jax.lax.dynamic_index_in_dim(new_stage[2], layer_idx, 0, keepdims=False)
+        vs_st = jax.lax.dynamic_index_in_dim(new_stage[3], layer_idx, 0, keepdims=False)
+        k_bf = k_bf * ks_st[..., None].astype(jnp.float32)
+        v_bf = v_bf * vs_st[..., None].astype(jnp.float32)
+    qg = qh.reshape(s, hkv, g, d).astype(jnp.float32)
+    s2 = jnp.einsum("shgd,shcd->shgc", qg, k_bf) * scale
+    mask = (stage_seg > 0)[:, None, None, :]
+    s2 = jnp.where(mask, s2, -1e30)
+    m2 = jnp.max(s2, axis=3)                      # (S, Hkv, G)
+    p2 = jnp.where(mask, jnp.exp(s2 - m2[..., None]), 0.0)
+    l2 = jnp.sum(p2, axis=3)
+    o2 = jnp.einsum("shgc,shcd->shgd", p2, v_bf)  # UNNORMALIZED (sums to l2)
+
+    m1r = m1.reshape(s, hkv, g)
+    l1r = l1.reshape(s, hkv, g)
+    m = jnp.maximum(m1r, m2)
+    a1 = l1r * jnp.exp(m1r - m)
+    a2 = jnp.exp(m2 - m)
+    den = a1 + a2 * l2
+    safe = jnp.where(den == 0.0, 1.0, den)
+    o = (
+        a1[..., None] * o1.reshape(s, hkv, g, d).astype(jnp.float32)
+        + a2[..., None] * o2
+    ) / safe[..., None]
+    out = o.reshape(s, hq, d).astype(x.dtype)
+
+    return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_stage
 
 
 def decode_chunk_paged(
@@ -329,25 +391,31 @@ def decode_chunk_paged(
     chunk: int,
 ) -> PagedState:
     """Advance every unfinished slot `chunk` tokens. The host guarantees each
-    running slot's page table covers length+chunk cells before calling."""
+    running slot's page table covers length+chunk cells before calling.
+
+    New-token KV accumulates in the staging ring (uniform-index writes, see
+    PagedState.stage_k) and installs into the pools ONCE at the end of the
+    chunk — the only per-slot-indexed pool write, amortized over the whole
+    chunk. ``state.length`` stays the INSTALLED cell count during the chunk
+    (the pool kernel masks by it); it advances at install."""
     t = cfg.text
     inv_freq = jnp.asarray(make_inv_freq(t.head_dim, t.rope_theta), jnp.float32)
     text_params = params["text"]
+    int4 = state.k_pool.dtype == jnp.uint8
     # TOKEN cells per page: the int4 pool stores page_size/2 packed byte rows,
-    # but the page table, write_page/write_off arithmetic, and scales are all
-    # in token cells
-    page = state.k_pool.shape[3] * (2 if state.k_pool.dtype == jnp.uint8 else 1)
+    # but the page table, install arithmetic, and scales are in token cells
+    page = state.k_pool.shape[3] * (2 if int4 else 1)
+    stage_width = state.stage_seg.shape[1]
+    if chunk > stage_width:
+        raise ValueError(
+            f"decode chunk {chunk} exceeds the staging width {stage_width} "
+            "(init_paged_state stage_width must cover the chunk)"
+        )
+    quantized = state.k_scale is not None
 
     def one_step(state, _):
         s = state.cur_tokens.shape[0]
         run = state.active & ~state.finished
-        slot_idx = jnp.arange(s)
-        # write cell = current length; inactive slots write the dummy page 0
-        write_page = jnp.where(
-            run, state.page_table[slot_idx, state.length // page], 0
-        )
-        write_off = state.length % page
-        lengths_new = jnp.where(run, state.length + 1, state.length)
 
         pos = jnp.broadcast_to(state.gen_pos[None, :, None], (3, s, 1))
         cos, sin = compute_cos_sin(pos, inv_freq, t.mrope_section, dtype=jnp.bfloat16)
@@ -355,23 +423,33 @@ def decode_chunk_paged(
             text_params["embed_tokens"], state.cur_tokens,
             dtype=text_params["norm"].dtype,
         )
-        quantized = state.k_scale is not None
-
-        def body(carry, layer_p):
-            x, pools, idx = carry
-            x, pools = _paged_decode_layer(
-                layer_p, t, x, cos, sin, pools, idx,
-                state.page_table, write_page, write_off, lengths_new,
-            )
-            return (x, pools, idx + 1), None
-
-        pools0 = (
+        # mark this step's staged cell valid for running slots only
+        stage_seg = jnp.where(
+            run[:, None] & (jnp.arange(stage_width)[None] == state.ring),
+            1, state.stage_seg,
+        )
+        pools = (
             (state.k_pool, state.v_pool, state.k_scale, state.v_scale)
             if quantized else (state.k_pool, state.v_pool)
         )
-        init = (x, pools0, jnp.zeros((), jnp.int32))
-        (x_out, pools, _), _ = jax.lax.scan(body, init, text_params["layers"])
-        scale_updates = dict(k_scale=pools[2], v_scale=pools[3]) if quantized else {}
+
+        def body(carry, layer_p):
+            x, stage, idx = carry
+            x, stage = _paged_decode_layer(
+                layer_p, t, x, cos, sin, stage, idx,
+                state.page_table, state.length, pools, state.ring, stage_seg,
+            )
+            return (x, stage, idx + 1), None
+
+        stage0 = (
+            (state.stage_k, state.stage_v, state.stage_ks, state.stage_vs)
+            if quantized else (state.stage_k, state.stage_v)
+        )
+        init = (x, stage0, jnp.zeros((), jnp.int32))
+        (x_out, stage, _), _ = jax.lax.scan(body, init, text_params["layers"])
+        stage_updates = (
+            dict(stage_ks=stage[2], stage_vs=stage[3]) if quantized else {}
+        )
         hidden = rms_norm(x_out[:, None, :], text_params["norm"], t.rms_norm_eps)
         logits = logits_from_hidden(text_params, hidden, t)[:, 0, :]
 
@@ -393,10 +471,11 @@ def decode_chunk_paged(
             (sampled == cfg.eos_token_id) | (state.steps + 1 >= max_new)
         )
         return state._replace(
-            k_pool=pools[0],
-            v_pool=pools[1],
-            **scale_updates,
-            length=lengths_new,
+            stage_k=stage[0],
+            stage_v=stage[1],
+            **stage_updates,
+            stage_seg=stage_seg,
+            ring=state.ring + 1,
             cur_tokens=jnp.where(run, sampled, state.cur_tokens),
             gen_pos=jnp.where(run, state.gen_pos + 1, state.gen_pos),
             steps=jnp.where(run, state.steps + 1, state.steps),
@@ -407,7 +486,93 @@ def decode_chunk_paged(
         ), None
 
     state, _ = jax.lax.scan(one_step, state, None, length=chunk)
-    return state
+    return _install_stage(state, page)
+
+
+def _install_stage(state: PagedState, page: int) -> PagedState:
+    """Move the chunk's staged cells into the pools: ONE batched scatter per
+    pool array (per-cell indices, but once per chunk instead of per step).
+    Staged index c of a slot is its c-th step of the chunk — running slots
+    form a PREFIX of the chunk (refills only happen between chunks), so the
+    destination cell is simply length + c. Invalid cells scatter to an
+    out-of-bounds page id and drop."""
+    s, c_width = state.stage_seg.shape
+    l_layers, n_pages, hkv = state.k_pool.shape[0], state.k_pool.shape[1], state.k_pool.shape[2]
+    d = state.k_pool.shape[4]
+    int4 = state.k_pool.dtype == jnp.uint8
+    quantized = state.k_scale is not None
+
+    valid = state.stage_seg > 0  # (S, C)
+    counts = jnp.sum(state.stage_seg, axis=1)
+    cells = state.length[:, None] + jnp.arange(c_width, dtype=jnp.int32)[None]
+    pg_col = jnp.clip(cells // page, 0, state.page_table.shape[1] - 1)
+    pg = jnp.take_along_axis(state.page_table, pg_col, axis=1)
+    pg = jnp.where(valid, pg, n_pages)  # OOB -> dropped by the scatter
+    off = cells % page
+    m = s * c_width
+    pgf = pg.reshape(m)
+    offf = off.reshape(m)
+
+    def cell_vals(stg):  # (L, S, Hkv, C, D) -> (M, L, Hkv, D)
+        return jnp.transpose(stg, (1, 3, 0, 2, 4)).reshape(m, l_layers, hkv, d)
+
+    def scale_vals(stg):  # (L, S, Hkv, C) -> (M, L, Hkv)
+        return jnp.transpose(stg, (1, 3, 0, 2)).reshape(m, l_layers, hkv)
+
+    if int4:
+        from ..models.qwen2_5_vl.text import KV4_BIAS
+
+        half = page // 2
+        rowf = (offf % half).astype(jnp.int32)
+        hif = (offf >= half)[:, None, None, None]
+        u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8)
+
+        def put4(pool, stg):
+            qb = u8(cell_vals(stg) + jnp.int8(KV4_BIAS))  # (M, L, Hkv, D)
+            # TWO sequential RMW passes (low nibbles, then high): staged cells
+            # c and c+page/2 of one slot land in the SAME byte whenever the
+            # chunk spans half a page — within one pass no two staged cells
+            # share a byte (same nibble + same row implies a different page),
+            # and the high pass's gather sees the low pass's writes
+            for sel in (offf < half, offf >= half):
+                pgsel = jnp.where(sel, pgf, n_pages)  # OOB -> dropped
+                cur = pool[:, jnp.clip(pgsel, 0, n_pages - 1), :, rowf]
+                merged = jnp.where(
+                    hif,
+                    (cur & jnp.uint8(0x0F)) | (qb << 4),
+                    (cur & jnp.uint8(0xF0)) | (qb & jnp.uint8(0xF)),
+                )
+                pool = pool.at[:, pgsel, :, rowf].set(merged, mode="drop")
+            return pool
+
+        k_pool = put4(state.k_pool, state.stage_k)
+        v_pool = put4(state.v_pool, state.stage_v)
+    else:
+        def put(pool, stg):
+            return pool.at[:, pgf, :, offf].set(
+                cell_vals(stg).astype(pool.dtype), mode="drop"
+            )
+
+        k_pool = put(state.k_pool, state.stage_k)
+        v_pool = put(state.v_pool, state.stage_v)
+    scale_updates = {}
+    if quantized:
+        scale_updates = dict(
+            k_scale=state.k_scale.at[:, pgf, :, offf].set(
+                scale_vals(state.stage_ks), mode="drop"
+            ),
+            v_scale=state.v_scale.at[:, pgf, :, offf].set(
+                scale_vals(state.stage_vs), mode="drop"
+            ),
+        )
+    return state._replace(
+        k_pool=k_pool,
+        v_pool=v_pool,
+        **scale_updates,
+        length=state.length + counts,
+        stage_seg=jnp.zeros_like(state.stage_seg),
+        ring=jnp.zeros_like(state.ring),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -585,6 +750,9 @@ def generate_paged(
         pool_sh = NamedSharding(mesh, P(None, BATCH_AXES))
         repl = NamedSharding(mesh, P())
         quantized_kv = kv_cache_dtype in (jnp.int8, jnp.uint8)  # int8 | int4
+        # staging rides the SLOT axis (like the page table); the pools ride
+        # their page axis
+        stage_sh = NamedSharding(mesh, P(None, BATCH_AXES))
         state_sh = PagedState(
             k_pool=pool_sh, v_pool=pool_sh,
             page_table=lane, length=lane, cur_tokens=lane, gen_pos=lane,
@@ -592,16 +760,20 @@ def generate_paged(
             logps=lane, key=repl,
             k_scale=pool_sh if quantized_kv else None,
             v_scale=pool_sh if quantized_kv else None,
+            stage_k=stage_sh, stage_v=stage_sh,
+            stage_ks=stage_sh if quantized_kv else None,
+            stage_vs=stage_sh if quantized_kv else None,
+            stage_seg=lane, ring=repl,
         )
         state = jax.jit(
             init_paged_state,
             static_argnames=(
                 "cfg", "slots", "total_pages", "page_size", "p_max",
-                "max_new_tokens", "kv_dtype",
+                "max_new_tokens", "kv_dtype", "stage_width",
             ),
             out_shardings=state_sh,
         )(cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
-          kv_dtype=kv_cache_dtype)
+          kv_dtype=kv_cache_dtype, stage_width=decode_chunk_size)
 
         # prefill rows shard over the batch devices when they divide evenly
         # (the prompt forward dominates the refill FLOPs); the page-scatter
@@ -633,7 +805,7 @@ def generate_paged(
 
         state = init_paged_state(
             cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
-            kv_cache_dtype,
+            kv_cache_dtype, stage_width=decode_chunk_size,
         )
     allocator = PageAllocator(total_pages)
 

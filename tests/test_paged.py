@@ -61,11 +61,15 @@ def test_paged_kernel_matches_fallback(quantized):
     lengths = jnp.asarray([200, 128, 37, 256], jnp.int32)
     layer_idx = jnp.asarray(1, jnp.int32)
 
-    out_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
-                          k_scale, v_scale, d**-0.5)
-    out_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
-                       k_scale, v_scale, d**-0.5)
+    out_k, m_k, l_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                    layer_idx, k_scale, v_scale, d**-0.5)
+    out_x, m_x, l_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                 layer_idx, k_scale, v_scale, d**-0.5)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=3e-3, atol=3e-3)
+    # partial-softmax stats (staging-ring merge contract); l sums bf16-dot
+    # exps so its tolerance is a notch looser than the normalized output's
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x), rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_x), rtol=6e-3, atol=3e-3)
 
 
 def test_paged_kernel_slot_blocking_pads_ragged_slot_count(monkeypatch):
@@ -86,11 +90,13 @@ def test_paged_kernel_slot_blocking_pads_ragged_slot_count(monkeypatch):
     table[:, 1] = [2, 4, 6, 8, 10, 12]
     lengths = jnp.asarray([200, 128, 37, 256, 1, 190], jnp.int32)
     layer_idx = jnp.asarray(1, jnp.int32)
-    out_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
-                          layer_idx, None, None, d**-0.5)
-    out_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
-                       layer_idx, None, None, d**-0.5)
+    out_k, m_k, l_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                    layer_idx, None, None, d**-0.5)
+    out_x, m_x, l_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                 layer_idx, None, None, d**-0.5)
     assert out_k.shape == (s_slots, hq, d)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x), rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_x), rtol=3e-3, atol=3e-3)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), rtol=3e-3, atol=3e-3)
 
 
@@ -104,7 +110,8 @@ def test_paged_kernel_zero_length_slot_emits_zeros():
     v_pool = jnp.asarray(rng.normal(size=(L, N, hkv, page, d)).astype(np.float32))
     table = jnp.asarray([[1, 2], [0, 0]], jnp.int32)
     lengths = jnp.asarray([150, 0], jnp.int32)
-    out = _pallas_paged(q, k_pool, v_pool, table, lengths, jnp.asarray(0), None, None, d**-0.5)
+    out, _, l_stat = _pallas_paged(q, k_pool, v_pool, table, lengths, jnp.asarray(0), None, None, d**-0.5)
+    np.testing.assert_allclose(np.asarray(l_stat)[1], 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out)[1], 0.0, atol=1e-6)
     assert np.abs(np.asarray(out)[0]).max() > 0
 
@@ -341,10 +348,12 @@ def test_paged_kernel_int4_matches_fallback():
     lengths = jnp.asarray([300, 256, 37, 512], jnp.int32)
     layer_idx = jnp.asarray(1, jnp.int32)
 
-    out_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
-                          k_scale, v_scale, d**-0.5)
-    out_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
-                       k_scale, v_scale, d**-0.5)
+    out_k, m_k, l_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                    layer_idx, k_scale, v_scale, d**-0.5)
+    out_x, m_x, l_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                 layer_idx, k_scale, v_scale, d**-0.5)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x), rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_x), rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(
         np.asarray(out_k, np.float32), np.asarray(out_x, np.float32),
         rtol=3e-2, atol=3e-2,
