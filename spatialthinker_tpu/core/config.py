@@ -73,6 +73,12 @@ class OptimConfig:
     use_kahan_summation: bool = True
     lr_warmup_ratio: float = 0.0
     training_steps: int = -1
+    # host-streamed AnyPrecisionAdamW (trainer/streamed_opt.py): Adam moments
+    # stay host-resident and the update round-trips one layer slice at a
+    # time — the single-chip 3B training fit (fused needs params+grads+
+    # moments = 22.4 GB at 3B). Single-device meshes only: FSDP over >=2
+    # chips fits 3B outright and keeps moments in HBM.
+    stream: bool = False
 
 
 @dataclass

@@ -59,7 +59,9 @@ from .metrics import (
     reduce_metrics,
 )
 from .tracker import Tracker
-from .train_step import TrainBatch, compute_log_probs, make_optimizer, make_update_fn
+from .train_step import (
+    TrainBatch, compute_log_probs, make_grad_fn, make_optimizer, make_update_fn,
+)
 
 
 class GRPOTrainer:
@@ -201,48 +203,114 @@ class GRPOTrainer:
 
         actor = config.worker.actor
         opt_cfg = actor.optim
-        self.optimizer = make_optimizer(
-            opt_cfg.lr,
-            weight_decay=opt_cfg.weight_decay,
-            betas=tuple(opt_cfg.betas),
-            warmup_steps=int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0)),
-            strategy=opt_cfg.strategy,
-            use_kahan_summation=opt_cfg.use_kahan_summation,
+        self.stream_opt = opt_cfg.stream
+        update_kwargs = dict(
+            clip_ratio_low=actor.clip_ratio_low,
+            clip_ratio_high=actor.clip_ratio_high,
+            clip_ratio_dual=actor.clip_ratio_dual,
+            use_kl_loss=self.use_kl_loss,
+            kl_loss_coef=actor.kl_loss_coef,
+            kl_penalty=actor.kl_penalty,
+            entropy_coeff=actor.entropy_coeff,
+            max_grad_norm=actor.max_grad_norm,
+            remat=actor.sharding.remat_policy if actor.sharding.remat else False,
+            temperature=config.worker.rollout.temperature,
+            sp=self.sp,
         )
-        # jitted init: moment leaves propagate the params' mesh shardings
-        # (eager init leaves everything uncommitted on one device, which
-        # breaks after an offload round-trip pins them there)
-        self.opt_state = jax.jit(self.optimizer.init)(self.params)
-        self.opt_state = self._replicate_stragglers(self.opt_state)
-        # optimizer-state host offload (reference host_offload_optimizer,
-        # fsdp_workers.py:252-280): the state lives on the host except inside
-        # the update stage, so rollout/logprob stages see its HBM freed —
-        # trades two PCIe round-trips per step for a full optimizer footprint
-        self.offload_opt = actor.sharding.host_offload_optimizer
-        if self.offload_opt:
-            from ..parallel.offload import offload_to_host
+        if self.stream_opt:
+            # host-streamed AnyPrecisionAdamW (trainer/streamed_opt.py): the
+            # single-chip 3B fit — moments host-resident, applied in
+            # layer-slice round trips. The grad program jits alone; the apply
+            # runs in the host loop, so grads must come back anyway.
+            if self.mesh.devices.size > 1 or self.n_proc > 1:
+                raise ValueError(
+                    "worker.actor.optim.stream is the SINGLE-DEVICE 3B fit "
+                    "(host-resident moments, layer-slice round trips); this "
+                    f"mesh has {self.mesh.devices.size} devices — FSDP over "
+                    ">=2 chips fits 3B outright, drop optim.stream (or set "
+                    "sharding sizes to 1x1x1 on one device)"
+                )
+            from .streamed_opt import StreamedAdamW
 
-            self.opt_state = offload_to_host(self.opt_state)
+            warmup = int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0))
+            if warmup > 0:
+                import optax
 
-        self.update_fn = jax.jit(
-            make_update_fn(
+                schedule = optax.join_schedules(
+                    [optax.linear_schedule(0.0, opt_cfg.lr, warmup),
+                     optax.constant_schedule(opt_cfg.lr)],
+                    [warmup],
+                )
+            else:
+                schedule = opt_cfg.lr
+            self.optimizer = StreamedAdamW(
+                schedule,
+                b1=opt_cfg.betas[0], b2=opt_cfg.betas[1],
+                weight_decay=opt_cfg.weight_decay,
+                use_kahan_summation=opt_cfg.use_kahan_summation,
+            )
+            self._freeze_vision = (
+                actor.model.freeze_vision_tower and "vision" in self.params
+            )
+            # frozen tower: no moments allocated, no decay applied — the
+            # subtree never enters the streamed apply at all
+            self.opt_state = self.optimizer.init(
+                self._stream_trainable(self.params)
+            )
+            self.offload_opt = False  # state is host-resident by construction
+            grad_jit = jax.jit(make_grad_fn(
                 model_cfg,
-                self.optimizer,
-                clip_ratio_low=actor.clip_ratio_low,
-                clip_ratio_high=actor.clip_ratio_high,
-                clip_ratio_dual=actor.clip_ratio_dual,
-                use_kl_loss=self.use_kl_loss,
-                kl_loss_coef=actor.kl_loss_coef,
-                kl_penalty=actor.kl_penalty,
-                entropy_coeff=actor.entropy_coeff,
-                max_grad_norm=actor.max_grad_norm,
-                remat=actor.sharding.remat_policy if actor.sharding.remat else False,
                 freeze_vision_tower=actor.model.freeze_vision_tower,
-                temperature=config.worker.rollout.temperature,
-                sp=self.sp,
-            ),
-            donate_argnums=(0, 1),  # in-place params/opt update
-        )
+                **update_kwargs,
+            ))
+
+            def streamed_update(params, opt_state, micro_batches, vision=None):
+                grads, metrics, finite, factor = grad_jit(
+                    params, micro_batches, vision
+                )
+                new_train, opt_state = self.optimizer.apply(
+                    self._stream_trainable(params),
+                    self._stream_trainable(grads),
+                    opt_state, finite=finite, grad_scale=factor,
+                )
+                if self._freeze_vision:
+                    new_train = {**new_train, "vision": params["vision"]}
+                return new_train, opt_state, metrics
+
+            self.update_fn = streamed_update
+        else:
+            self.optimizer = make_optimizer(
+                opt_cfg.lr,
+                weight_decay=opt_cfg.weight_decay,
+                betas=tuple(opt_cfg.betas),
+                warmup_steps=int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0)),
+                strategy=opt_cfg.strategy,
+                use_kahan_summation=opt_cfg.use_kahan_summation,
+            )
+            # jitted init: moment leaves propagate the params' mesh shardings
+            # (eager init leaves everything uncommitted on one device, which
+            # breaks after an offload round-trip pins them there)
+            self.opt_state = jax.jit(self.optimizer.init)(self.params)
+            self.opt_state = self._replicate_stragglers(self.opt_state)
+            # optimizer-state host offload (reference host_offload_optimizer,
+            # fsdp_workers.py:252-280): the state lives on the host except inside
+            # the update stage, so rollout/logprob stages see its HBM freed —
+            # trades two PCIe round-trips per step for a full optimizer footprint
+            self.offload_opt = actor.sharding.host_offload_optimizer
+            if self.offload_opt:
+                from ..parallel.offload import offload_to_host
+
+                self.opt_state = offload_to_host(self.opt_state)
+
+            self.update_fn = jax.jit(
+                make_update_fn(
+                    model_cfg,
+                    self.optimizer,
+                    freeze_vision_tower=actor.model.freeze_vision_tower,
+                    **update_kwargs,
+                ),
+                donate_argnums=(0, 1),  # in-place params/opt update
+            )
         rollout_temp = config.worker.rollout.temperature
         self.logprob_fn = jax.jit(
             lambda p, b, v: compute_log_probs(
@@ -253,25 +321,36 @@ class GRPOTrainer:
         # padding-free (packed) path — used for text-only batches when enabled
         self.padding_free = actor.padding_free
         if self.padding_free:
-            from .train_step import compute_packed_log_probs, make_packed_update_fn
-
-            self.packed_update_fn = jax.jit(
-                make_packed_update_fn(
-                    model_cfg, self.optimizer,
-                    clip_ratio_low=actor.clip_ratio_low,
-                    clip_ratio_high=actor.clip_ratio_high,
-                    clip_ratio_dual=actor.clip_ratio_dual,
-                    use_kl_loss=self.use_kl_loss,
-                    kl_loss_coef=actor.kl_loss_coef,
-                    kl_penalty=actor.kl_penalty,
-                    entropy_coeff=actor.entropy_coeff,
-                    max_grad_norm=actor.max_grad_norm,
-                    remat=actor.sharding.remat_policy if actor.sharding.remat else False,
-                    temperature=rollout_temp,
-                    sp=self.sp,
-                ),
-                donate_argnums=(0, 1),
+            from .train_step import (
+                compute_packed_log_probs, make_packed_grad_fn, make_packed_update_fn,
             )
+
+            if self.stream_opt:
+                packed_grad_jit = jax.jit(
+                    make_packed_grad_fn(model_cfg, **update_kwargs)
+                )
+
+                def packed_streamed_update(params, opt_state, mb, vision=None):
+                    grads, metrics, finite, factor = packed_grad_jit(
+                        params, mb, vision
+                    )
+                    new_train, opt_state = self.optimizer.apply(
+                        self._stream_trainable(params),
+                        self._stream_trainable(grads),
+                        opt_state, finite=finite, grad_scale=factor,
+                    )
+                    if self._freeze_vision:
+                        new_train = {**new_train, "vision": params["vision"]}
+                    return new_train, opt_state, metrics
+
+                self.packed_update_fn = packed_streamed_update
+            else:
+                self.packed_update_fn = jax.jit(
+                    make_packed_update_fn(
+                        model_cfg, self.optimizer, **update_kwargs
+                    ),
+                    donate_argnums=(0, 1),
+                )
             self.packed_logprob_fn = jax.jit(
                 lambda p, b, v: compute_packed_log_probs(
                     p, model_cfg, b, v, remat=False, temperature=rollout_temp, sp=self.sp
@@ -1099,6 +1178,14 @@ class GRPOTrainer:
         Multimodal multi-host packs negotiate their vision width and compute
         merge offsets from the PACKED rows (see _update_actor_packed)."""
         return self.padding_free
+
+    def _stream_trainable(self, tree):
+        """The subtree the streamed optimizer owns: everything except a
+        frozen vision tower (no host moments allocated, no weight decay
+        applied — the frozen subtree never enters the apply at all)."""
+        if getattr(self, "_freeze_vision", False):
+            return {k: v for k, v in tree.items() if k != "vision"}
+        return tree
 
     def update_actor(self, batch: RolloutBatch) -> Dict[str, float]:
         if self.offload_opt:

@@ -403,6 +403,40 @@ def make_packed_update_fn(
 ):
     """Packed-row variant of make_update_fn: micro dim on every array."""
 
+    grad_step = make_packed_grad_fn(
+        cfg,
+        clip_ratio_low=clip_ratio_low, clip_ratio_high=clip_ratio_high,
+        clip_ratio_dual=clip_ratio_dual, use_kl_loss=use_kl_loss,
+        kl_loss_coef=kl_loss_coef, kl_penalty=kl_penalty,
+        entropy_coeff=entropy_coeff, max_grad_norm=max_grad_norm,
+        remat=remat, chunk_size=chunk_size, temperature=temperature,
+        grad_accum_dtype=grad_accum_dtype, sp=sp,
+    )
+
+    def update(params, opt_state, micro_batches: PackedTrainBatch, vision=None):
+        grads, metrics, finite, factor = grad_step(params, micro_batches, vision)
+        new_params, new_opt_state = apply_optimizer_step(
+            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor
+        )
+        return new_params, new_opt_state, metrics
+
+    return update
+
+
+def make_packed_grad_fn(
+    cfg: Qwen25VLConfig,
+    *,
+    clip_ratio_low: float, clip_ratio_high: float, clip_ratio_dual: float,
+    use_kl_loss: bool, kl_loss_coef: float, kl_penalty: str,
+    entropy_coeff: float = 0.0, max_grad_norm: float = 1.0,
+    remat: bool = True, chunk_size: int = 1024, temperature: float = 1.0,
+    grad_accum_dtype=jnp.float32,
+    sp=None,
+):
+    """Packed-row variant of make_grad_fn (the accumulation half alone) —
+    the host-streamed optimizer (trainer/streamed_opt.py) composes it with
+    layer-slice moment round trips, exactly like the unpacked split."""
+
     loss_kwargs = dict(
         clip_ratio_low=clip_ratio_low, clip_ratio_high=clip_ratio_high,
         clip_ratio_dual=clip_ratio_dual, use_kl_loss=use_kl_loss,
@@ -411,7 +445,7 @@ def make_packed_update_fn(
         temperature=temperature, sp=sp,
     )
 
-    def update(params, opt_state, micro_batches: PackedTrainBatch, vision=None):
+    def grad_step(params, micro_batches: PackedTrainBatch, vision=None):
         grad_fn = jax.value_and_grad(
             lambda p, mb, vis: packed_actor_loss_fn(p, cfg, mb, vis, **loss_kwargs),
             has_aux=True,
@@ -449,12 +483,9 @@ def make_packed_update_fn(
         scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6)) / n_micro
         finite = jnp.isfinite(grad_norm)
         factor = jnp.where(finite, scale, 0.0)
-        new_params, new_opt_state = apply_optimizer_step(
-            optimizer, grads, opt_state, params, finite=finite, grad_scale=factor
-        )
-        return new_params, new_opt_state, metrics
+        return grads, metrics, finite, factor
 
-    return update
+    return grad_step
 
 
 def make_optimizer(
