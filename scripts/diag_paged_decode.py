@@ -4,7 +4,8 @@ Stages (PD_STAGE):
   kernel  - one paged_attention call, backend forced to pallas (errors surface)
   step    - decode_chunk_paged jitted + donated, flagship-scale state
 Env: PD_SLOTS (64), PD_PAGES (2049), PD_PAGE (256), PD_KV (int4|int8|bf16),
-     PD_CHUNK (8), PD_ITERS (3), PD_LEN (6144 filled cells per slot).
+     PD_CHUNK (8), PD_ITERS (3), PD_LEN (6144 filled cells per slot),
+     PD_I8DOT (0; int4 only — both attention dots on the int8 MXU).
 """
 
 import os
@@ -32,7 +33,12 @@ def main():
     l, hkv, hq, d = (t.num_hidden_layers, t.num_key_value_heads,
                      t.num_attention_heads, t.head_dim)
     kv_dtype = {"int8": jnp.int8, "int4": jnp.uint8}.get(kv, jnp.bfloat16)
-    p_max = -(-(6144 + 2048) // page_size) + 1
+    i8dot = os.environ.get("PD_I8DOT", "0") == "1"
+    # page-table width: what the ENGINE would allocate for this run's total
+    # sequence width (prompt+gen; PD_WIDTH) — a too-wide table sweeps dummy
+    # pages (fetched, fully masked) and inflates the measurement
+    width = int(os.environ.get("PD_WIDTH", str(6144 + 2048)))
+    p_max = -(-width // page_size) + 1
 
     if stage == "kernel":
         from spatialthinker_tpu.ops.paged_attention import paged_attention
@@ -73,7 +79,7 @@ def main():
         def timed(q, k, v, sc, n):
             def body(i, acc):
                 o = paged_attention(q, k, v, pt, lengths, i % l, sc, sc,
-                                    backend="pallas")
+                                    backend="pallas", int4_i8dot=i8dot)
                 return acc + jnp.sum(o.astype(jnp.float32))
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
@@ -124,23 +130,25 @@ def main():
         cur_tokens=jnp.full((slots + 1,), 11, jnp.int32),
     )
     decode_jit = jax.jit(
-        decode_chunk_paged, static_argnames=("cfg", "sampling", "chunk"),
+        decode_chunk_paged,
+        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot"),
         donate_argnums=(2,),
     )
     sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
     chunk = int(os.environ.get("PD_CHUNK", "8"))
     t0 = time.perf_counter()
-    state = decode_jit(params, cfg, state, sampling, chunk)
+    state = decode_jit(params, cfg, state, sampling, chunk, int4_i8dot=i8dot)
     float(np.asarray(jnp.sum(state.length)))
     print(f"step compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
     iters = int(os.environ.get("PD_ITERS", "3"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        state = decode_jit(params, cfg, state, sampling, chunk)
+        state = decode_jit(params, cfg, state, sampling, chunk, int4_i8dot=i8dot)
         float(np.asarray(jnp.sum(state.length)))
     dt = (time.perf_counter() - t0) / iters / chunk
     print(f"decode step: {dt * 1e3:.2f} ms/token-step "
-          f"(slots={slots}, filled~{filled}, kv={kv}, wq={wq})", flush=True)
+          f"(slots={slots}, filled~{filled}, kv={kv}, wq={wq}, i8dot={i8dot})",
+          flush=True)
 
 
 if __name__ == "__main__":

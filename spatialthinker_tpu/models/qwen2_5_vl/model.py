@@ -97,6 +97,7 @@ def forward(
     kv_segment_ids: Optional[jnp.ndarray] = None,
     remat: bool = False,
     sp=None,
+    int4_i8dot: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Returns (hidden_states (B,S,E), updated cache)."""
     embeds = embed_inputs(params, cfg, input_ids, vision, remat=remat)
@@ -110,6 +111,7 @@ def forward(
         kv_segment_ids=kv_segment_ids,
         remat=remat,
         sp=sp,
+        int4_i8dot=int4_i8dot,
     )
 
 

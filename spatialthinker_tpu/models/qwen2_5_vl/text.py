@@ -300,6 +300,7 @@ def _layer(
     kv_segment_ids: Optional[jnp.ndarray] = None,  # (B, Smax) incl. cached prefix
     attend_to_cache: bool = False,  # chunked prefill: s>1 queries see the cached prefix
     sp=None,  # Optional[UlyssesSpec] — sequence-parallel attention (training only)
+    int4_i8dot: bool = False,  # int4 decode dots on the int8 MXU (rollout.int4_i8dot)
 ):
     """One decoder layer. ``cache_arrays`` is the whole layer stack carried
     through the scan; the write is a one-token in-place dynamic_update_slice
@@ -416,7 +417,8 @@ def _layer(
         else:
             scales = (new_arrays[2], new_arrays[3]) if (quantized or quantized4) else (None, None)
             out = decode_attention(
-                q[:, 0], new_arrays[0], new_arrays[1], kv_seg, layer_idx, *scales
+                q[:, 0], new_arrays[0], new_arrays[1], kv_seg, layer_idx, *scales,
+                int4_i8dot=int4_i8dot,
             )[:, None]
 
     return finish_layer(p, cfg, x, out), new_arrays
@@ -473,6 +475,7 @@ def forward_hidden(
     remat: bool = False,
     attend_to_cache: bool = False,
     sp=None,  # Optional[UlyssesSpec] — Ulysses sequence parallelism (no-cache path)
+    int4_i8dot: bool = False,  # int4 decode dots on the int8 MXU (rollout.int4_i8dot)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns (hidden_states (B,S,E), updated cache)."""
     if inputs_embeds is None:
@@ -515,6 +518,7 @@ def forward_hidden(
             x, arrays = _layer(
                 layer_p, cfg, x, cos, sin, segment_ids, arrays, idx,
                 cache.length, kv_segment_ids, attend_to_cache=attend_to_cache,
+                int4_i8dot=int4_i8dot,
             )
             return (x, arrays, idx + 1), None
 

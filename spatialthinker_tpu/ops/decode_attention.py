@@ -254,21 +254,6 @@ def _decode_kernel_int4(
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-def _int4_i8dot_enabled() -> bool:
-    """Opt-in int4 kernel variant with both attention dots on the int8 MXU
-    (SPATIALTHINKER_INT4_I8DOT=1). The default int4 kernel is VPU-bound on
-    its nibble->bf16 convert chain (4-5 lane ops/element — Mosaic has no
-    direct u8->bf16 convert); this variant unpacks nibbles to INT8 lanes
-    instead (widen + mask/shift + one narrow convert) and quantizes q and the
-    softmax weights per row in-register, recovering exact magnitudes in the
-    f32 score/output epilogues. Costs ~0.8% extra rounding error on the
-    behavior policy's logits (q and p int8 rounding; KV itself is already
-    int4) — guarded by rollout/probs_diff_* like every rollout approximation."""
-    import os
-
-    return os.environ.get("SPATIALTHINKER_INT4_I8DOT", "0") == "1"
-
-
 def _decode_kernel_int4_i8(
     idx_ref,      # scalar prefetch: (1,) layer index (consumed by index maps)
     seg_lo_ref, seg_hi_ref,
@@ -283,8 +268,9 @@ def _decode_kernel_int4_i8(
     g: int,
     block_b: int,
 ):
-    """int4 split-half decode block with int8 MXU dots (see
-    _int4_i8dot_enabled). Same grid/specs/scratches as _decode_kernel_int4."""
+    """int4 split-half decode block with int8 MXU dots (opt-in via
+    rollout.int4_i8dot — see the decode_attention docstring). Same
+    grid/specs/scratches as _decode_kernel_int4."""
     si = pl.program_id(1)
     n_grp = block_b * hkv
     d = q_ref.shape[-1]
@@ -380,7 +366,8 @@ def _pick_block_b(b: int, quantized: bool) -> int:
 
 
 def _pallas_decode(
-    q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s
+    q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s,
+    int4_i8dot=False,
 ):
     b, hq, d = q.shape
     n_layers, _, hkv, s_rows, _ = k_cache.shape  # packed rows for int4
@@ -429,7 +416,7 @@ def _pallas_decode(
             lambda bi, si, idx, n=n_blk: (idx[0], bi, 0, si + n),
         )
         kernel = functools.partial(
-            _decode_kernel_int4_i8 if _int4_i8dot_enabled() else _decode_kernel_int4,
+            _decode_kernel_int4_i8 if int4_i8dot else _decode_kernel_int4,
             scale=scale, hkv=hkv, g=gp, block_b=block_b,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -562,16 +549,29 @@ def decode_attention(
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     backend: str = "auto",
+    int4_i8dot: bool = False,
 ) -> jnp.ndarray:
     """Attention for one decode token against layer ``layer_idx`` of the
-    stacked cache. Returns (B, Hq, D)."""
+    stacked cache. Returns (B, Hq, D).
+
+    ``int4_i8dot`` (int4 caches only, threaded from rollout.int4_i8dot):
+    run both attention dots on the int8 MXU. The default int4 kernel is
+    VPU-bound on its nibble->bf16 convert chain (4-5 lane ops/element —
+    Mosaic has no direct u8->bf16 convert); this variant unpacks nibbles to
+    INT8 lanes instead (widen + mask/shift + one narrow convert) and
+    quantizes q and the softmax weights per row in-register, recovering
+    exact magnitudes in the f32 score/output epilogues. Costs ~0.8% extra
+    rounding on the behavior policy's logits (q and p int8 rounding; KV
+    itself is already int4) — guarded by rollout/probs_diff_* like every
+    rollout approximation."""
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
     block_s = _pick_block(k_cache.shape[3])
     if backend in ("auto", "pallas") and _eligible(q, k_cache, block_s):
         try:
             return _pallas_decode(
-                q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s
+                q, k_cache, v_cache, kv_seg, layer_idx, k_scale, v_scale, scale, block_s,
+                int4_i8dot=int4_i8dot and k_cache.dtype == jnp.uint8,
             )
         except Exception:
             if backend == "pallas":

@@ -256,6 +256,130 @@ def _paged_kernel_int4(
         l_ref[...] = l_scr[...].reshape(l_ref.shape)
 
 
+def _paged_kernel_int4_i8(
+    meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
+    pt_ref,       # (S, P_max) int32 page table
+    q_ref,        # (block_s, Hq_pad, D)
+    *rest,        # kp_0..kp_{bs-1}, vp_0.., ks_0.., vs_0.., o_ref + scratches
+    scale: float,
+    hkv: int,
+    g: int,
+    block_s: int,
+):
+    """int4 pool pages with both attention dots on the int8 MXU
+    (rollout.int4_i8dot): nibbles unpack to INT8 lanes (one i32 widen per
+    packed byte, then mask/shift + narrow convert) instead of the VPU-bound
+    nibble->bf16 convert chain, and q + the softmax weights quantize per row
+    in-register — magnitudes recovered exactly in the f32 score/output
+    epilogues. Mirrors ops/decode_attention._decode_kernel_int4_i8; same
+    grid/specs/scratches as _paged_kernel_int4."""
+    kp_refs = rest[:block_s]
+    vp_refs = rest[block_s:2 * block_s]
+    ks_refs = rest[2 * block_s:3 * block_s]
+    vs_refs = rest[3 * block_s:4 * block_s]
+    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[4 * block_s:4 * block_s + 6]
+    si = pl.program_id(0)
+    pi = pl.program_id(1)
+    half = kp_refs[0].shape[-2]
+    page = 2 * half
+    d = q_ref.shape[-1]
+    hq_p = hkv * g
+
+    @pl.when(pi == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    from ..models.qwen2_5_vl.text import KV4_BIAS
+
+    bsk = block_s * hkv
+    cell = pi * page + jax.lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
+    valid = jnp.concatenate(
+        [cell < meta_ref[1 + si * block_s + r] for r in range(block_s)], axis=0
+    )  # (block_s, 1, page)
+
+    # q int8, one scale per (slot-head, g-row) — error ~0.4% of the row max,
+    # folded back exactly via qscale in the score epilogue
+    qf = q_ref[...].reshape(bsk, g, d).astype(jnp.float32)
+    qa = jnp.max(jnp.abs(qf), axis=2, keepdims=True)
+    qscale = jnp.maximum(qa, 1e-8) * (1.0 / 127.0)
+    q_i8 = jnp.round(qf / qscale).astype(jnp.int8)
+    sumq = jnp.sum(q_i8.astype(jnp.float32), axis=2, keepdims=True)
+
+    # ONE widen per packed byte, reused by both nibble extracts; the only
+    # per-element converts are the narrow i32->i8 ones feeding the MXU
+    kp = jnp.concatenate([r[0] for r in kp_refs], axis=0).astype(jnp.int32)
+    vp = jnp.concatenate([r[0] for r in vp_refs], axis=0).astype(jnp.int32)
+    lo = lambda x: (x & 15).astype(jnp.int8)
+    hi = lambda x: (x >> 4).astype(jnp.int8)
+
+    def qk(k_i8):
+        return jax.lax.dot_general(
+            q_i8, k_i8, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+
+    # page-local split-half packing: low nibbles hold cells [0, half), high
+    # [half, page) — the SCORE concat is natural page-cell order (matches
+    # the valid/scale cell indexing), 16x smaller than concatenating blocks
+    s = jnp.concatenate([qk(lo(kp)), qk(hi(kp))], axis=2).astype(jnp.float32)
+    ks = jnp.concatenate([r[0] for r in ks_refs], axis=0)
+    vs = jnp.concatenate([r[0] for r in vs_refs], axis=0)
+    # debias the +8 nibble storage, restore q magnitude, fold k scales
+    s = (s - KV4_BIAS * sumq) * qscale
+    s = s * (ks.reshape(bsk, 1, page).astype(jnp.float32) * scale)
+    s = s.reshape(block_s, hq_p, page)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1] * corr + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    p = p.reshape(bsk, g, page) * vs.reshape(bsk, 1, page).astype(jnp.float32)
+    # softmax weights int8, one scale per row (p >= 0 so amax == max); the
+    # epilogue restores pscale exactly
+    pa = jnp.max(p, axis=2, keepdims=True)
+    pscale = jnp.maximum(pa, 1e-20) * (1.0 / 127.0)
+    p_i8 = jnp.round(p / pscale).astype(jnp.int8)
+    sump = jnp.sum(p_i8.astype(jnp.float32), axis=2, keepdims=True)
+
+    def pv_dot(p_part, v_i8):
+        return jax.lax.dot_general(
+            p_part, v_i8, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+
+    pv = (
+        pv_dot(p_i8[:, :, :half], lo(vp))
+        + pv_dot(p_i8[:, :, half:], hi(vp))
+    ).astype(jnp.float32)
+    pv = (pv - KV4_BIAS * sump) * pscale
+    pv = pv.reshape(block_s, hq_p, d)
+    acc = acc_scr[...].reshape(block_s, hq_p, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(
+        m_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    l_scr[...] = jnp.broadcast_to(
+        l_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    acc_scr[...] = acc.reshape(block_s * hq_p, d)
+
+    @pl.when(pi == pl.num_programs(1) - 1)
+    def _flush():
+        l = l_scr[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
+        o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
+        # softmax stats per q row (f32, scaled space): callers that attend
+        # additional non-pool cells (the decode staging ring) combine partial
+        # softmaxes with the standard flash merge
+        m_ref[...] = m_scr[...].reshape(m_ref.shape)
+        l_ref[...] = l_scr[...].reshape(l_ref.shape)
+
+
 def _block_slots(s_slots: int) -> int:
     """Slots per kernel program. Grid programs serialize on the one TPU core,
     so per-program pipeline overhead is paid (S/block_s)*P_max times — 8 slots
@@ -270,7 +394,7 @@ def _block_slots(s_slots: int) -> int:
 
 
 def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
-                  k_scale, v_scale, scale):
+                  k_scale, v_scale, scale, int4_i8dot=False):
     s_slots, hq, d = q.shape
     n_layers, n_pages, hkv, page, _ = k_pool.shape
     p_max = page_table.shape[1]
@@ -300,7 +424,8 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
     )
     if int4:
         kernel = functools.partial(
-            _paged_kernel_int4, scale=scale, hkv=hkv, g=gp, block_s=block_s,
+            _paged_kernel_int4_i8 if int4_i8dot else _paged_kernel_int4,
+            scale=scale, hkv=hkv, g=gp, block_s=block_s,
         )
     else:
         kernel = functools.partial(
@@ -449,12 +574,15 @@ def paged_attention(
     scale: Optional[float] = None,
     backend: str = "auto",
     return_stats: bool = False,
+    int4_i8dot: bool = False,
 ) -> jnp.ndarray:
     """Attention of one decode token per slot over its page-table pages of
     layer ``layer_idx``. Returns (S, Hq, D); with ``return_stats`` also the
     partial-softmax stats (m, l) each (S, Hq) in scaled-score space, for
     flash-merging with attention over cells outside the pool (the decode
-    staging ring in rollout/paged.py)."""
+    staging ring in rollout/paged.py). ``int4_i8dot`` (int4 pools only,
+    threaded from rollout.int4_i8dot) runs both dots on the int8 MXU — see
+    _paged_kernel_int4_i8."""
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
     out = None
@@ -463,6 +591,7 @@ def paged_attention(
             out = _pallas_paged(
                 q, k_pool, v_pool, page_table, lengths, layer_idx,
                 k_scale, v_scale, scale,
+                int4_i8dot=int4_i8dot and k_pool.dtype == jnp.uint8,
             )
         except Exception as e:
             if backend == "pallas":

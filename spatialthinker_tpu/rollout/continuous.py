@@ -211,7 +211,8 @@ def prefill_slots(
 # ---------------------------------------------------------------------------
 
 
-def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_row, kv_seg):
+def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_row,
+                  kv_seg, int4_i8dot=False):
     """One decoder layer for a single token per slot, writing KV at the
     UNIFORM ring cell ``write_row`` (a scalar — see SlotState.ring). The
     rms/qkv/rope head and o_proj/mlp tail are text.attention_inputs /
@@ -290,14 +291,15 @@ def _decode_layer(layer_p, cfg, x, cos, sin, cache_arrays, layer_idx, write_row,
         scales = (None, None)
 
     out = decode_attention(
-        q[:, 0].astype(x.dtype), cache_k, cache_v, kv_seg, layer_idx, *scales
+        q[:, 0].astype(x.dtype), cache_k, cache_v, kv_seg, layer_idx, *scales,
+        int4_i8dot=int4_i8dot,
     )
     return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_arrays
 
 
 def decode_chunk(
     params, cfg: Qwen25VLConfig, state: SlotState, sampling: SamplingParams,
-    chunk: int,
+    chunk: int, int4_i8dot: bool = False,
 ) -> SlotState:
     """Advance every unfinished slot `chunk` tokens (finished slots no-op)."""
     t = cfg.text
@@ -332,7 +334,8 @@ def decode_chunk(
         def body(carry, layer_p):
             x, arrays, idx = carry
             x, arrays = _decode_layer(
-                layer_p, t, x, cos, sin, arrays, idx, write_row, kv_seg
+                layer_p, t, x, cos, sin, arrays, idx, write_row, kv_seg,
+                int4_i8dot=int4_i8dot,
             )
             return (x, arrays, idx + 1), None
 
@@ -441,6 +444,7 @@ def generate_continuous(
     refill_batch: int = 0,       # >0: cap unique prompts per refill prefill
     group_n: int = 1,            # samples per prompt; output has B*group_n rows
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
+    int4_i8dot: bool = False,    # int4 decode dots on the int8 MXU
 ) -> ContinuousResult:
     """Generate B*group_n sequences through `slots` concurrent decode lanes
     with refill. Each unique prompt is prefilled once and installed into
@@ -534,7 +538,8 @@ def generate_continuous(
         donate_argnums=(2,),
     )
     decode_jit = jax.jit(
-        decode_chunk, static_argnames=("cfg", "sampling", "chunk"),
+        decode_chunk,
+        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot"),
         donate_argnums=(2,),
     )
 
@@ -711,7 +716,8 @@ def generate_continuous(
         t_acc["refills"] += 1
     while True:
         t0 = _time.perf_counter()
-        state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
+        state = decode_jit(params, cfg, state, sampling, decode_chunk_size,
+                           int4_i8dot=int4_i8dot)
         t1 = _time.perf_counter()
         # the one fetch per sync: which slots finished during this chunk
         finished_np = np.asarray(fetch_lane(state.finished), dtype=bool)

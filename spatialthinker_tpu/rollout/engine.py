@@ -55,6 +55,7 @@ class DecodeState(NamedTuple):
 def _decode_step(
     params, cfg: Qwen25VLConfig, state: DecodeState, gen_pos_start: jnp.ndarray,
     prompt_len: int, sampling: SamplingParams, eos_id: int, pad_id: int,
+    int4_i8dot: bool = False,
 ):
     b = state.cur_tokens.shape[0]
     pos = (gen_pos_start[None, :] + state.step).astype(jnp.int32)  # (1, B)
@@ -67,6 +68,7 @@ def _decode_step(
     hidden, new_cache = forward(
         params, cfg, state.cur_tokens[:, None], position_ids,
         segment_ids=jnp.ones((b, 1), jnp.int32), cache=cache, kv_segment_ids=kv_seg,
+        int4_i8dot=int4_i8dot,
     )
     logits = logits_from_hidden(params["text"], hidden, cfg.text)[:, 0, :]  # (B, V) fp32
 
@@ -103,6 +105,7 @@ def generate(
     prefill_chunk: int = 0,
     prefill_rows: int = 0,
     n: int = 1,
+    int4_i8dot: bool = False,
 ) -> RolloutResult:
     """Jittable generation: prefill + scan-decode. Callers jit this with
     static (cfg, max_new_tokens, sampling, prefill_chunk, n) per bucket shape.
@@ -206,6 +209,7 @@ def generate(
         _decode_step, params, cfg,
         gen_pos_start=gen_pos_start.astype(jnp.int32),
         prompt_len=p, sampling=sampling, eos_id=cfg.eos_token_id, pad_id=cfg.pad_token_id,
+        int4_i8dot=int4_i8dot,
     )
 
     # while_loop (not scan) so generation stops as soon as every sequence hit

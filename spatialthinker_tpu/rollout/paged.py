@@ -290,7 +290,8 @@ def prefill_paged(
 
 
 def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
-                        page_table, lengths_installed, pools, ring, stage_seg):
+                        page_table, lengths_installed, pools, ring, stage_seg,
+                        int4_i8dot=False):
     """One decoder layer, one token per slot. The new token's KV is written
     into the STAGING ring at the uniform index ``ring`` (dynamic_update_slice
     — a per-slot pool scatter would serialize, see PagedState.stage_k);
@@ -344,7 +345,7 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
     qh = q[:, 0].astype(x.dtype)
     o1, m1, l1 = paged_attention(
         qh, pools[0], pools[1], page_table, lengths_installed,
-        layer_idx, *pool_scales, return_stats=True,
+        layer_idx, *pool_scales, return_stats=True, int4_i8dot=int4_i8dot,
     )
 
     # staged-cell attention (C cells, plain XLA) + flash merge with the pool
@@ -388,7 +389,7 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
 
 def decode_chunk_paged(
     params, cfg: Qwen25VLConfig, state: PagedState, sampling: SamplingParams,
-    chunk: int,
+    chunk: int, int4_i8dot: bool = False,
 ) -> PagedState:
     """Advance every unfinished slot `chunk` tokens. The host guarantees each
     running slot's page table covers length+chunk cells before calling.
@@ -438,6 +439,7 @@ def decode_chunk_paged(
             x, stage = _paged_decode_layer(
                 layer_p, t, x, cos, sin, stage, idx,
                 state.page_table, state.length, pools, state.ring, stage_seg,
+                int4_i8dot=int4_i8dot,
             )
             return (x, stage, idx + 1), None
 
@@ -640,6 +642,7 @@ def generate_paged(
     refill_batch: int = 0,       # >0: cap unique prompts per refill prefill
     group_n: int = 1,
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
+    int4_i8dot: bool = False,    # int4 decode dots on the int8 MXU
 ) -> PagedResult:
     """Generate B*group_n sequences through `slots` decode lanes over a
     `total_pages` KV page pool. Output row i*group_n + j is sample j of
@@ -741,7 +744,8 @@ def generate_paged(
         donate_argnums=(2,),
     )
     decode_jit = jax.jit(
-        decode_chunk_paged, static_argnames=("cfg", "sampling", "chunk"),
+        decode_chunk_paged,
+        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot"),
         donate_argnums=(2,),
     )
 
@@ -1108,7 +1112,8 @@ def generate_paged(
         t0 = _time.perf_counter()
         state = ensure_capacity(state)
         t1 = _time.perf_counter()
-        state = decode_jit(params, cfg, state, sampling, decode_chunk_size)
+        state = decode_jit(params, cfg, state, sampling, decode_chunk_size,
+                           int4_i8dot=int4_i8dot)
         t2 = _time.perf_counter()
         # the one fetch per sync: which slots finished during this chunk
         running = h_active & ~h_finished

@@ -339,19 +339,13 @@ def test_flagship_script_config_runs_e2e(tmp_path):
     trainer, cfg = build_trainer(tmp_path, max_steps=2, extra_overrides=keep)
     assert cfg.worker.rollout.kv_cache_dtype == "int4"
     assert cfg.worker.rollout.quantization == "int8"
-    # the script ships the int8-MXU int4 decode variant; the trainer wires the
-    # knob to the trace-time env selector
+    # the script ships the int8-MXU int4 decode variant; the trainer threads
+    # the knob as a real kernel argument (no process-global state)
     assert cfg.worker.rollout.int4_i8dot
-    assert os.environ.get("SPATIALTHINKER_INT4_I8DOT") == "1"
     logged = {}
     orig_log = trainer.tracker.log
     trainer.tracker.log = lambda data, step: (logged.update({step: data}), orig_log(data, step))[1]
-    try:
-        trainer.fit()
-    finally:
-        # trainer __init__ mutates the process env (trace-time kernel
-        # selector) — don't leak the variant into later tests
-        os.environ.pop("SPATIALTHINKER_INT4_I8DOT", None)
+    trainer.fit()
     assert trainer.global_step == 2
     last = logged[2]
     for key in ("actor/pg_loss", "reward/overall", "rollout/probs_diff_mean"):

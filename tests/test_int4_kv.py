@@ -129,13 +129,12 @@ def test_pallas_int4_kernel_interpret_matches_xla():
     assert err < 2e-2, err
 
 
-def test_pallas_int4_i8dot_variant_matches_xla(monkeypatch):
+def test_pallas_int4_i8dot_variant_matches_xla():
     """The int8-MXU int4 kernel variant (q + softmax weights quantized
     in-register, nibbles unpacked to int8 lanes) stays within its expected
     rounding envelope of the exact XLA fallback."""
     from spatialthinker_tpu.ops.decode_attention import _pallas_decode, _xla_decode
 
-    monkeypatch.setenv("SPATIALTHINKER_INT4_I8DOT", "1")
     L, B, Hkv, S, D = 2, 4, 2, 512, 128
     hq = 4
     rng = np.random.default_rng(7)
@@ -152,7 +151,8 @@ def test_pallas_int4_i8dot_variant_matches_xla(monkeypatch):
     scale = D**-0.5
 
     got = _pallas_decode(
-        q, kp, vp, jnp.asarray(seg), jnp.asarray(1), ks, vs, scale, block_s=128
+        q, kp, vp, jnp.asarray(seg), jnp.asarray(1), ks, vs, scale, block_s=128,
+        int4_i8dot=True,
     )
     ref = _xla_decode(q, kp, vp, jnp.asarray(seg), jnp.asarray(1), ks, vs, scale)
     err = np.linalg.norm(np.asarray(got, np.float32) - np.asarray(ref, np.float32)) / (

@@ -360,6 +360,54 @@ def test_paged_kernel_int4_matches_fallback():
     )
 
 
+def test_paged_kernel_int4_i8dot_matches_fallback():
+    """int4 page pools with both dots on the int8 MXU (rollout.int4_i8dot):
+    q/p in-register quantization stays within its rounding envelope of the
+    exact XLA unpack-gather fallback. Interpret mode; mirrors
+    test_pallas_int4_i8dot_variant_matches_xla for the dense kernel."""
+    from spatialthinker_tpu.ops.paged_attention import _pallas_paged, _xla_paged
+
+    rng = np.random.default_rng(31)
+    L, N, hkv, page, d = 2, 9, 2, 256, 128
+    s_slots, hq = 4, 4
+    vals_k = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
+    vals_v = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
+    half = page // 2
+
+    def pack(vals):  # biased storage: nibble = value + 8 (text.KV4_BIAS)
+        low = (vals[:, :, :, :half] + 8).astype(np.uint8) & 0xF
+        high = (vals[:, :, :, half:] + 8).astype(np.uint8) << 4
+        return jnp.asarray(low | high)
+
+    k_pool, v_pool = pack(vals_k), pack(vals_v)
+    k_scale = jnp.asarray(
+        rng.uniform(0.01, 0.1, size=(L, N, hkv, page)).astype(np.float32), jnp.bfloat16
+    )
+    v_scale = jnp.asarray(
+        rng.uniform(0.01, 0.1, size=(L, N, hkv, page)).astype(np.float32), jnp.bfloat16
+    )
+    q = jnp.asarray(rng.normal(size=(s_slots, hq, d)).astype(np.float32), jnp.bfloat16)
+    table = np.zeros((s_slots, 2), dtype=np.int32)
+    table[:, 0] = [1, 3, 5, 7]
+    table[:, 1] = [2, 4, 6, 8]
+    lengths = jnp.asarray([300, 256, 37, 512], jnp.int32)
+    layer_idx = jnp.asarray(1, jnp.int32)
+
+    out_k, m_k, l_k = _pallas_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                    layer_idx, k_scale, v_scale, d**-0.5,
+                                    int4_i8dot=True)
+    out_x, m_x, l_x = _xla_paged(q, k_pool, v_pool, jnp.asarray(table), lengths,
+                                 layer_idx, k_scale, v_scale, d**-0.5)
+    # q int8 rounding perturbs the scores (and so m/l) by ~0.4% of the row
+    # max; the output-space error adds p int8 rounding on top of int4 KV
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_x), rtol=5e-2, atol=5e-2)
+    err = np.linalg.norm(
+        np.asarray(out_k, np.float32) - np.asarray(out_x, np.float32)
+    ) / (np.linalg.norm(np.asarray(out_x, np.float32)) + 1e-9)
+    assert err < 3e-2, err
+
+
 def test_paged_int4_matches_dense_int4(jax_params):
     """End-to-end paged engine with int4 pools == the dense engine with the
     int4 cache (same quantization grid at write time), greedy decoding."""
