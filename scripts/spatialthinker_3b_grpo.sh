@@ -29,15 +29,28 @@ python3 -m spatialthinker_tpu.trainer.main \
     worker.rollout.quantization=int8 \
     worker.rollout.prefill_rows=8 \
     worker.rollout.int4_i8dot=true \
+    worker.rollout.name=continuous \
+    worker.rollout.decode_batch_size=64 \
+    worker.rollout.refill_batch=16 \
     "$@"
 
-# The four rollout knobs above are the bench-proven perf path (BENCH_r03+:
-# int4 KV admits ~2x the decode lanes per HBM byte and the biased-nibble
-# kernel reads it at int8 wall time; W8A8 weights halve the decode weight
-# stream; rows-mode prefill recovers unchunked MFU at this 6144-token prompt;
-# int4_i8dot runs the int4 decode dots on the int8 MXU — measured 2,970 vs
-# 2,602 tok/s/chip at exactly this shape, 1.06x the H100-vLLM anchor).
+# The int4/int8/rows/i8dot rollout knobs are the bench-proven perf path
+# (BENCH_r03+: int4 KV admits ~2x the decode lanes per HBM byte and the
+# biased-nibble kernel reads it at int8 wall time; W8A8 weights halve the
+# decode weight stream; rows-mode prefill recovers unchunked MFU at this
+# 6144-token prompt; int4_i8dot runs the int4 decode dots on the int8 MXU —
+# measured 2,970 vs 2,602 tok/s/chip at exactly this shape).
+#
+# Engine selection: this run's rollout is 512 prompts x n=8 = 4,096 lanes at
+# width 6144+2048 — far past the dense engine's measured 64-lane/chip HBM
+# ceiling at that width (the dense path decodes ONE wave with no turnover).
+# rollout.name=continuous streams the whole queue through 64 decode slots
+# per chip (decode_batch_size; the bench's flagship_sched entry measures
+# exactly this shape), refilling finished slots from the queue 16 unique
+# prompts at a time. Bump decode_batch_size only with the HBM to back it:
+# 64 slots x 8192 cells of int4 KV is ~4.6 GB/chip next to the int8 weights.
 # Guardrail: rollout/probs_diff_mean|max in the step metrics reports the
 # engine-vs-bf16-graph sampling drift every step (CPU smoke: mean ~2e-3).
 # Revert to exact-parity rollout with:
 #   worker.rollout.kv_cache_dtype=bfloat16 worker.rollout.quantization=none
+#   worker.rollout.name=jax
