@@ -77,8 +77,22 @@ class OptimConfig:
     # stay host-resident and the update round-trips one layer slice at a
     # time — the single-chip 3B training fit (fused needs params+grads+
     # moments = 22.4 GB at 3B). Single-device meshes only: FSDP over >=2
-    # chips fits 3B outright and keeps moments in HBM.
+    # chips fits 3B outright and keeps moments in HBM. Implies bf16-moment
+    # AnyPrecisionAdamW regardless of `strategy` (the trainer warns if
+    # strategy=adamw asked for fp32 moments) and defaults grad_accum_dtype
+    # to bfloat16 (fp32 grads alone are ~11.2 GB at 3B — over the chip).
     stream: bool = False
+    # micro-batch gradient accumulator dtype: "" = auto (float32 normally;
+    # bfloat16 when stream=true, where the fp32 accumulator cannot fit next
+    # to the params at the 3B scale streaming exists for)
+    grad_accum_dtype: str = ""
+
+    def post_init(self):
+        if self.grad_accum_dtype not in ("", "float32", "bfloat16"):
+            raise ValueError(
+                "worker.*.optim.grad_accum_dtype must be '' (auto), "
+                f"'float32', or 'bfloat16'; got {self.grad_accum_dtype!r}"
+            )
 
 
 @dataclass
@@ -200,8 +214,9 @@ class RolloutConfig:
     # b=256/2304 — takes the flagship rollout 0.93x -> 1.06x anchor. Adds
     # ~0.3% rounding on the behavior policy's logits on top of the int4 KV
     # error (guarded by rollout/probs_diff_* like every rollout
-    # approximation). Inert unless kv_cache_dtype=int4; selected at kernel
-    # trace time (ops/decode_attention._int4_i8dot_enabled).
+    # approximation). Inert unless kv_cache_dtype=int4; threaded as a real
+    # kernel argument through every engine (ops/decode_attention.py,
+    # ops/paged_attention.py).
     int4_i8dot: bool = False
     decode_batch_size: int = -1     # -1: infer from batch
     # > 0: cap UNIQUE prompts per continuous/paged refill prefill. The refill

@@ -110,11 +110,6 @@ class GRPOTrainer:
                     f"rollout_batch_size * n = {rollout_bs} must be divisible by "
                     f"worker.{role}.global_batch_size = {gbs}"
                 )
-        if config.worker.rollout.int4_i8dot:
-            # kernel variant is selected at trace time from the process env
-            # (ops/decode_attention._int4_i8dot_enabled) — set it before any
-            # rollout program traces so every engine's int4 decode rides it
-            os.environ["SPATIALTHINKER_INT4_I8DOT"] = "1"
         self.use_kl_in_reward = not algo.disable_kl and not algo.use_kl_loss
         self.use_kl_loss = not algo.disable_kl and algo.use_kl_loss
         self.use_ref = not algo.disable_kl
@@ -216,6 +211,13 @@ class GRPOTrainer:
             remat=actor.sharding.remat_policy if actor.sharding.remat else False,
             temperature=config.worker.rollout.temperature,
             sp=self.sp,
+            # "" = auto: bf16 accumulation under optim.stream (fp32 grads are
+            # ~11.2 GB at the 3B scale streaming exists for — over the chip
+            # next to bf16 params), fp32 otherwise
+            grad_accum_dtype=jnp.dtype(
+                opt_cfg.grad_accum_dtype
+                or ("bfloat16" if opt_cfg.stream else "float32")
+            ),
         )
         if self.stream_opt:
             # host-streamed AnyPrecisionAdamW (trainer/streamed_opt.py): the
@@ -232,6 +234,19 @@ class GRPOTrainer:
                 )
             from .streamed_opt import StreamedAdamW
 
+            if opt_cfg.strategy == "adamw":
+                # the streamed optimizer IS AnyPrecisionAdamW with bf16
+                # moments (host-resident fp32 moments would double the
+                # round-trip traffic for no fit gain) — say so instead of
+                # silently changing the numerics the strategy knob asked for
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "optim.stream=true always uses bf16-moment "
+                    "AnyPrecisionAdamW; optim.strategy='adamw' (fp32 "
+                    "moments) is ignored — set strategy='adamw_bf16' to "
+                    "silence this"
+                )
             warmup = int(opt_cfg.lr_warmup_ratio * max(opt_cfg.training_steps, 0))
             if warmup > 0:
                 import optax
@@ -425,7 +440,7 @@ class GRPOTrainer:
             generate,
             static_argnames=(
                 "cfg", "max_new_tokens", "sampling", "kv_cache_dtype",
-                "prefill_chunk", "prefill_rows", "n",
+                "prefill_chunk", "prefill_rows", "n", "int4_i8dot",
             ),
         )
         # rollout W8A8 quantization (vLLM `quantization` parity): re-quantize
@@ -506,7 +521,36 @@ class GRPOTrainer:
         limit = stats.get("bytes_limit")
         in_use = stats.get("bytes_in_use")
         if not limit:
-            return 0
+            if jax.default_backend() != "tpu":
+                return 0  # CPU tests: worst-case sizing
+            # some PJRT relays expose no memory_stats: estimate from the
+            # known chip budget minus the trees this trainer keeps live
+            # through the rollout stage (training params, the W8A8 rollout
+            # copy, on-device optimizer/ref/critic state) plus allocator
+            # slack — the worst-case fallback blocked long-context paged
+            # rollouts without a manual kv_pages_override
+            def tree_bytes(tree):
+                return sum(
+                    x.nbytes for x in jax.tree.leaves(tree)
+                    if isinstance(x, jax.Array)
+                )
+
+            # per-device budget, like the stats path (the pool shards over
+            # the mesh; a per-device estimate is conservative on pod slices
+            # exactly as memory_stats() is)
+            limit = int(os.environ.get(
+                "SPATIALTHINKER_HBM_BYTES", str(int(15.75 * 2**30))
+            ))
+            live = tree_bytes(self.params)
+            if self.quantize_fn is not None:
+                # int8 stacks + scales of the decoder tree: ~55% of bf16
+                live += int(0.55 * tree_bytes(self.params))
+            if not self.offload_opt and not self.stream_opt:
+                live += tree_bytes(self.opt_state)
+            live += tree_bytes(getattr(self, "critic_params", None) or {})
+            if self.ref_params is not None:
+                live += tree_bytes(self.ref_params)  # 0 when host-offloaded
+            in_use = live + (512 << 20)
         t = self.model_cfg.text
         elem = {jnp.dtype(jnp.int8): 1.0, jnp.dtype(jnp.uint8): 0.5}.get(
             jnp.dtype(kv_dtype), 2.0
@@ -746,6 +790,7 @@ class GRPOTrainer:
                 prefill_rows=rollout_cfg.prefill_rows,
                 refill_batch=rollout_cfg.refill_batch,
                 group_n=n,
+                int4_i8dot=rollout_cfg.int4_i8dot,
             )
             if rollout_cfg.page_size > 0:
                 # paged KV: pool sized from free HBM x gpu_memory_utilization
@@ -829,6 +874,7 @@ class GRPOTrainer:
                 ),
                 prefill_rows=rows,
                 n=n if grouped else 1,
+                int4_i8dot=rollout_cfg.int4_i8dot,
             )
         responses = self._host(result.responses)
         response_mask = self._host(result.response_mask)

@@ -102,7 +102,9 @@ def any_precision_adamw(
             mu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=momentum_dtype), params),
             nu=jax.tree.map(lambda p: jnp.zeros_like(p, dtype=variance_dtype), params),
             compensation=jax.tree.map(
-                lambda p: jnp.zeros_like(p) if use_kahan_summation else jnp.zeros((0,), p.dtype),
+                # kahan off: a () scalar sentinel, NOT shape (0,) — orbax
+                # refuses zero-size arrays at checkpoint save
+                lambda p: jnp.zeros_like(p) if use_kahan_summation else jnp.zeros((), p.dtype),
                 params,
             ),
         )

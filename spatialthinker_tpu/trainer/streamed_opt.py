@@ -51,7 +51,7 @@ class StreamedAdamWState(NamedTuple):
     count: int
     mu: Any            # tree of np.ndarray (momentum dtype)
     nu: Any            # tree of np.ndarray (variance dtype)
-    compensation: Any  # tree of np.ndarray (param dtype) or (0,) sentinels
+    compensation: Any  # tree of np.ndarray (param dtype) or () sentinels
 
 
 class StreamedAdamW:
@@ -108,8 +108,12 @@ class StreamedAdamW:
             mu=jax.tree.map(lambda p: zeros(p, self.momentum_dtype), params),
             nu=jax.tree.map(lambda p: zeros(p, self.variance_dtype), params),
             compensation=jax.tree.map(
+                # kahan off: a () scalar sentinel, NOT shape (0,) — orbax
+                # refuses zero-size arrays at checkpoint save ("Cannot save
+                # arrays with zero size"), which killed stream+kahan=false
+                # runs at their first save_freq step
                 lambda p: zeros(p, p.dtype) if self.use_kahan
-                else np.zeros((0,), jnp.dtype(p.dtype)),
+                else np.zeros((), jnp.dtype(p.dtype)),
                 params,
             ),
         )

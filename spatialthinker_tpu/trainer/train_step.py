@@ -456,7 +456,12 @@ def make_packed_grad_fn(
             grad_acc, metric_acc = carry
             (loss, metrics), grads = grad_fn(params, mb, vis)
             metrics["actor/loss"] = loss
-            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            # the accumulator dtype is authoritative: param-dtype grads must
+            # cast INTO it or the scan carry dtype changes (fp32 params with
+            # grad_accum_dtype=bfloat16 — the optim.stream default)
+            grad_acc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), grad_acc, grads
+            )
             metric_acc = {k: metric_acc[k] + metrics[k] for k in metric_acc}
             return (grad_acc, metric_acc), None
 

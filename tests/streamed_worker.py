@@ -31,7 +31,7 @@ from tests.fake_tokenizer import FakeTokenizer
 VOCAB = 1024
 
 
-def build(tmp, load=None):
+def build(tmp, load=None, extra=()):
     overrides = [
         "data.max_prompt_length=32",
         "data.max_response_length=8",
@@ -55,6 +55,7 @@ def build(tmp, load=None):
     ]
     if load:
         overrides.append(f"trainer.load_checkpoint_path={load}")
+    overrides.extend(extra)
     cfg = build_config(overrides)
     tok = FakeTokenizer(VOCAB)
     model_cfg = qwen25_vl_tiny(VOCAB)
@@ -116,6 +117,47 @@ def main(out_path, tmp):
             )
         )
     )
+    # restored-state usability: one optimizer apply ON the restored state —
+    # the streamed apply writes mu[l0:l1] IN PLACE, so an orbax restore that
+    # came back read-only (or with changed leaf types) must fail HERE, in
+    # tree, not in the next real run
+    trainable = resumed._stream_trainable(resumed.params)
+    grads = jax.tree.map(
+        lambda p: np.full(p.shape, 1e-3, np.float32).astype(p.dtype), trainable
+    )
+    # snapshot first: apply() DONATES the param leaves through the slice loop
+    before_sp = _f32(trainable)
+    stepped_params, stepped_state = resumed.optimizer.apply(
+        trainable, grads, resumed.opt_state, finite=True, grad_scale=1.0,
+    )
+    post_restore_count = int(np.asarray(stepped_state.count))
+    post_restore_moved = bool(
+        max(
+            jax.tree.leaves(
+                jax.tree.map(
+                    lambda a, b: float(np.abs(a - np.asarray(b, np.float32)).max()),
+                    before_sp, stepped_params,
+                )
+            )
+        )
+        > 0
+    )
+
+    # kahan=false: the compensation sentinels are () scalars, not zero-size
+    # arrays — orbax refuses zero-size arrays at save, which used to kill
+    # stream+use_kahan_summation=false runs at their first save_freq step
+    nk_tmp = os.path.join(tmp, "nokahan")
+    os.makedirs(nk_tmp, exist_ok=True)
+    nk = build(nk_tmp, extra=("worker.actor.optim.use_kahan_summation=false",))
+    nk.fit()  # save_freq=2, max_steps=2 -> saves (crashed before the fix)
+    nk_resumed = build(nk_tmp, load=f"{nk_tmp}/ckpt")
+    nk_resumed.load_checkpoint()
+    nokahan_ckpt_ok = (
+        nk_resumed.global_step == 2
+        and int(np.asarray(nk_resumed.opt_state.count))
+        == int(np.asarray(nk.opt_state.count))
+    )
+
     out = {
         "metrics": {k: float(v) for k, v in logged[2].items()},
         "param_delta": delta,
@@ -124,6 +166,9 @@ def main(out_path, tmp):
         "resumed_step": resumed.global_step,
         "params_match": params_match,
         "mu_match": mu_match,
+        "post_restore_count": post_restore_count,
+        "post_restore_moved": post_restore_moved,
+        "nokahan_ckpt_ok": nokahan_ckpt_ok,
     }
     with open(out_path, "w") as f:
         json.dump(out, f)

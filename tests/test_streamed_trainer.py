@@ -37,7 +37,7 @@ def test_streamed_trainer_end_to_end(tmp_path):
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, WORKER, out, str(tmp_path)],
-        env=env, cwd=REPO, capture_output=True, timeout=900,
+        env=env, cwd=REPO, capture_output=True, timeout=1800,
     )
     log = proc.stdout.decode(errors="replace") + proc.stderr.decode(errors="replace")
     assert proc.returncode == 0, f"worker rc={proc.returncode}\n{log[-4000:]}"
@@ -55,3 +55,10 @@ def test_streamed_trainer_end_to_end(tmp_path):
     assert result["resumed_count"] == result["final_count"]
     assert result["params_match"]
     assert result["mu_match"]
+    # the restored state took a real step (in-place moment writes succeed on
+    # orbax-restored leaves) and the count advanced
+    assert result["post_restore_count"] == result["final_count"] + 1
+    assert result["post_restore_moved"]
+    # stream + use_kahan_summation=false checkpoints save and resume (the ()
+    # compensation sentinels are orbax-saveable; (0,) sentinels were not)
+    assert result["nokahan_ckpt_ok"]
