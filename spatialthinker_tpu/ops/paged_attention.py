@@ -56,18 +56,74 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _staged_block_update(
+    q,                 # (bsk, g, D) — the kernel's q operand (bf16/f32)
+    st_k_ref, st_v_ref, st_ks_ref, st_vs_ref, st_seg_ref,
+    m_scr, l_scr, acc_scr,
+    *, scale: float, hkv: int, g: int, block_s: int,
+):
+    """One extra online-softmax update over the slots' staging-ring cells
+    (the decode chunk's not-yet-installed tokens), fused into the pool
+    kernel's LAST grid step. Replaces the per-layer XLA staged-cell
+    attention + flash merge that dominated the paged engine's non-kernel
+    overhead (the staging block is slot-major dense, so one regular
+    BlockSpec covers the program's slots — no page indirection needed).
+    Order-independence of the online softmax makes 'staged last' exact."""
+    bsk = block_s * hkv
+    d = q.shape[-1]
+    hq_p = hkv * g
+    c = st_k_ref.shape[-2]
+    k = st_k_ref[...].reshape(bsk, c, d).astype(jnp.bfloat16)
+    v = st_v_ref[...].reshape(bsk, c, d).astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bsk, g, c)
+    if st_ks_ref is not None:
+        s = s * (st_ks_ref[...].reshape(bsk, 1, c).astype(jnp.float32) * scale)
+    else:
+        s = s * scale
+    valid = (st_seg_ref[...] != 0).reshape(block_s, 1, c)
+    s = s.reshape(block_s, hq_p, c)
+    s = jnp.where(valid, s, NEG_INF)
+    m_prev = m_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[...].reshape(block_s, hq_p, 128)[:, :, 0:1] * corr + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    p = p.reshape(bsk, g, c)
+    if st_vs_ref is not None:
+        p = p * st_vs_ref[...].reshape(bsk, 1, c).astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(block_s, hq_p, d)
+    acc = acc_scr[...].reshape(block_s, hq_p, d) * corr + pv
+    m_scr[...] = jnp.broadcast_to(
+        m_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    l_scr[...] = jnp.broadcast_to(
+        l_new, (block_s, hq_p, 128)
+    ).reshape(block_s * hq_p, 128)
+    acc_scr[...] = acc.reshape(block_s * hq_p, d)
+
+
 def _paged_kernel(
     # scalar prefetch
     meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
     pt_ref,       # (S, P_max) int32 page table
     # blocks
     q_ref,        # (block_s, Hq_pad, D)
-    *rest,        # k_0..k_{bs-1}, v_0.., [ks_0.., vs_0..], o_ref + scratches
+    *rest,        # k_0..k_{bs-1}, v_0.., [ks_0.., vs_0..],
+                  # [staged k/v[, ks/vs], seg], o_ref + scratches
     scale: float,
     hkv: int,
     g: int,       # padded group size (multiple of 8)
     quantized: bool,
     block_s: int,
+    staged: bool = False,
 ):
     # block_s slots per program: every grid program serializes on the one TPU
     # core, so per-program pipeline overhead is paid S*P_max times — blocking
@@ -82,6 +138,13 @@ def _paged_kernel(
         ks_refs = rest[idx:idx + block_s]
         vs_refs = rest[idx + block_s:idx + 2 * block_s]
         idx += 2 * block_s
+    st = (None,) * 5
+    if staged:
+        st = (rest[idx], rest[idx + 1],
+              rest[idx + 2] if quantized else None,
+              rest[idx + 3] if quantized else None,
+              rest[idx + (4 if quantized else 2)])
+        idx += 5 if quantized else 3
     o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[idx:idx + 6]
     si = pl.program_id(0)
     pi = pl.program_id(1)
@@ -145,12 +208,16 @@ def _paged_kernel(
 
     @pl.when(pi == pl.num_programs(1) - 1)
     def _flush():
+        if staged:
+            _staged_block_update(
+                q, *st, m_scr, l_scr, acc_scr,
+                scale=scale, hkv=hkv, g=g, block_s=block_s,
+            )
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
-        # softmax stats per q row (f32, scaled space): callers that attend
-        # additional non-pool cells (the decode staging ring) combine partial
-        # softmaxes with the standard flash merge
+        # softmax stats per q row (f32, scaled space) for callers that merge
+        # further partial softmaxes; with `staged` fused they are final
         m_ref[...] = m_scr[...].reshape(m_ref.shape)
         l_ref[...] = l_scr[...].reshape(l_ref.shape)
 
@@ -159,21 +226,29 @@ def _paged_kernel_int4(
     meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
     pt_ref,       # (S, P_max) int32 page table
     q_ref,        # (block_s, Hq_pad, D)
-    *rest,        # kp_0..kp_{bs-1}, vp_0.., ks_0.., vs_0.., o_ref + scratches
+    *rest,        # kp_0..kp_{bs-1}, vp_0.., ks_0.., vs_0..,
+                  # [staged k/v/ks/vs/seg], o_ref + scratches
     scale: float,
     hkv: int,
     g: int,
     block_s: int,
+    staged: bool = False,
 ):
     """int4 pool pages: each packed byte row holds cells (r, r + page/2) of
     its page; both nibble halves unpack into ONE fused online-softmax update
     per page (mirroring ops/decode_attention._decode_kernel_int4). block_s
-    slots per program — see _paged_kernel."""
+    slots per program — see _paged_kernel. Staged ring cells (UNPACKED int8
+    + bf16 scales) fuse as one extra update on the last grid step."""
     kp_refs = rest[:block_s]
     vp_refs = rest[block_s:2 * block_s]
     ks_refs = rest[2 * block_s:3 * block_s]
     vs_refs = rest[3 * block_s:4 * block_s]
-    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[4 * block_s:4 * block_s + 6]
+    idx = 4 * block_s
+    st = (None,) * 5
+    if staged:
+        st = tuple(rest[idx:idx + 5])
+        idx += 5
+    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[idx:idx + 6]
     si = pl.program_id(0)
     pi = pl.program_id(1)
     half = kp_refs[0].shape[-2]
@@ -246,12 +321,16 @@ def _paged_kernel_int4(
 
     @pl.when(pi == pl.num_programs(1) - 1)
     def _flush():
+        if staged:
+            _staged_block_update(
+                q, *st, m_scr, l_scr, acc_scr,
+                scale=scale, hkv=hkv, g=g, block_s=block_s,
+            )
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
-        # softmax stats per q row (f32, scaled space): callers that attend
-        # additional non-pool cells (the decode staging ring) combine partial
-        # softmaxes with the standard flash merge
+        # softmax stats per q row (f32, scaled space) for callers that merge
+        # further partial softmaxes; with `staged` fused they are final
         m_ref[...] = m_scr[...].reshape(m_ref.shape)
         l_ref[...] = l_scr[...].reshape(l_ref.shape)
 
@@ -260,11 +339,13 @@ def _paged_kernel_int4_i8(
     meta_ref,     # (1 + S,) int32: [layer_idx, lengths...]
     pt_ref,       # (S, P_max) int32 page table
     q_ref,        # (block_s, Hq_pad, D)
-    *rest,        # kp_0..kp_{bs-1}, vp_0.., ks_0.., vs_0.., o_ref + scratches
+    *rest,        # kp_0..kp_{bs-1}, vp_0.., ks_0.., vs_0..,
+                  # [staged k/v/ks/vs/seg], o_ref + scratches
     scale: float,
     hkv: int,
     g: int,
     block_s: int,
+    staged: bool = False,
 ):
     """int4 pool pages with both attention dots on the int8 MXU
     (rollout.int4_i8dot): nibbles unpack to INT8 lanes (one i32 widen per
@@ -272,12 +353,19 @@ def _paged_kernel_int4_i8(
     nibble->bf16 convert chain, and q + the softmax weights quantize per row
     in-register — magnitudes recovered exactly in the f32 score/output
     epilogues. Mirrors ops/decode_attention._decode_kernel_int4_i8; same
-    grid/specs/scratches as _paged_kernel_int4."""
+    grid/specs/scratches as _paged_kernel_int4. The staged-ring block (a
+    few dozen cells) rides the bf16 path of _staged_block_update — too
+    small for int8 quantization to pay."""
     kp_refs = rest[:block_s]
     vp_refs = rest[block_s:2 * block_s]
     ks_refs = rest[2 * block_s:3 * block_s]
     vs_refs = rest[3 * block_s:4 * block_s]
-    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[4 * block_s:4 * block_s + 6]
+    idx = 4 * block_s
+    st = (None,) * 5
+    if staged:
+        st = tuple(rest[idx:idx + 5])
+        idx += 5
+    o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = rest[idx:idx + 6]
     si = pl.program_id(0)
     pi = pl.program_id(1)
     half = kp_refs[0].shape[-2]
@@ -370,12 +458,16 @@ def _paged_kernel_int4_i8(
 
     @pl.when(pi == pl.num_programs(1) - 1)
     def _flush():
+        if staged:
+            _staged_block_update(
+                qf, *st, m_scr, l_scr, acc_scr,
+                scale=scale, hkv=hkv, g=g, block_s=block_s,
+            )
         l = l_scr[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # inactive slots emit zeros
         o_ref[...] = (acc_scr[...] / safe_l).reshape(o_ref.shape).astype(o_ref.dtype)
-        # softmax stats per q row (f32, scaled space): callers that attend
-        # additional non-pool cells (the decode staging ring) combine partial
-        # softmaxes with the standard flash merge
+        # softmax stats per q row (f32, scaled space) for callers that merge
+        # further partial softmaxes; with `staged` fused they are final
         m_ref[...] = m_scr[...].reshape(m_ref.shape)
         l_ref[...] = l_scr[...].reshape(l_ref.shape)
 
@@ -394,7 +486,7 @@ def _block_slots(s_slots: int) -> int:
 
 
 def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
-                  k_scale, v_scale, scale, int4_i8dot=False):
+                  k_scale, v_scale, scale, int4_i8dot=False, staged=None):
     s_slots, hq, d = q.shape
     n_layers, n_pages, hkv, page, _ = k_pool.shape
     p_max = page_table.shape[1]
@@ -426,11 +518,12 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
         kernel = functools.partial(
             _paged_kernel_int4_i8 if int4_i8dot else _paged_kernel_int4,
             scale=scale, hkv=hkv, g=gp, block_s=block_s,
+            staged=staged is not None,
         )
     else:
         kernel = functools.partial(
             _paged_kernel, scale=scale, hkv=hkv, g=gp, quantized=quantized,
-            block_s=block_s,
+            block_s=block_s, staged=staged is not None,
         )
 
     # index maps receive (si, pi, meta_ref, pt_ref); the page block index is
@@ -462,6 +555,43 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
         in_specs += [scale_spec(r) for r in range(block_s)]
         in_specs += [scale_spec(r) for r in range(block_s)]
         args += [k_scale] * block_s + [v_scale] * block_s
+
+    if staged is not None:
+        # staging-ring cells (slot-major dense, unlike the pools): ONE
+        # regular BlockSpec covers the program's slots; the same block is
+        # indexed on every pi step, so Mosaic keeps it resident and the
+        # update runs once on the last step (see _staged_block_update)
+        st_k, st_v, st_ks, st_vs, st_seg = staged
+        assert (st_ks is not None) == quantized, (
+            "staged scales must accompany quantized pools (and only those)"
+        )
+        c = st_k.shape[3]
+        if s_pad != s_slots:
+            pad_s = ((0, 0), (0, s_pad - s_slots), (0, 0), (0, 0), (0, 0))
+            st_k = jnp.pad(st_k, pad_s)
+            st_v = jnp.pad(st_v, pad_s)
+            if st_ks is not None:
+                st_ks = jnp.pad(st_ks, pad_s[:-1])
+                st_vs = jnp.pad(st_vs, pad_s[:-1])
+            st_seg = jnp.pad(st_seg, ((0, s_pad - s_slots), (0, 0)))
+        st_kv_spec = pl.BlockSpec(
+            (None, block_s, hkv, c, d),
+            lambda si, pi, meta, pt: (meta[0], si, 0, 0, 0),
+        )
+        st_sc_spec = pl.BlockSpec(
+            (None, block_s, hkv, c),
+            lambda si, pi, meta, pt: (meta[0], si, 0, 0),
+        )
+        st_seg_spec = pl.BlockSpec(
+            (block_s, c), lambda si, pi, meta, pt: (si, 0)
+        )
+        in_specs += [st_kv_spec, st_kv_spec]
+        args += [st_k, st_v]
+        if st_ks is not None:
+            in_specs += [st_sc_spec, st_sc_spec]
+            args += [st_ks, st_vs]
+        in_specs += [st_seg_spec]
+        args += [st_seg]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -506,7 +636,8 @@ def _pallas_paged(q, k_pool, v_pool, page_table, lengths, layer_idx,
 # ---------------------------------------------------------------------------
 
 
-def _xla_paged(q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale):
+def _xla_paged(q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale,
+               v_scale, scale, staged=None):
     from ..models.qwen2_5_vl.text import _dequantize_kv, _unpack_kv4
 
     s_slots, hq, d = q.shape
@@ -531,13 +662,33 @@ def _xla_paged(q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_sca
     if k_scale is not None:
         k_l = _dequantize_kv(k_l, layer_gather(k_scale), q.dtype)
         v_l = _dequantize_kv(v_l, layer_gather(v_scale), q.dtype)
-    # explicit masked softmax (not ops.attention.xla_attention) so the partial
-    # stats (m, l) come back for staging-ring merges — same math as the kernel
-    qg = q.reshape(s_slots, hkv, g, d).astype(jnp.float32)
-    s = jnp.einsum("shgd,shtd->shgt", qg, k_l.astype(jnp.float32)) * scale
     mask = (
         jnp.arange(p_max * page, dtype=jnp.int32)[None, :] < lengths[:, None]
     )[:, None, None, :]
+    if staged is not None:
+        # append the staging-ring cells (the decode chunk's not-yet-installed
+        # tokens) to the gathered view — one softmax over pool+staged cells,
+        # the exact semantics the kernel's fused _staged_block_update computes
+        st_k, st_v, st_ks, st_vs, st_seg = staged
+        k_st = jax.lax.dynamic_index_in_dim(st_k, layer_idx, 0, keepdims=False)
+        v_st = jax.lax.dynamic_index_in_dim(st_v, layer_idx, 0, keepdims=False)
+        k_st = k_st.astype(jnp.float32)
+        v_st = v_st.astype(jnp.float32)
+        if st_ks is not None:
+            ks = jax.lax.dynamic_index_in_dim(st_ks, layer_idx, 0, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(st_vs, layer_idx, 0, keepdims=False)
+            k_st = k_st * ks[..., None].astype(jnp.float32)
+            v_st = v_st * vs[..., None].astype(jnp.float32)
+        # (S, Hkv, C, D) cells in slot-ring order; validity from stage_seg
+        k_l = jnp.concatenate([k_l.astype(jnp.float32), k_st], axis=2)
+        v_l = jnp.concatenate([v_l.astype(jnp.float32), v_st], axis=2)
+        mask = jnp.concatenate(
+            [mask, (st_seg != 0)[:, None, None, :]], axis=3
+        )
+    # explicit masked softmax (not ops.attention.xla_attention) so the partial
+    # stats (m, l) come back for callers that merge further partial softmaxes
+    qg = q.reshape(s_slots, hkv, g, d).astype(jnp.float32)
+    s = jnp.einsum("shgd,shtd->shgt", qg, k_l.astype(jnp.float32)) * scale
     s = jnp.where(mask, s, NEG_INF)
     m = jnp.max(s, axis=3)  # (S, Hkv, G)
     p = jnp.where(mask, jnp.exp(s - m[..., None]), 0.0)
@@ -551,11 +702,16 @@ def _xla_paged(q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_sca
     )
 
 
-def _eligible(q, k_pool) -> bool:
+def _eligible(q, k_pool, staged=None) -> bool:
     if jax.default_backend() != "tpu":
         return False
     s_slots, hq, d = q.shape
     _, _, hkv, page, _ = k_pool.shape
+    if staged is not None and staged[0].shape[3] % 8 != 0:
+        # the staged block's cell dim is second-minor in its BlockSpec:
+        # Mosaic needs div-by-8 (or dim-equal, which block (=full) width is —
+        # this guards odd stage widths only)
+        return False
     # for int4 pools `page` is the PACKED row count, so this same check means
     # token page_size % 256 — exactly what the in-kernel 128-lane-aligned
     # scale-half slices need
@@ -575,23 +731,32 @@ def paged_attention(
     backend: str = "auto",
     return_stats: bool = False,
     int4_i8dot: bool = False,
+    staged=None,
 ) -> jnp.ndarray:
     """Attention of one decode token per slot over its page-table pages of
     layer ``layer_idx``. Returns (S, Hq, D); with ``return_stats`` also the
     partial-softmax stats (m, l) each (S, Hq) in scaled-score space, for
-    flash-merging with attention over cells outside the pool (the decode
-    staging ring in rollout/paged.py). ``int4_i8dot`` (int4 pools only,
-    threaded from rollout.int4_i8dot) runs both dots on the int8 MXU — see
-    _paged_kernel_int4_i8."""
+    callers that merge further partial softmaxes. ``int4_i8dot`` (int4
+    pools only, threaded from rollout.int4_i8dot) runs both dots on the
+    int8 MXU — see _paged_kernel_int4_i8.
+
+    ``staged`` = (stage_k (L,S,Hkv,C,D), stage_v, stage_ks (L,S,Hkv,C)|None,
+    stage_vs|None, stage_seg (S,C)): the decode staging ring's
+    not-yet-installed cells, attended IN the kernel as one extra
+    online-softmax block on the last grid step (the per-layer XLA
+    staged-cell attention + flash merge it replaces dominated the paged
+    engine's non-kernel overhead). Staged cells are unpacked (int8 + bf16
+    scales under quantized pools; the pool dtype's packing never applies)."""
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
     out = None
-    if backend in ("auto", "pallas") and _eligible(q, k_pool):
+    if backend in ("auto", "pallas") and _eligible(q, k_pool, staged):
         try:
             out = _pallas_paged(
                 q, k_pool, v_pool, page_table, lengths, layer_idx,
                 k_scale, v_scale, scale,
                 int4_i8dot=int4_i8dot and k_pool.dtype == jnp.uint8,
+                staged=staged,
             )
         except Exception as e:
             if backend == "pallas":
@@ -601,7 +766,8 @@ def paged_attention(
         _warn_fallback("shape ineligible", q, k_pool)
     if out is None:
         out = _xla_paged(
-            q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale, v_scale, scale
+            q, k_pool, v_pool, page_table, lengths, layer_idx, k_scale,
+            v_scale, scale, staged=staged,
         )
     return out if return_stats else out[0]
 

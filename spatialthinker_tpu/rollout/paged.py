@@ -295,13 +295,12 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
     """One decoder layer, one token per slot. The new token's KV is written
     into the STAGING ring at the uniform index ``ring`` (dynamic_update_slice
     — a per-slot pool scatter would serialize, see PagedState.stage_k);
-    attention flash-merges the pool kernel's partial softmax over the
-    INSTALLED cells with a tiny staged-cell attention. ``stage`` is the
-    carried (stage_k, stage_v[, stage_ks, stage_vs]); the pools are read-only
-    during the chunk. Head/tail shared with every other engine
-    (text.attention_inputs / text.finish_layer)."""
+    attention covers the INSTALLED pool cells and the staged ring cells in
+    ONE paged_attention call (the staged block fuses into the kernel's last
+    grid step). ``stage`` is the carried (stage_k, stage_v[, stage_ks,
+    stage_vs]); the pools are read-only during the chunk. Head/tail shared
+    with every other engine (text.attention_inputs / text.finish_layer)."""
     t = cfg
-    s = x.shape[0]
     int4 = pools[0].dtype == jnp.uint8
     quantized = len(pools) == 4
 
@@ -340,49 +339,20 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
         new_stage = (stage_k, stage_v)
         pool_scales = (None, None)
 
-    d = q.shape[-1]
-    scale = d**-0.5
     qh = q[:, 0].astype(x.dtype)
-    o1, m1, l1 = paged_attention(
+    # pool pages AND the staging ring in ONE kernel call: the staged cells
+    # fuse as an extra online-softmax block on the kernel's last grid step
+    # (ops/paged_attention._staged_block_update) — the per-layer XLA
+    # staged-cell attention + flash merge this replaces dominated the paged
+    # engine's non-kernel overhead (r4: 38.4 vs continuous 17.7 ms/step)
+    out = paged_attention(
         qh, pools[0], pools[1], page_table, lengths_installed,
-        layer_idx, *pool_scales, return_stats=True, int4_i8dot=int4_i8dot,
-    )
-
-    # staged-cell attention (C cells, plain XLA) + flash merge with the pool
-    # partials — identical math to merging two flash blocks
-    hkv = stage_k.shape[2]
-    hq = qh.shape[1]
-    g = hq // hkv
-    k_st = jax.lax.dynamic_index_in_dim(stage_k, layer_idx, 0, keepdims=False)
-    v_st = jax.lax.dynamic_index_in_dim(stage_v, layer_idx, 0, keepdims=False)
-    k_bf = k_st.astype(jnp.float32)
-    v_bf = v_st.astype(jnp.float32)
-    if quantized:
-        ks_st = jax.lax.dynamic_index_in_dim(new_stage[2], layer_idx, 0, keepdims=False)
-        vs_st = jax.lax.dynamic_index_in_dim(new_stage[3], layer_idx, 0, keepdims=False)
-        k_bf = k_bf * ks_st[..., None].astype(jnp.float32)
-        v_bf = v_bf * vs_st[..., None].astype(jnp.float32)
-    qg = qh.reshape(s, hkv, g, d).astype(jnp.float32)
-    s2 = jnp.einsum("shgd,shcd->shgc", qg, k_bf) * scale
-    mask = (stage_seg > 0)[:, None, None, :]
-    s2 = jnp.where(mask, s2, -1e30)
-    m2 = jnp.max(s2, axis=3)                      # (S, Hkv, G)
-    p2 = jnp.where(mask, jnp.exp(s2 - m2[..., None]), 0.0)
-    l2 = jnp.sum(p2, axis=3)
-    o2 = jnp.einsum("shgc,shcd->shgd", p2, v_bf)  # UNNORMALIZED (sums to l2)
-
-    m1r = m1.reshape(s, hkv, g)
-    l1r = l1.reshape(s, hkv, g)
-    m = jnp.maximum(m1r, m2)
-    a1 = l1r * jnp.exp(m1r - m)
-    a2 = jnp.exp(m2 - m)
-    den = a1 + a2 * l2
-    safe = jnp.where(den == 0.0, 1.0, den)
-    o = (
-        a1[..., None] * o1.reshape(s, hkv, g, d).astype(jnp.float32)
-        + a2[..., None] * o2
-    ) / safe[..., None]
-    out = o.reshape(s, hq, d).astype(x.dtype)
+        layer_idx, *pool_scales, int4_i8dot=int4_i8dot,
+        staged=(new_stage[0], new_stage[1],
+                new_stage[2] if quantized else None,
+                new_stage[3] if quantized else None,
+                stage_seg),
+    ).astype(x.dtype)
 
     return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_stage
 

@@ -408,6 +408,86 @@ def test_paged_kernel_int4_i8dot_matches_fallback():
     assert err < 3e-2, err
 
 
+@pytest.mark.parametrize("pool_kind", ["bf16", "int8", "int4", "int4_i8"])
+def test_paged_kernel_staged_fusion_matches_fallback(pool_kind):
+    """The kernel's fused staging-ring update (one extra online-softmax
+    block on the last grid step) == the XLA fallback's single softmax over
+    pool+staged cells, for every pool dtype/kernel variant. Interpret mode."""
+    from spatialthinker_tpu.ops.paged_attention import _pallas_paged, _xla_paged
+
+    rng = np.random.default_rng(7)
+    L, N, hkv, page, d = 2, 9, 2, 256, 128
+    s_slots, hq, C = 4, 4, 16
+    quantized = pool_kind != "bf16"
+    int4 = pool_kind.startswith("int4")
+
+    if int4:
+        vals_k = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
+        vals_v = rng.integers(-7, 8, size=(L, N, hkv, page, d)).astype(np.int8)
+        half = page // 2
+
+        def pack(vals):
+            low = (vals[:, :, :, :half] + 8).astype(np.uint8) & 0xF
+            high = (vals[:, :, :, half:] + 8).astype(np.uint8) << 4
+            return jnp.asarray(low | high)
+
+        k_pool, v_pool = pack(vals_k), pack(vals_v)
+    elif pool_kind == "int8":
+        k_pool = jnp.asarray(rng.integers(-127, 128, size=(L, N, hkv, page, d)), jnp.int8)
+        v_pool = jnp.asarray(rng.integers(-127, 128, size=(L, N, hkv, page, d)), jnp.int8)
+    else:
+        k_pool = jnp.asarray(rng.normal(size=(L, N, hkv, page, d)), jnp.bfloat16)
+        v_pool = jnp.asarray(rng.normal(size=(L, N, hkv, page, d)), jnp.bfloat16)
+    k_scale = v_scale = None
+    if quantized:
+        k_scale = jnp.asarray(
+            rng.uniform(0.01, 0.1, size=(L, N, hkv, page)), jnp.bfloat16
+        )
+        v_scale = jnp.asarray(
+            rng.uniform(0.01, 0.1, size=(L, N, hkv, page)), jnp.bfloat16
+        )
+
+    q = jnp.asarray(rng.normal(size=(s_slots, hq, d)), jnp.bfloat16)
+    table = np.zeros((s_slots, 2), dtype=np.int32)
+    table[:, 0] = [1, 3, 5, 7]
+    table[:, 1] = [2, 4, 6, 8]
+    lengths = jnp.asarray([300, 256, 37, 512], jnp.int32)
+    layer_idx = jnp.asarray(1, jnp.int32)
+
+    # staging ring: unpacked int8 + bf16 scales under quantized pools
+    if quantized:
+        st_k = jnp.asarray(rng.integers(-7, 8, size=(L, s_slots, hkv, C, d)), jnp.int8)
+        st_v = jnp.asarray(rng.integers(-7, 8, size=(L, s_slots, hkv, C, d)), jnp.int8)
+        st_ks = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, s_slots, hkv, C)), jnp.bfloat16)
+        st_vs = jnp.asarray(rng.uniform(0.01, 0.1, size=(L, s_slots, hkv, C)), jnp.bfloat16)
+    else:
+        st_k = jnp.asarray(rng.normal(size=(L, s_slots, hkv, C, d)), jnp.bfloat16)
+        st_v = jnp.asarray(rng.normal(size=(L, s_slots, hkv, C, d)), jnp.bfloat16)
+        st_ks = st_vs = None
+    st_seg = jnp.asarray((rng.random((s_slots, C)) < 0.5).astype(np.int32))
+    staged = (st_k, st_v, st_ks, st_vs, st_seg)
+
+    out_k, m_k, l_k = _pallas_paged(
+        q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
+        k_scale, v_scale, d**-0.5,
+        int4_i8dot=pool_kind == "int4_i8", staged=staged,
+    )
+    out_x, m_x, l_x = _xla_paged(
+        q, k_pool, v_pool, jnp.asarray(table), lengths, layer_idx,
+        k_scale, v_scale, d**-0.5, staged=staged,
+    )
+    err = np.linalg.norm(
+        np.asarray(out_k, np.float32) - np.asarray(out_x, np.float32)
+    ) / (np.linalg.norm(np.asarray(out_x, np.float32)) + 1e-9)
+    tol = 3e-2 if pool_kind == "int4_i8" else 1.5e-2
+    assert err < tol, (pool_kind, err)
+    if pool_kind != "int4_i8":  # q/p rounding perturbs the stats there
+        np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_x),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_x),
+                                   rtol=3e-2, atol=3e-2)
+
+
 def test_paged_int4_matches_dense_int4(jax_params):
     """End-to-end paged engine with int4 pools == the dense engine with the
     int4 cache (same quantization grid at write time), greedy decoding."""
