@@ -707,10 +707,11 @@ def _eligible(q, k_pool, staged=None) -> bool:
         return False
     s_slots, hq, d = q.shape
     _, _, hkv, page, _ = k_pool.shape
-    if staged is not None and staged[0].shape[3] % 8 != 0:
-        # the staged block's cell dim is second-minor in its BlockSpec:
-        # Mosaic needs div-by-8 (or dim-equal, which block (=full) width is —
-        # this guards odd stage widths only)
+    if staged is not None and staged[0].shape[3] % 128 != 0:
+        # the staged cell dim is a vector minor dim inside the kernel:
+        # Mosaic cannot lower the block's reshapes below 128 lanes
+        # ("infer-vector-layout: unsupported shape cast" at width 64,
+        # measured on chip) — init_paged_state sizes the ring accordingly
         return False
     # for int4 pools `page` is the PACKED row count, so this same check means
     # token page_size % 256 — exactly what the in-kernel 128-lane-aligned

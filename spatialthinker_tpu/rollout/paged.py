@@ -99,6 +99,14 @@ def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
     # staging cells stay UNPACKED (int8 holds the int4 values pre-packing);
     # nibble packing happens once per chunk at install
     stage_dtype = jnp.int8 if kv_dtype in (jnp.int8, jnp.uint8) else kv_dtype
+    if jax.default_backend() == "tpu":
+        # the staging block rides INSIDE the paged attention kernel
+        # (_staged_block_update); its cell dim is a vector minor dim there,
+        # and Mosaic cannot lower the block's reshapes below 128 lanes
+        # ("infer-vector-layout: unsupported shape cast" at width 64 —
+        # measured on chip; interpret mode does not catch it). Cells past
+        # the chunk stay stage_seg=0: masked in-kernel, dropped at install.
+        stage_width = max(stage_width, 128)
     stage_shape = (t.num_hidden_layers, slots, t.num_key_value_heads,
                    stage_width, t.head_dim)
     stage_ks = stage_vs = None
