@@ -43,6 +43,10 @@ def main():
     if stage == "kernel":
         from spatialthinker_tpu.ops.paged_attention import paged_attention
 
+        # PD_STAGED=1: include a dummy staging-ring block (width PD_STWIDTH,
+        # default 128) so the kernel's fused staged update is measured too
+        staged_on = os.environ.get("PD_STAGED", "0") == "1"
+        st_width = int(os.environ.get("PD_STWIDTH", "128"))
         rows = page_size // 2 if kv == "int4" else page_size
 
         @jax.jit
@@ -74,12 +78,29 @@ def main():
                 pid += 1
         pt = jnp.asarray(pt)
         lengths = jnp.full((slots,), filled, jnp.int32)
+        staged = None
+        if staged_on:
+            kst = jax.random.randint(
+                jax.random.key(9), (l, slots, hkv, st_width, d), -7, 8, jnp.int32
+            ).astype(jnp.int8)
+            vst = jax.random.randint(
+                jax.random.key(10), (l, slots, hkv, st_width, d), -7, 8, jnp.int32
+            ).astype(jnp.int8)
+            quant = kv in ("int4", "int8")
+            sks = (jnp.full((l, slots, hkv, st_width), 0.01, jnp.bfloat16)
+                   if quant else None)
+            if not quant:
+                kst = kst.astype(jnp.bfloat16)
+                vst = vst.astype(jnp.bfloat16)
+            seg = jnp.ones((slots, st_width), jnp.int32)
+            staged = (kst, vst, sks, sks, seg)
 
         @jax.jit
         def timed(q, k, v, sc, n):
             def body(i, acc):
                 o = paged_attention(q, k, v, pt, lengths, i % l, sc, sc,
-                                    backend="pallas", int4_i8dot=i8dot)
+                                    backend="pallas", int4_i8dot=i8dot,
+                                    staged=staged)
                 return acc + jnp.sum(o.astype(jnp.float32))
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 

@@ -23,8 +23,19 @@ python3 -m spatialthinker_tpu.trainer.main \
     worker.rollout.kv_cache_dtype=int4 \
     worker.rollout.quantization=int8 \
     worker.rollout.prefill_rows=8 \
+    worker.rollout.int4_i8dot=true \
+    worker.rollout.name=continuous \
+    worker.rollout.decode_batch_size=128 \
+    worker.rollout.refill_batch=16 \
     "$@"
 
 # Same bench-proven rollout perf path as the 3B script (int4 KV + W8A8 +
-# rows-mode prefill); guardrail metric: rollout/probs_diff_*. Revert with
-# kv_cache_dtype=bfloat16 quantization=none.
+# rows-mode prefill + int8-MXU int4 dots + continuous slot engine);
+# guardrail metric: rollout/probs_diff_*. Revert with
+# kv_cache_dtype=bfloat16 quantization=none worker.rollout.name=jax.
+#
+# 7B HBM plan (README "The 7B plan" + tests/test_7b_plan.py): single-chip 7B
+# does not fit at all — fsdp>=4 with host moments is the floor, fsdp=8 fits
+# the fused optimizer. fsdp_size=-1 takes every chip; int4 KV at width 8192
+# is 28 MB/lane (28L x 4kv x 128d), so decode_batch_size=128 slots spread
+# over fsdp=8 costs ~0.45 GB/chip of KV.
