@@ -132,9 +132,11 @@ def main():
     if wq in ("int8", "w4a8"):
         params = jax.jit(functools.partial(quantize_params, mode=wq),
                          donate_argnums=(0,))(params)
+    fuse = os.environ.get("PD_FUSE", "0") == "1"
     state = init_paged_state(cfg, slots + 1, pages, page_size, p_max, 2048,
                              jax.random.key(1), kv_dtype,
-                             stage_width=int(os.environ.get("PD_CHUNK", "8")))
+                             stage_width=int(os.environ.get("PD_CHUNK", "8")),
+                             fuse_staged=fuse)
     pt = np.zeros((slots + 1, p_max), np.int32)
     n_used = filled // page_size
     pid = 1
@@ -152,24 +154,27 @@ def main():
     )
     decode_jit = jax.jit(
         decode_chunk_paged,
-        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot"),
+        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot",
+                         "fuse_staged"),
         donate_argnums=(2,),
     )
     sampling = SamplingParams(temperature=1.0, top_p=1.0, top_k=-1)
     chunk = int(os.environ.get("PD_CHUNK", "8"))
     t0 = time.perf_counter()
-    state = decode_jit(params, cfg, state, sampling, chunk, int4_i8dot=i8dot)
+    state = decode_jit(params, cfg, state, sampling, chunk, int4_i8dot=i8dot,
+                       fuse_staged=fuse)
     float(np.asarray(jnp.sum(state.length)))
     print(f"step compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
     iters = int(os.environ.get("PD_ITERS", "3"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        state = decode_jit(params, cfg, state, sampling, chunk, int4_i8dot=i8dot)
+        state = decode_jit(params, cfg, state, sampling, chunk, int4_i8dot=i8dot,
+                           fuse_staged=fuse)
         float(np.asarray(jnp.sum(state.length)))
     dt = (time.perf_counter() - t0) / iters / chunk
     print(f"decode step: {dt * 1e3:.2f} ms/token-step "
-          f"(slots={slots}, filled~{filled}, kv={kv}, wq={wq}, i8dot={i8dot})",
-          flush=True)
+          f"(slots={slots}, filled~{filled}, kv={kv}, wq={wq}, i8dot={i8dot}, "
+          f"fuse={fuse})", flush=True)
 
 
 if __name__ == "__main__":

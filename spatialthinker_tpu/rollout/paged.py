@@ -82,7 +82,8 @@ class PagedState(NamedTuple):
 def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
                      page_size: int, p_max: int, max_new_tokens: int,
                      key: jax.Array, kv_dtype=jnp.bfloat16,
-                     stage_width: int = 16) -> PagedState:
+                     stage_width: int = 16,
+                     fuse_staged: bool = False) -> PagedState:
     t = cfg.text
     pool_shape = (t.num_hidden_layers, total_pages, t.num_key_value_heads,
                   page_size, t.head_dim)
@@ -99,11 +100,11 @@ def init_paged_state(cfg: Qwen25VLConfig, slots: int, total_pages: int,
     # staging cells stay UNPACKED (int8 holds the int4 values pre-packing);
     # nibble packing happens once per chunk at install
     stage_dtype = jnp.int8 if kv_dtype in (jnp.int8, jnp.uint8) else kv_dtype
-    if jax.default_backend() == "tpu":
-        # the staging block rides INSIDE the paged attention kernel
-        # (_staged_block_update); its cell dim is a vector minor dim there,
-        # and Mosaic cannot lower the block's reshapes below 128 lanes
-        # ("infer-vector-layout: unsupported shape cast" at width 64 —
+    if fuse_staged and jax.default_backend() == "tpu":
+        # fused mode: the staging block rides INSIDE the paged attention
+        # kernel (_staged_block_update); its cell dim is a vector minor dim
+        # there, and Mosaic cannot lower the block's reshapes below 128
+        # lanes ("infer-vector-layout: unsupported shape cast" at width 64 —
         # measured on chip; interpret mode does not catch it). Cells past
         # the chunk stay stage_seg=0: masked in-kernel, dropped at install.
         stage_width = max(stage_width, 128)
@@ -299,7 +300,7 @@ def prefill_paged(
 
 def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
                         page_table, lengths_installed, pools, ring, stage_seg,
-                        int4_i8dot=False):
+                        int4_i8dot=False, fuse_staged=False):
     """One decoder layer, one token per slot. The new token's KV is written
     into the STAGING ring at the uniform index ``ring`` (dynamic_update_slice
     — a per-slot pool scatter would serialize, see PagedState.stage_k);
@@ -347,27 +348,76 @@ def _paged_decode_layer(layer_p, cfg, x, cos, sin, stage, layer_idx,
         new_stage = (stage_k, stage_v)
         pool_scales = (None, None)
 
+    s = x.shape[0]
+    d = q.shape[-1]
+    scale = d**-0.5
     qh = q[:, 0].astype(x.dtype)
-    # pool pages AND the staging ring in ONE kernel call: the staged cells
-    # fuse as an extra online-softmax block on the kernel's last grid step
-    # (ops/paged_attention._staged_block_update) — the per-layer XLA
-    # staged-cell attention + flash merge this replaces dominated the paged
-    # engine's non-kernel overhead (r4: 38.4 vs continuous 17.7 ms/step)
-    out = paged_attention(
+    if fuse_staged:
+        # pool pages AND the staging ring in ONE kernel call: the staged
+        # cells join the online softmax on the kernel's last grid step
+        # (ops/paged_attention._staged_block_update). MEASURED SLOWER than
+        # the XLA merge below at scale (the predicated last-step branch
+        # runs per (si, layer) and breaks Mosaic's cross-program pipelining:
+        # long shape 128 slots ~88 vs ~36 ms/token-step) — kept selectable
+        # for revalidation on future Mosaic releases.
+        out = paged_attention(
+            qh, pools[0], pools[1], page_table, lengths_installed,
+            layer_idx, *pool_scales, int4_i8dot=int4_i8dot,
+            staged=(new_stage[0], new_stage[1],
+                    new_stage[2] if quantized else None,
+                    new_stage[3] if quantized else None,
+                    stage_seg),
+        ).astype(x.dtype)
+        return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_stage
+
+    # default: pool kernel emits partial-softmax stats; the chunk's staged
+    # cells attend in ONE vectorized XLA block over all slots and merge via
+    # the standard flash combine (all-slot einsums vectorize better than
+    # per-program predicated kernel updates — see fuse_staged above)
+    o1, m1, l1 = paged_attention(
         qh, pools[0], pools[1], page_table, lengths_installed,
-        layer_idx, *pool_scales, int4_i8dot=int4_i8dot,
-        staged=(new_stage[0], new_stage[1],
-                new_stage[2] if quantized else None,
-                new_stage[3] if quantized else None,
-                stage_seg),
-    ).astype(x.dtype)
+        layer_idx, *pool_scales, return_stats=True, int4_i8dot=int4_i8dot,
+    )
+    hkv = new_stage[0].shape[2]
+    hq = qh.shape[1]
+    g = hq // hkv
+    k_st = jax.lax.dynamic_index_in_dim(new_stage[0], layer_idx, 0, keepdims=False)
+    v_st = jax.lax.dynamic_index_in_dim(new_stage[1], layer_idx, 0, keepdims=False)
+    k_bf = k_st.astype(jnp.float32)
+    v_bf = v_st.astype(jnp.float32)
+    if quantized:
+        ks_st = jax.lax.dynamic_index_in_dim(new_stage[2], layer_idx, 0, keepdims=False)
+        vs_st = jax.lax.dynamic_index_in_dim(new_stage[3], layer_idx, 0, keepdims=False)
+        k_bf = k_bf * ks_st[..., None].astype(jnp.float32)
+        v_bf = v_bf * vs_st[..., None].astype(jnp.float32)
+    qg = qh.reshape(s, hkv, g, d).astype(jnp.float32)
+    s2 = jnp.einsum("shgd,shcd->shgc", qg, k_bf) * scale
+    mask = (stage_seg > 0)[:, None, None, :]
+    s2 = jnp.where(mask, s2, -1e30)
+    m2 = jnp.max(s2, axis=3)                      # (S, Hkv, G)
+    p2 = jnp.where(mask, jnp.exp(s2 - m2[..., None]), 0.0)
+    l2 = jnp.sum(p2, axis=3)
+    o2 = jnp.einsum("shgc,shcd->shgd", p2, v_bf)  # UNNORMALIZED (sums to l2)
+
+    m1r = m1.reshape(s, hkv, g)
+    l1r = l1.reshape(s, hkv, g)
+    m = jnp.maximum(m1r, m2)
+    a1 = l1r * jnp.exp(m1r - m)
+    a2 = jnp.exp(m2 - m)
+    den = a1 + a2 * l2
+    safe = jnp.where(den == 0.0, 1.0, den)
+    o = (
+        a1[..., None] * o1.reshape(s, hkv, g, d).astype(jnp.float32)
+        + a2[..., None] * o2
+    ) / safe[..., None]
+    out = o.reshape(s, hq, d).astype(x.dtype)
 
     return finish_layer(layer_p, t, x2, out[:, None])[:, 0], new_stage
 
 
 def decode_chunk_paged(
     params, cfg: Qwen25VLConfig, state: PagedState, sampling: SamplingParams,
-    chunk: int, int4_i8dot: bool = False,
+    chunk: int, int4_i8dot: bool = False, fuse_staged: bool = False,
 ) -> PagedState:
     """Advance every unfinished slot `chunk` tokens. The host guarantees each
     running slot's page table covers length+chunk cells before calling.
@@ -417,7 +467,7 @@ def decode_chunk_paged(
             x, stage = _paged_decode_layer(
                 layer_p, t, x, cos, sin, stage, idx,
                 state.page_table, state.length, pools, state.ring, stage_seg,
-                int4_i8dot=int4_i8dot,
+                int4_i8dot=int4_i8dot, fuse_staged=fuse_staged,
             )
             return (x, stage, idx + 1), None
 
@@ -621,6 +671,8 @@ def generate_paged(
     group_n: int = 1,
     mesh=None,                   # jax Mesh -> multi-host SPMD mode (see below)
     int4_i8dot: bool = False,    # int4 decode dots on the int8 MXU
+    fuse_staged: bool = False,   # staged cells inside the kernel (slower
+                                 # today — see _paged_decode_layer)
 ) -> PagedResult:
     """Generate B*group_n sequences through `slots` decode lanes over a
     `total_pages` KV page pool. Output row i*group_n + j is sample j of
@@ -723,7 +775,8 @@ def generate_paged(
     )
     decode_jit = jax.jit(
         decode_chunk_paged,
-        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot"),
+        static_argnames=("cfg", "sampling", "chunk", "int4_i8dot",
+                         "fuse_staged"),
         donate_argnums=(2,),
     )
 
@@ -751,11 +804,12 @@ def generate_paged(
             init_paged_state,
             static_argnames=(
                 "cfg", "slots", "total_pages", "page_size", "p_max",
-                "max_new_tokens", "kv_dtype", "stage_width",
+                "max_new_tokens", "kv_dtype", "stage_width", "fuse_staged",
             ),
             out_shardings=state_sh,
         )(cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
-          kv_dtype=kv_cache_dtype, stage_width=decode_chunk_size)
+          kv_dtype=kv_cache_dtype, stage_width=decode_chunk_size,
+          fuse_staged=fuse_staged)
 
         # prefill rows shard over the batch devices when they divide evenly
         # (the prompt forward dominates the refill FLOPs); the page-scatter
@@ -788,6 +842,7 @@ def generate_paged(
         state = init_paged_state(
             cfg, n_lanes, total_pages, page_size, p_max, max_new_tokens, key,
             kv_cache_dtype, stage_width=decode_chunk_size,
+            fuse_staged=fuse_staged,
         )
     allocator = PageAllocator(total_pages)
 
@@ -1091,7 +1146,7 @@ def generate_paged(
         state = ensure_capacity(state)
         t1 = _time.perf_counter()
         state = decode_jit(params, cfg, state, sampling, decode_chunk_size,
-                           int4_i8dot=int4_i8dot)
+                           int4_i8dot=int4_i8dot, fuse_staged=fuse_staged)
         t2 = _time.perf_counter()
         # the one fetch per sync: which slots finished during this chunk
         running = h_active & ~h_finished

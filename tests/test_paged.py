@@ -121,7 +121,8 @@ def test_paged_kernel_zero_length_slot_emits_zeros():
 # ---------------------------------------------------------------------------
 
 
-def test_paged_matches_dense_greedy(jax_params):
+@pytest.mark.parametrize("fuse_staged", [False, True])
+def test_paged_matches_dense_greedy(jax_params, fuse_staged):
     rng = np.random.default_rng(0)
     b, p, r = 6, 8, 6
     ids, seg, pos, gs = _prompts(rng, b, p)
@@ -135,6 +136,7 @@ def test_paged_matches_dense_greedy(jax_params):
         jax_params, GOLD_CFG, ids, seg, pos, gs,
         max_new_tokens=r, sampling=SamplingParams(temperature=0.0),
         key=jax.random.key(0), slots=2, decode_chunk_size=2, page_size=4,
+        fuse_staged=fuse_staged,
     )
     np.testing.assert_array_equal(np.asarray(dense.responses), paged.responses)
     np.testing.assert_array_equal(np.asarray(dense.response_mask), paged.response_mask)
