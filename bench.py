@@ -26,14 +26,23 @@ single rollout shape (short|long|grpo|flagship) or "all" (default:
 short+long+grpo+flagship+sched+train; headline = grpo).
 
 The default run additionally records, each alarm-guarded so a stall can't
-lose the numbers above it:
+lose the numbers above it (order: train -> sched entries -> train_3b, with
+a wall-time slot RESERVED for train_3b so nothing can starve it):
+  train     — update step at the 1b preset (fused in-place AdamW);
   continuous_long_ctx / paged_long_ctx — the vLLM-scheduler replacement
     engines at the long shape, 256 prompts through BENCH_SCHED_SLOTS=128
     slots (exercises slot refill / page-pool admission);
-    BENCH_SKIP_SCHED=1 skips, BENCH_SCHED_BUDGET seconds (1200).
-  train     — update step at the 1b preset (fused in-place AdamW);
-  train_3b  — the 3B text stack via the host-streamed optimizer
+    BENCH_SKIP_SCHED=1 skips, BENCH_SCHED_BUDGET seconds (1000).
+  flagship_sched — the shipped script's rollout workload (n=8 grouped at
+    6144/2048) through the engine the script selects;
+  train_3b  — the 3B text stack via the host-streamed optimizer, moment
+    streaming SAMPLED and extrapolated by bytes (full-stream transfers are
+    relay-rate here; BENCH_STREAM_SAMPLE slices, default 4)
     (BENCH_SKIP_TRAIN3B=1 skips, BENCH_TRAIN3B_BUDGET seconds).
+
+All sections share a persistent XLA compilation cache (.jax_cache/,
+verified to hit through the axon relay) — a pre-warmed run is mostly
+compile-free, which is what fits the suite in the driver's wall budget.
 """
 
 from __future__ import annotations
@@ -44,6 +53,28 @@ import time
 
 
 H100_VLLM_3B_TOKS = 2800.0  # nominal anchor, see module docstring
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, repo-local (gitignored). Verified to
+    HIT through the axon relay (executables serialize/deserialize), where a
+    single remote compile costs minutes — a pre-warmed cache is the
+    difference between the default run fitting the driver's wall budget and
+    BENCH_r04.json's rc=124. BENCH_NO_CACHE=1 disables."""
+    if os.environ.get("BENCH_NO_CACHE") == "1":
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
 
 PRESET = os.environ.get("BENCH_PRESET", "3b")
 SHAPE = os.environ.get("BENCH_SHAPE", "all")
@@ -104,6 +135,14 @@ def train_bench() -> dict:
         grad_accum_dtype=jnp.bfloat16,
     )
     offload_s = [0.0]
+    # BENCH_STREAM_SAMPLE>0: only the first N layer slices actually round-trip
+    # through the relay; their measured wall time extrapolates to the full
+    # moment tree BY BYTES (streamed_opt.apply sample_slices). The full stream
+    # is ~22 GB/step — at this host's relay rate (~20-40 MB/s, PCIe would be
+    # ~10 GB/s) a full apply is >12 min and un-benchable; the sampled number
+    # is labeled in the config dict.
+    sample = int(os.environ.get("BENCH_STREAM_SAMPLE", "0"))
+    sample_deficit = [0.0]  # (extrapolated - actually measured) per timed iter
     if stream:
         from spatialthinker_tpu.trainer.streamed_opt import StreamedAdamW
         from spatialthinker_tpu.trainer.train_step import make_grad_fn
@@ -151,19 +190,30 @@ def train_bench() -> dict:
             float(np.asarray(metrics["actor/loss"]))  # sync the grad program
             t0 = time.perf_counter()
             params, opt_state = opt.apply(
-                params, grads, opt_state, finite=finite, grad_scale=factor
+                params, grads, opt_state, finite=finite, grad_scale=factor,
+                sample_slices=sample,
             )
-            offload_s[0] = time.perf_counter() - t0  # moment round-trip cost
+            apply_s = time.perf_counter() - t0
+            if sample:
+                st = opt.last_apply_stats
+                extrap = apply_s * st["total_bytes"] / max(st["measured_bytes"], 1)
+                sample_deficit[0] += extrap - apply_s
+                offload_s[0] = extrap  # full-stream moment round-trip estimate
+            else:
+                offload_s[0] = apply_s  # measured moment round-trip cost
             return
         params, opt_state, metrics = update(params, opt_state, batch)
         float(np.asarray(metrics["actor/loss"]))  # sync through the relay
 
     run()  # compile
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    sample_deficit[0] = 0.0
     start = time.perf_counter()
     for _ in range(iters):
         run()
-    elapsed = time.perf_counter() - start
+    # sampled streaming: charge the timed loop the extrapolated full-stream
+    # cost, not just the slices that actually round-tripped
+    elapsed = time.perf_counter() - start + sample_deficit[0]
     tokens = bs * s * iters
 
     from spatialthinker_tpu.utils.flops_counter import FlopsCounter, compute_mfu
@@ -178,7 +228,15 @@ def train_bench() -> dict:
         "config": {"preset": preset, "seq": s, "micro_bs": micro_bs,
                    "n_micro": n_micro, "remat": os.environ.get("BENCH_REMAT", "full"),
                    "kahan": kahan, "stream_opt": stream,
-                   **({"offload_s_per_step": round(offload_s[0], 2)} if stream else {})},
+                   **({"offload_s_per_step": round(offload_s[0], 2)} if stream else {}),
+                   **({"stream_sample": {
+                       "slices_measured": opt.last_apply_stats["measured_slices"],
+                       "bytes_measured": opt.last_apply_stats["measured_bytes"],
+                       "bytes_total": opt.last_apply_stats["total_bytes"],
+                       "note": ("offload_s_per_step extrapolated by bytes from "
+                                "the measured slices (relay-rate transfers; "
+                                "full stream is un-benchable on this host)"),
+                   }} if stream and sample else {})},
     }
     if stream and offload_s[0] > 0:
         # the moment round trip rides this host's axon relay (relay-rate,
@@ -507,11 +565,12 @@ def main() -> None:
     def emit():
         print(json.dumps(out), flush=True)
 
-    def guarded(label: str, budget: int, fn):
+    def guarded(label: str, budget: int, fn, reserve: int = 0):
         """Run one optional section under SIGALRM + the wall budget; a stall
         or overrun records an error/skip instead of losing the sections
-        already measured."""
-        if wall_left() < 120:
+        already measured. ``reserve`` holds back wall time for sections that
+        MUST still run afterwards (train_3b's guaranteed slot)."""
+        if wall_left() - reserve < 120:
             out[label] = {"skipped": f"wall budget ({int(wall)}s) exhausted"}
             emit()
             return
@@ -520,7 +579,7 @@ def main() -> None:
             raise TimeoutError(f"{label} exceeded its budget")
 
         old = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(max(int(min(budget, wall_left())), 60))
+        signal.alarm(max(int(min(budget, wall_left() - reserve)), 60))
         try:
             out[label] = fn()
         except Exception as e:  # noqa: BLE001 — record, don't lose the run
@@ -591,34 +650,30 @@ def main() -> None:
     if SHAPE != "all":
         return
 
-    # train entries run BEFORE the scheduler entries (VERDICT r4 task 1: an
-    # overrunning sched section must not starve the train numbers — the r4
-    # artifact recorded neither train nor train_3b)
+    # the 1B train entry runs BEFORE the scheduler entries (VERDICT r4 task 1:
+    # an overrunning sched section must not starve the train numbers); the 3B
+    # entry runs LAST with a RESERVED wall slot instead — its streamed apply
+    # is the one section that has crashed the TPU worker when SIGALRM fired
+    # mid-relay-transfer (r5: the unguarded re-init after it then lost every
+    # sched entry), so nothing may run after it, and the reserve guarantees
+    # the sched entries cannot starve it either.
+    train3b_reserve = 0
+    if (os.environ.get("BENCH_SKIP_TRAIN") != "1"
+            and os.environ.get("BENCH_SKIP_TRAIN3B") != "1"):
+        train3b_reserve = int(os.environ.get("BENCH_TRAIN3B_BUDGET", "900"))
     if os.environ.get("BENCH_SKIP_TRAIN") != "1":
         del params  # free rollout weights before the train-bench allocates
         guarded("train", int(os.environ.get("BENCH_TRAIN_BUDGET", "900")),
-                train_bench)
+                train_bench, reserve=train3b_reserve)
+        params = None
 
-        # 3B train entry (streamed optimizer: the only single-chip fit at 3B
-        # — moments host-resident, layer-slice round trips; the moment
-        # streaming rides the relay here, so the number is relay-rate)
-        if os.environ.get("BENCH_SKIP_TRAIN3B") != "1":
-            def _train3b():
-                os.environ["BENCH_TRAIN_PRESET"] = "3b"
-                os.environ["BENCH_STREAM_OPT"] = "1"
-                os.environ["BENCH_ITERS"] = "1"
-                os.environ.setdefault("BENCH_TRAIN_BS", "1")
-                # measured single-chip 3B fit (2026-08): micro_bs=1 x seq 2048
-                # with one micro-batch; seq 4096 or n_micro=2 ResourceExhausted
-                # even with the streamed optimizer (grads + params + one
-                # layer-slice of moments is the whole budget)
-                os.environ.setdefault("BENCH_TRAIN_SEQ", "2048")
-                os.environ.setdefault("BENCH_TRAIN_NMICRO", "1")
-                return train_bench()
-
-            guarded("train_3b",
-                    int(os.environ.get("BENCH_TRAIN3B_BUDGET", "1200")), _train3b)
-        params = make_params()  # the sched entries below need the weights back
+    def get_params():
+        # lazy re-init inside the guarded sections: a crashed/restarting TPU
+        # worker records a per-entry error instead of killing the run
+        nonlocal params
+        if params is None:
+            params = make_params()
+        return params
 
     if os.environ.get("BENCH_SKIP_SCHED") != "1":
         # the vLLM-scheduler replacements (continuous slot-refill, paged pool)
@@ -633,7 +688,7 @@ def main() -> None:
 
         def sched_entry(eng, shape, slots, label_cfg):
             v = round(
-                _measure_host_engine(params, cfg, shape, sched_iters,
+                _measure_host_engine(get_params(), cfg, shape, sched_iters,
                                      engine=eng, slots_override=slots) / n_chips,
                 2,
             )
@@ -645,6 +700,7 @@ def main() -> None:
                 f"{eng}_long_ctx", sched_budget,
                 lambda eng=eng: sched_entry(eng, long_shape, sched_slots,
                                             shape_cfg("long")),
+                reserve=train3b_reserve,
             )
 
         # the shipped script's own rollout workload (rollout.n=8 grouped at
@@ -660,11 +716,39 @@ def main() -> None:
             guarded(
                 "flagship_sched", sched_budget,
                 lambda: sched_entry(fs_eng, fs, fs_slots, fs_cfg),
+                reserve=train3b_reserve,
             )
+
+    # 3B train entry LAST (see the ordering comment above): streamed
+    # optimizer — the only single-chip 3B fit — with SAMPLED moment
+    # streaming (full-stream extrapolated by bytes; a real full apply is
+    # >12 min of relay transfers and crashed the worker when the alarm
+    # interrupted it)
+    if (os.environ.get("BENCH_SKIP_TRAIN") != "1"
+            and os.environ.get("BENCH_SKIP_TRAIN3B") != "1"):
+        def _train3b():
+            nonlocal params
+            params = None  # free the rollout weights for the 3B train tree
+            os.environ["BENCH_TRAIN_PRESET"] = "3b"
+            os.environ["BENCH_STREAM_OPT"] = "1"
+            os.environ["BENCH_ITERS"] = "1"
+            os.environ.setdefault("BENCH_TRAIN_BS", "1")
+            os.environ.setdefault("BENCH_STREAM_SAMPLE", "4")
+            # measured single-chip 3B fit (2026-08): micro_bs=1 x seq 2048
+            # with one micro-batch; seq 4096 or n_micro=2 ResourceExhausted
+            # even with the streamed optimizer (grads + params + one
+            # layer-slice of moments is the whole budget)
+            os.environ.setdefault("BENCH_TRAIN_SEQ", "2048")
+            os.environ.setdefault("BENCH_TRAIN_NMICRO", "1")
+            return train_bench()
+
+        guarded("train_3b",
+                int(os.environ.get("BENCH_TRAIN3B_BUDGET", "900")), _train3b)
     emit()
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
     if os.environ.get("BENCH_MODE") == "train":
         print(json.dumps(train_bench()))
     else:

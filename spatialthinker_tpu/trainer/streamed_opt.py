@@ -120,15 +120,25 @@ class StreamedAdamW:
 
     # -- update -----------------------------------------------------------
     def apply(self, params, grads, state: StreamedAdamWState, *,
-              finite, grad_scale):
+              finite, grad_scale, sample_slices: int = 0):
         """One optimizer step. ``finite``/``grad_scale`` are the scalars the
         grad program produced (device or host); a non-finite step is a no-op
         on params AND state (count included), matching the fused path's
         NaN-grad skip. Returns (new_params, new_state); the host moment
         buffers in ``state`` are REUSED (overwritten in place) — callers must
-        not alias them."""
+        not alias them.
+
+        ``sample_slices`` is a BENCH-ONLY knob (the trainer never passes it):
+        when > 0, only the first N slices actually round-trip through the
+        device; the rest are skipped but their traffic is COUNTED, so the
+        caller can extrapolate the full-stream wall time by bytes
+        (``self.last_apply_stats``). Skipped slices leave their param rows
+        un-updated — never use in real training."""
         if not bool(np.asarray(finite)):
             return params, state
+        measured_slices = 0
+        measured_bytes = 0
+        total_bytes = 0
         scale = np.float32(np.asarray(grad_scale))
         count = state.count + 1
         lr = self._schedule(state.count) if callable(self._schedule) else self._schedule
@@ -178,6 +188,13 @@ class StreamedAdamW:
                 continue
             for l0, span in spans:
                 l1 = l0 + span
+                slice_bytes = (mu[l0:l1].nbytes + nu[l0:l1].nbytes
+                               + (comp[l0:l1].nbytes if has_comp else 0))
+                total_bytes += slice_bytes
+                if sample_slices and measured_slices >= sample_slices:
+                    continue  # counted, not streamed (bench sampling)
+                measured_slices += 1
+                measured_bytes += slice_bytes
                 comp_in = comp[l0:l1] if has_comp else comp
                 p, mu_n, nu_n, comp_n = self._slice_step(
                     p, g,
@@ -191,6 +208,11 @@ class StreamedAdamW:
                     comp[l0:l1] = np.asarray(comp_n)
             new_p.append(p)
 
+        self.last_apply_stats = {
+            "measured_slices": measured_slices,
+            "measured_bytes": measured_bytes,
+            "total_bytes": total_bytes,
+        }
         return (
             jax.tree.unflatten(treedef, new_p),
             StreamedAdamWState(count, state.mu, state.nu, state.compensation),

@@ -77,6 +77,47 @@ def test_streamed_nan_skip():
         np.testing.assert_array_equal(np.asarray(new_params[k]), p_before[k])
 
 
+def test_streamed_sampled_slices(monkeypatch):
+    """Bench-only sampling: the first N slices round-trip and match the full
+    apply exactly; the rest are skipped but counted in last_apply_stats so
+    byte-extrapolation is possible (bench.py train_3b)."""
+    monkeypatch.setattr(streamed_opt, "_STREAM_THRESHOLD", 1)
+    lr = 1e-2
+    params_full = _tree(jax.random.key(3), jnp.float32)
+    params_samp = jax.tree.map(jnp.copy, params_full)
+    grads = _tree(jax.random.key(4), jnp.float32)
+    opt = StreamedAdamW(lr, layer_chunk=2)
+    state_full = opt.init(params_full)
+    opt_s = StreamedAdamW(lr, layer_chunk=2)
+    state_samp = opt_s.init(params_samp)
+    kw = dict(finite=jnp.asarray(True), grad_scale=jnp.float32(1.0))
+
+    new_full, _ = opt.apply(params_full, grads, state_full, **kw)
+    full_stats = opt.last_apply_stats
+    assert full_stats["measured_bytes"] == full_stats["total_bytes"]
+    assert full_stats["measured_slices"] > 2
+
+    new_samp, _ = opt_s.apply(params_samp, grads, state_samp,
+                              sample_slices=2, **kw)
+    stats = opt_s.last_apply_stats
+    assert stats["measured_slices"] == 2
+    assert 0 < stats["measured_bytes"] < stats["total_bytes"]
+    assert stats["total_bytes"] == full_stats["total_bytes"]
+    # the measured slices' param rows agree with the full apply bitwise;
+    # at least one skipped row stayed un-updated
+    leaves_f = jax.tree.leaves(new_full)
+    leaves_s = jax.tree.leaves(new_samp)
+    leaves_0 = jax.tree.leaves(_tree(jax.random.key(3), jnp.float32))
+    some_skipped = False
+    some_measured = False
+    for f, s, p0 in zip(leaves_f, leaves_s, leaves_0):
+        eq_full = np.asarray(f) == np.asarray(s)
+        eq_orig = np.asarray(s) == np.asarray(p0)
+        some_measured |= bool(eq_full.all(axis=tuple(range(1, f.ndim))).any())
+        some_skipped |= bool(eq_orig.all(axis=tuple(range(1, f.ndim))).any())
+    assert some_measured and some_skipped
+
+
 def test_streamed_bf16_params_kahan():
     """bf16 params + Kahan compensation: repeated tiny updates must not be
     swallowed by bf16 rounding (the whole point of the compensation)."""
