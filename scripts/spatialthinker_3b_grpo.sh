@@ -30,8 +30,8 @@ python3 -m spatialthinker_tpu.trainer.main \
     worker.rollout.prefill_rows=8 \
     worker.rollout.int4_i8dot=true \
     worker.rollout.name=continuous \
-    worker.rollout.decode_batch_size=64 \
-    worker.rollout.refill_batch=16 \
+    worker.rollout.decode_batch_size=48 \
+    worker.rollout.refill_batch=8 \
     "$@"
 
 # The int4/int8/rows/i8dot rollout knobs are the bench-proven perf path
@@ -44,11 +44,15 @@ python3 -m spatialthinker_tpu.trainer.main \
 # Engine selection: this run's rollout is 512 prompts x n=8 = 4,096 lanes at
 # width 6144+2048 — far past the dense engine's measured 64-lane/chip HBM
 # ceiling at that width (the dense path decodes ONE wave with no turnover).
-# rollout.name=continuous streams the whole queue through 64 decode slots
+# rollout.name=continuous streams the whole queue through 48 decode slots
 # per chip (decode_batch_size; the bench's flagship_sched entry measures
-# exactly this shape), refilling finished slots from the queue 16 unique
-# prompts at a time. Bump decode_batch_size only with the HBM to back it:
-# 64 slots x 8192 cells of int4 KV is ~4.6 GB/chip next to the int8 weights.
+# exactly this shape), refilling finished slots from the queue 8 unique
+# prompts at a time. 48/8 is the measured 16 GB-chip fit: 64 slots x 8192
+# cells of int4 KV (9 GiB packed + 2.8 GiB scales) next to the 4.1 GiB int8
+# tree is the dense engine's exact ceiling, and the continuous engine's
+# staging ring + 16-unique refill-prefill transient pushed 64/16 to
+# ResourceExhausted (2026-08). Decode at this width is KV-bandwidth-bound,
+# so fewer slots barely move tok/s; bump both only with the HBM to back it.
 # Guardrail: rollout/probs_diff_mean|max in the step metrics reports the
 # engine-vs-bf16-graph sampling drift every step (CPU smoke: mean ~2e-3).
 # Revert to exact-parity rollout with:
