@@ -733,15 +733,18 @@ def main() -> None:
         # 6144/2048) through the engine the script selects (VERDICT r4 task 4)
         if os.environ.get("BENCH_SKIP_FSCHED") != "1":
             fs = FLAGSHIP_SCHED_SHAPE
-            # 48 slots / refill 8: 64 slots x width-8192 int4 slot cache
-            # (9 GiB packed + 2.8 GiB scales) + the 4.1 GiB int8 tree is the
-            # dense engine's exact ceiling; the continuous engine's staging
-            # ring + 16-unique refill-prefill transient pushed 64/16 to
-            # ResourceExhausted (measured 2026-08). Decode at this width is
-            # KV-bandwidth-bound, so fewer slots barely move tok/s.
-            fs_slots = int(os.environ.get("BENCH_FSCHED_SLOTS", "48"))
+            # the script ships the PAGED engine at 128 slots / page 1024 /
+            # refill 8 — compacted pages + refcount-shared prompt pages back
+            # 128 slots where a width-allocated slot cache caps at 48 (64
+            # slots x 8192 int4 cells = 9 GiB packed + 2.8 GiB scales next
+            # to the 4.1 GiB int8 tree OOMs; the continuous engine's staging
+            # ring + 16-unique refill transient pushed even 64/16 over).
+            # Measured 2026-08: paged 128 slots 3,647 tok/s (1.30x) vs
+            # paged@48 2,561, continuous@48 3,065, continuous@64 OOM.
+            fs_eng = os.environ.get("BENCH_FSCHED_ENGINE", "paged")
+            fs_slots = int(os.environ.get(
+                "BENCH_FSCHED_SLOTS", "128" if fs_eng == "paged" else "48"))
             fs_refill = int(os.environ.get("BENCH_FSCHED_REFILL", "8"))
-            fs_eng = os.environ.get("BENCH_FSCHED_ENGINE", "continuous")
             fs_cfg = {"batch": fs[0], "prompt": fs[1], "gen": fs[2],
                       "kv": fs[3], "wq": WQ, "prefill_chunk": fs[4],
                       "prefill_rows": fs[6], "n": fs[5], "i8dot": I8DOT,

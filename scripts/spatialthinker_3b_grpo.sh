@@ -30,7 +30,8 @@ python3 -m spatialthinker_tpu.trainer.main \
     worker.rollout.prefill_rows=8 \
     worker.rollout.int4_i8dot=true \
     worker.rollout.name=continuous \
-    worker.rollout.decode_batch_size=48 \
+    worker.rollout.page_size=1024 \
+    worker.rollout.decode_batch_size=128 \
     worker.rollout.refill_batch=8 \
     "$@"
 
@@ -44,15 +45,17 @@ python3 -m spatialthinker_tpu.trainer.main \
 # Engine selection: this run's rollout is 512 prompts x n=8 = 4,096 lanes at
 # width 6144+2048 — far past the dense engine's measured 64-lane/chip HBM
 # ceiling at that width (the dense path decodes ONE wave with no turnover).
-# rollout.name=continuous streams the whole queue through 48 decode slots
-# per chip (decode_batch_size; the bench's flagship_sched entry measures
-# exactly this shape), refilling finished slots from the queue 8 unique
-# prompts at a time. 48/8 is the measured 16 GB-chip fit: 64 slots x 8192
-# cells of int4 KV (9 GiB packed + 2.8 GiB scales) next to the 4.1 GiB int8
-# tree is the dense engine's exact ceiling, and the continuous engine's
-# staging ring + 16-unique refill-prefill transient pushed 64/16 to
-# ResourceExhausted (2026-08). Decode at this width is KV-bandwidth-bound,
-# so fewer slots barely move tok/s; bump both only with the HBM to back it.
+# rollout.name=continuous + page_size=1024 routes the PAGED engine: KV in
+# compacted 1024-token pages from a global pool (free HBM x
+# gpu_memory_utilization), prompt pages refcount-SHARED across each
+# prompt's n=8 lanes, youngest-group preemption on pool pressure. Paging is
+# what backs 128 decode slots at this width on a 16 GB chip: a
+# width-allocated slot cache caps at 48 slots (64 x 8192 int4 cells =
+# 9 GiB packed + 2.8 GiB scales next to the 4.1 GiB int8 tree OOMs), while
+# compaction + prompt sharing held the same workload at a peak 350 x 1024
+# tokens of pool — 128 slots amortize the per-step weight stream and
+# measured 3,647 tok/s/chip (1.30x anchor) vs 3,065 (1.09x) for the
+# 48-slot width-allocated engine (bench flagship_sched, 2026-08).
 # Guardrail: rollout/probs_diff_mean|max in the step metrics reports the
 # engine-vs-bf16-graph sampling drift every step (CPU smoke: mean ~2e-3).
 # Revert to exact-parity rollout with:

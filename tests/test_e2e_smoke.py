@@ -325,20 +325,28 @@ def test_flagship_script_config_runs_e2e(tmp_path):
     assert "worker.rollout.quantization=int8" in dotlist
     assert any(d.startswith("worker.rollout.prefill_rows=") for d in dotlist)
     # strip deploy-scale knobs the CPU smoke must override (kept: every
-    # rollout/algorithm knob)
+    # rollout/algorithm knob). Leaf knobs are stripped by their full
+    # "key=" form — a bare "worker.rollout.n" prefix also swallowed
+    # worker.rollout.name=continuous, silently running the DENSE engine and
+    # masking a real launch crash in the shipped script (int4 + paged needs
+    # page_size % 256; the default 128 failed validation).
     keep = [
         d for d in dotlist
         if not d.startswith((
-            "data.train_files", "data.val_files", "data.rollout_batch_size",
-            "data.max_prompt_length", "data.max_response_length",
-            "worker.actor.model.model_path", "worker.actor.global_batch_size",
-            "worker.actor.micro_batch_size", "worker.rollout.n",
-            "worker.rollout.max_num_batched_tokens", "trainer.",
+            "data.train_files", "data.val_files", "data.rollout_batch_size=",
+            "data.max_prompt_length=", "data.max_response_length=",
+            "worker.actor.model.model_path=", "worker.actor.global_batch_size=",
+            "worker.actor.micro_batch_size", "worker.rollout.n=",
+            "worker.rollout.max_num_batched_tokens=", "trainer.",
         ))
     ]
     trainer, cfg = build_trainer(tmp_path, max_steps=2, extra_overrides=keep)
     assert cfg.worker.rollout.kv_cache_dtype == "int4"
     assert cfg.worker.rollout.quantization == "int8"
+    # the script ships the PAGED engine (continuous + page_size>0): the CPU
+    # smoke must drive the same engine selection users launch
+    assert cfg.worker.rollout.name == "continuous"
+    assert cfg.worker.rollout.page_size == 1024
     # the script ships the int8-MXU int4 decode variant; the trainer threads
     # the knob as a real kernel argument (no process-global state)
     assert cfg.worker.rollout.int4_i8dot
