@@ -25,14 +25,19 @@ python3 -m spatialthinker_tpu.trainer.main \
     worker.rollout.prefill_rows=8 \
     worker.rollout.int4_i8dot=true \
     worker.rollout.name=continuous \
+    worker.rollout.page_size=1024 \
     worker.rollout.decode_batch_size=128 \
     worker.rollout.refill_batch=16 \
     "$@"
 
 # Same bench-proven rollout perf path as the 3B script (int4 KV + W8A8 +
-# rows-mode prefill + int8-MXU int4 dots + continuous slot engine);
-# guardrail metric: rollout/probs_diff_*. Revert with
-# kv_cache_dtype=bfloat16 quantization=none worker.rollout.name=jax.
+# rows-mode prefill + int8-MXU int4 dots + the PAGED engine: compacted
+# 1024-token pages, prompt pages refcount-shared across the n=8 lanes —
+# measured 1.30x the H100-vLLM anchor at the 3B flagship shape);
+# guardrail metric: rollout/probs_diff_*. int4 + name=continuous REQUIRES
+# an explicit page_size % 256 (the 128 default fails config validation).
+# Revert with kv_cache_dtype=bfloat16 quantization=none
+# worker.rollout.name=jax.
 #
 # 7B HBM plan (README "The 7B plan" + tests/test_7b_plan.py): single-chip 7B
 # does not fit at all — fsdp>=4 with host moments is the floor, fsdp=8 fits

@@ -314,6 +314,29 @@ def _script_dotlist(script_name):
     return out
 
 
+@pytest.mark.parametrize(
+    "script", ["spatialthinker_3b_grpo.sh", "spatialthinker_7b_grpo.sh"]
+)
+def test_shipped_script_config_validates(script):
+    """Every shipped script's EXACT dotlist must pass config validation —
+    r5 found the 3B script crashing at launch (name=continuous +
+    kv_cache_dtype=int4 left page_size at its 128 default, tripping the
+    page_size % 256 check) while the e2e smoke silently dropped the
+    engine-selection knob."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    dotlist = [
+        d if not d.startswith("config=") else f"config={root}/scripts/config.yaml"
+        for d in _script_dotlist(script)
+    ]
+    cfg = build_config(dotlist)  # post_init validation must not raise
+    # the scripts ship the paged engine: page-size alignment holds for int4
+    assert cfg.worker.rollout.name == "continuous"
+    assert cfg.worker.rollout.page_size > 0
+    assert cfg.worker.rollout.page_size % 256 == 0
+
+
 def test_flagship_script_config_runs_e2e(tmp_path):
     """The shipped 3B script's exact dotlist (including the perf-path rollout
     knobs: int4 KV, W8A8 weights, rows-mode prefill) drives a real 2-step run
